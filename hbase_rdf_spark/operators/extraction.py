@@ -1,0 +1,116 @@
+"""Stage 2 — EXTRACT: mention detection + (s, p, o) triple extraction.
+
+Spark-side analog of the reference's parse+explode mappers
+(reference: bulkload/QuadBreakDown.java:55-155 — S1 line parser, K1 quad
+id, K2 term explosion), re-expressed as Arrow-batched ``mapInPandas``
+with fully vectorized pandas string ops (no per-row Python).
+
+Scale notes
+-----------
+- Narrow op: one pass over the transcripts, no shuffle of its own. The
+  caller controls partitioning; :func:`stable_conversations` gives the
+  conversation-clustered, turn-ordered layout required by the per-turn
+  invariant when multi-turn windows are consumed.
+- 9 vectorized regex extracts per Arrow batch (~10k rows) — the regex
+  runs in C inside pandas, not per-row Python.
+- Output carries provenance (conv_id, turn_idx) so downstream stages
+  never need to re-join the raw text.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from hbase_rdf_spark.functions.grammar import PATTERNS, PRED_IRI, SENTENCE_SPLIT
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, pred string, "
+    "subj_surface string, obj_surface string, obj_kind tinyint"
+)
+
+
+def stable_conversations(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Cluster rows by conversation, ordered by turn_idx within each.
+
+    Enforces the stable-(conv_id, turn_idx)-ordering contract from
+    BASELINE.json input_hint: any extraction that looks across turns sees
+    a conversation's turns contiguous and in order, regardless of how the
+    source was partitioned.
+    """
+    n = partitions or transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return transcripts.repartition(int(n), "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[pdf["role"] != "tool"]
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype="object"),
+                "turn_idx": pd.Series(dtype="int32"),
+                "pred": pd.Series(dtype="object"),
+                "subj_surface": pd.Series(dtype="object"),
+                "obj_surface": pd.Series(dtype="object"),
+                "obj_kind": pd.Series(dtype="int8"),
+            }
+        )
+    sents = (
+        pdf[["conv_id", "turn_idx"]]
+        .assign(sent=pdf["text"].str.split(SENTENCE_SPLIT, regex=True))
+        .explode("sent", ignore_index=True)
+    )
+    sents["sent"] = sents["sent"].str.strip().str.rstrip(".")
+    sents = sents[sents["sent"].str.len() > 0]
+
+    outs: list[pd.DataFrame] = []
+    for pred, rx, kind in PATTERNS:
+        ext = sents["sent"].str.extract(rx)
+        hit = ext[0].notna()
+        if not hit.any():
+            continue
+        sub = sents.loc[hit, ["conv_id", "turn_idx"]].copy()
+        sub["pred"] = PRED_IRI[pred]
+        sub["subj_surface"] = ext.loc[hit, 0]
+        sub["obj_surface"] = ext.loc[hit, 1]
+        sub["obj_kind"] = kind
+        outs.append(sub)
+    if not outs:
+        return _extract_batch(pdf.iloc[0:0])
+    out = pd.concat(outs, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out["obj_kind"] = out["obj_kind"].astype("int8")
+    return out
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """transcripts → raw surface-form triples with provenance.
+
+    Returns (conv_id, turn_idx, pred, subj_surface, obj_surface, obj_kind).
+    Surfaces are unresolved mention strings; stage 3 (linking) maps them
+    to canonical entity ids.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _extract_batch(b)
+
+    return transcripts.mapInPandas(run, schema=EXTRACT_SCHEMA)
+
+
+def mentions(extracted: DataFrame) -> DataFrame:
+    """Distinct entity mention surfaces needing resolution.
+
+    Subjects are always entity mentions; objects only when obj_kind = 0.
+    One narrow union + one distinct (single shuffle, heavily combinable
+    map-side since surface cardinality << triple cardinality).
+    """
+    subs = extracted.select(F.col("subj_surface").alias("surface"))
+    objs = extracted.filter(F.col("obj_kind") == 0).select(
+        F.col("obj_surface").alias("surface")
+    )
+    return subs.unionByName(objs).distinct()

@@ -1,0 +1,10 @@
+import pytest
+
+from hbase_rdf_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="hbase-rdf-spark-tests", master="local[8]",
+                  shuffle_partitions=8)
+    yield s
