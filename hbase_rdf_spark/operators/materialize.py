@@ -1,0 +1,136 @@
+"""Stage 6 — MATERIALIZE: the tripartite sorted triple indexes.
+
+The reference materializes every quad six times into permutation-sorted
+HBase tables (SPOC POCS OCSP CSPO CPSO OSPC,
+reference: schema/HBPrefixMatchSchema.java:41-51) because HBase can only
+range-scan a row-key prefix. A columnar engine needs only the three
+permutations whose *sort prefix* can serve some bound-column set —
+SPO / POS / OSP — context filters are ordinary column predicates (no
+C-first tables needed, they existed only because the row key was the
+sole index).
+
+Each index table is written
+
+- ``repartitionByRange`` on its leading key columns — the analog of the
+  reference's engineered region pre-splits
+  (reference: schema/HBPrefixMatchSchema.java:439-527), but computed by
+  sampling instead of counter bookkeeping, and
+- ``sortWithinPartitions`` on the full permutation — so every parquet
+  file covers a tight (min, max) range of the sort key and Catalyst's
+  pushed-down equality/range predicates prune both partitions and
+  row-groups: the columnar replacement for HBase prefix scans
+  (reference: operations/HBPrefixMatchOperationManager.java:203-328).
+
+On a real cluster these become Iceberg tables (``WRITE ORDERED BY``);
+the parquet layout used here is bit-identical in plan terms (sorted
+files + min/max stats) and keeps the sandbox dependency-free. Writing
+3 sorted copies from one cached upstream DataFrame replaces the
+reference's per-table MapReduce passes + HFile adoption
+(reference: bulkload/BulkLoad.java:44-116).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hbase_rdf_spark.functions import lineage
+
+# permutation → (range-partition keys, full within-partition sort order)
+INDEXES: dict[str, tuple[list[str], list[str]]] = {
+    "spo": (["s", "p"], ["s", "p", "o_kind", "o", "o_num", "c"]),
+    "pos": (["p", "o"], ["p", "o_kind", "o", "o_num", "s", "c"]),
+    "osp": (["o", "s"], ["o_kind", "o", "o_num", "s", "p", "c"]),
+}
+
+QUAD_COLS = ["s", "p", "o", "o_kind", "o_num", "c"]
+PROV_COLS = QUAD_COLS + ["conv_id", "turn_idx"]
+
+
+class TripleStore:
+    """Directory-backed tripartite triple store + dictionaries.
+
+    Layout under ``root``::
+
+        triples_spo/  triples_pos/  triples_osp/   (sorted parquet + lineage)
+        term2id/      id2term/                     (dictionaries)
+        provenance/                                (quad → conv_id, turn_idx)
+    """
+
+    def __init__(self, spark: SparkSession, root: str, num_partitions: int | None = None):
+        self.spark = spark
+        self.root = root
+        self.n = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -- write ----------------------------------------------------------
+    def write_indexes(self, quads: DataFrame, input_sig: str = "") -> dict:
+        """Write the three permutation-sorted index tables from one pass.
+
+        ``quads`` must carry QUAD_COLS (+ optional provenance columns).
+        The upstream is persisted once; each index write is a range
+        shuffle + local sort + parquet write.
+        """
+        body = quads.select(*QUAD_COLS).persist()
+        stats = {}
+        try:
+            for name, (range_keys, sort_keys) in INDEXES.items():
+                tdir = self.path(f"triples_{name}")
+                if lineage.stage_complete(tdir, input_sig):
+                    stats[name] = lineage.read_manifest(tdir)["total_rows"]
+                    continue
+                arranged = body.repartitionByRange(
+                    self.n, *range_keys
+                ).sortWithinPartitions(*sort_keys)
+                arranged.write.mode("overwrite").parquet(tdir)
+                parts = lineage.partition_manifest(
+                    self.spark.read.parquet(tdir)
+                )
+                m = lineage.write_manifest(
+                    tdir, f"materialize_{name}", input_sig, parts,
+                    extra={"sort_order": sort_keys},
+                )
+                stats[name] = m["total_rows"]
+        finally:
+            body.unpersist()
+        if "conv_id" in quads.columns:
+            pdir = self.path("provenance")
+            if not lineage.stage_complete(pdir, input_sig):
+                quads.select(*PROV_COLS).write.mode("overwrite").parquet(pdir)
+                parts = lineage.partition_manifest(self.spark.read.parquet(pdir))
+                lineage.write_manifest(pdir, "provenance", input_sig, parts)
+        return stats
+
+    def write_dictionaries(
+        self, term2id: DataFrame, id2term: DataFrame, input_sig: str = ""
+    ) -> None:
+        for name, df, keys in (
+            ("term2id", term2id, ["term"]),
+            ("id2term", id2term, ["id"]),
+        ):
+            tdir = self.path(name)
+            if lineage.stage_complete(tdir, input_sig):
+                continue
+            df.repartitionByRange(self.n, *keys).sortWithinPartitions(
+                *keys
+            ).write.mode("overwrite").parquet(tdir)
+            parts = lineage.partition_manifest(self.spark.read.parquet(tdir))
+            lineage.write_manifest(tdir, name, input_sig, parts)
+
+    # -- read -----------------------------------------------------------
+    def index(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(f"triples_{name}"))
+
+    def term2id(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("term2id"))
+
+    def id2term(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("id2term"))
+
+    def provenance(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("provenance"))

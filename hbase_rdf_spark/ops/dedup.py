@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The scale path for every variant is shuffle-minimal:
+
+- exact: one hash-groupBy on a 64/128-bit content hash (never on the
+  raw text — the shuffle moves 8-16 bytes per row, not documents);
+- minhash-LSH: reuses the JVM-side shingle/signature machinery from the
+  entity-linking stage (hbase_rdf_spark.operators.linking) at document
+  granularity — band buckets shuffle (doc_id, band_hash) pairs only;
+- simhash: 64-bit sketch via per-token hash bit-voting, then bucket by
+  the 4×16-bit Hamming blocks (two candidates agreeing on any block are
+  compared exactly — standard 3-distance simhash blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hbase_rdf_spark.operators import linking as _lsh
+from hbase_rdf_spark.ops.text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (content_key, group_size, keep_id).
+
+    keep_id = min id per group (deterministic survivor).
+    """
+    keyed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_key")
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical-content group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) distinct word-n-gram hashes — JVM-only."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Correct but O(pairs-sharing-a-gram) — the *verification* baseline.
+    Common-gram skew is capped by dropping grams shared by > 1000 docs
+    (they cannot discriminate near-dups anyway); at 100 TB use
+    :func:`minhash_duplicate_pairs` to generate candidates instead.
+    """
+    sh = _word_shingles(df, text_col, id_col, n).persist()
+    try:
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= 1000
+        )
+        sh_r = sh.join(rare.select("sh"), "sh")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        pairs = (
+            sh_r.alias("a")
+            .join(sh_r.alias("b"), "sh")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    finally:
+        sh.unpersist()
+
+
+def minhash_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates, Jaccard-verified: (id_a, id_b, jaccard).
+
+    Same banding scheme as entity linking (32 hashes, 8×4 bands →
+    catches J ≳ 0.6 with high probability); candidates verified with the
+    exact Jaccard so the output has no false positives.
+    """
+    sh = _word_shingles(df, text_col, id_col, n).withColumnRenamed("id", "surface")
+    sig = _lsh._signatures(sh)
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.surface") < F.col("b.surface"))
+        .select(
+            F.col("a.surface").alias("id_a"), F.col("b.surface").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("surface").agg(F.collect_set("sh").alias("shs"))
+    return (
+        cand.join(sets.select(F.col("surface").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(sets.select(F.col("surface").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: bit-vote over token hashes, JVM-only.
+
+    For each of 64 bit positions, the bit is 1 iff more token hashes have
+    that bit set than not. Implemented as an explode + one groupBy with
+    64 conditional sums (map-side combinable).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .select("id", F.xxhash64("t").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # skip the sign bit: keep result non-negative
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(63):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-≤3 candidate pairs by 4×16-bit block bucketing.
+
+    Two signatures within Hamming distance 3 agree exactly on ≥ 1 of 4
+    disjoint 16-bit blocks (pigeonhole); bucket-join per block, then
+    verify the true distance with bit_count(xor).
+    """
+    blocks = sim.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "blk_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

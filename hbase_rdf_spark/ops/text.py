@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM column expressions (whole-stage codegen, no Python) so they
+run at scan speed over 100 TB document tables: language id (stopword
+n-gram heuristic), quality scoring, token counting, and rolling-hash
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets (heuristic language id — the
+# real thing would be a fastText-style model behind a pandas UDF; the
+# *Spark plumbing* is identical).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token set."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker scores; 'und' (undetermined) when all zero.
+
+    Deterministic tie-break: language code order.
+    """
+    scores = lang_scores(text)
+    pairs = sorted(scores.items())  # deterministic order
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in pairs:
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    quality_score ∈ [0,1]: penalizes very short docs, punctuation walls,
+    and stopword-free (keyword-spam-like) text.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_hits = sum(lang_scores(t).values(), F.lit(0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(mean_tok_len, 6).alias("q_mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min rolling-window hash.
+
+    xxhash64 over sliding char windows, aggregated to the minimum —
+    a single stable 64-bit sketch per document, JVM-side via
+    transform+array_min (no shuffle, no UDF).
+    """
+    n = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.xxhash64(text.substr(i, F.lit(window))),
+        )
+    )

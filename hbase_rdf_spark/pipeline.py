@@ -1,0 +1,171 @@
+"""End-to-end KG-construction pipeline: the BulkLoad analog.
+
+Orchestrates the seven stages of SURVEY.md §7.1, playing the role of the
+reference's bulk-load driver
+(reference: bulkload/AbstractPrefixMatchBulkLoad.java:86-115, BulkLoad.java)
+with Spark-shaped stage boundaries: where the reference runs 7+ MapReduce
+jobs with SequenceFile handoffs, this is ONE Spark application whose only
+wide shuffles are (1) mention dedup + linking, (2) dictionary distinct,
+and (3) the per-index range-repartition at write time.
+
+Every persisted output carries a lineage manifest keyed by an input
+signature, so a killed run resumes by skipping finished stages — and,
+because all ids are content hashes, the resumed run provably writes the
+same bytes (asserted in tests; upgrade of the exists-check resume at
+reference: AbstractPrefixMatchBulkLoad.java:119-137).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hbase_rdf_spark.functions import lineage
+from hbase_rdf_spark.functions.encoding import (
+    assert_no_id_collisions,
+    build_dictionaries,
+    encode_quads,
+)
+from hbase_rdf_spark.operators.cc import canonicalize_unresolved
+from hbase_rdf_spark.operators.extraction import (
+    extract_triples,
+    mentions,
+    stable_conversations,
+)
+from hbase_rdf_spark.operators.linking import link_mentions, self_candidate_pairs
+from hbase_rdf_spark.operators.materialize import TripleStore
+
+
+def _unk_id(col):
+    """Deterministic entity id for an unresolvable surface."""
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(col)), r"[^\w\s]", ""), r"\s+", "_"
+    )
+    return F.concat(F.lit("ent:unk/"), slug)
+
+
+def resolve_surfaces(extracted: DataFrame, links: DataFrame) -> DataFrame:
+    """Surface-form triples + link table → canonical-id triples.
+
+    Two broadcast-friendly joins (the link table is distinct surfaces —
+    tiny next to the triple stream). Unlinked surfaces already carry
+    their canonical ``ent:unk/...`` id in ``links``.
+    """
+    subj_map = links.select(
+        F.col("surface").alias("subj_surface"), F.col("entity_id").alias("subj")
+    )
+    obj_map = links.select(
+        F.col("surface").alias("obj_surface"), F.col("entity_id").alias("_obj_ent")
+    )
+    out = (
+        extracted.join(F.broadcast(subj_map), "subj_surface")
+        .join(F.broadcast(obj_map), "obj_surface", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "subj",
+            "pred",
+            F.when(F.col("obj_kind") == 0, F.col("_obj_ent"))
+            .otherwise(F.col("obj_surface"))
+            .alias("obj"),
+            "obj_kind",
+        )
+    )
+    return out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+
+def build_links(mention_df: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Stages 3+4: gazetteer/LSH linking, then CC canonicalization of the
+    residue. Returns (surface, entity_id, method) with no nulls."""
+    # localCheckpoint: materialize once and CUT the lineage — the CC loop
+    # and the multi-branch consumers below must not re-derive the whole
+    # linking DAG per action.
+    raw = link_mentions(mention_df, gazetteer).localCheckpoint(eager=True)
+    resolved = raw.filter(F.col("entity_id").isNotNull()).select(
+        "surface", "entity_id", "method"
+    )
+    unresolved = raw.filter(F.col("entity_id").isNull()).select("surface")
+    pairs = (
+        self_candidate_pairs(unresolved).select("a", "b").localCheckpoint(eager=True)
+    )
+    canon = canonicalize_unresolved(pairs)  # (surface, canon_surface)
+    clustered = canon.select(
+        "surface", _unk_id(F.col("canon_surface")).alias("entity_id"),
+        F.lit("cc").alias("method"),
+    )
+    singletons = (
+        unresolved.join(canon.select("surface"), "surface", "left_anti")
+        .select(
+            "surface", _unk_id(F.col("surface")).alias("entity_id"),
+            F.lit("unk").alias("method"),
+        )
+    )
+    return resolved.unionByName(clustered).unionByName(singletons)
+
+
+def check_turn_invariant(transcripts: DataFrame, reshuffled: DataFrame) -> None:
+    """Per-turn text equality under stable ordering (BASELINE.json
+    input_hint row invariant): the repartitioned view must be exactly the
+    source, keyed by (conv_id, turn_idx)."""
+    key = ["conv_id", "turn_idx", "text"]
+    a = transcripts.select(*key)
+    b = reshuffled.select(*key)
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    if diff:
+        raise AssertionError(f"per-turn text invariant violated: {diff} rows differ")
+
+
+def build_kg(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gazetteer: DataFrame,
+    root: str,
+    num_partitions: int | None = None,
+    verify_invariant: bool = False,
+    check_collisions: bool = True,
+) -> dict:
+    """Run the full construction: transcripts → tripartite triple store.
+
+    Returns a stats dict (triple/dictionary/link counts) — the analog of
+    the reference's Hadoop counter report
+    (reference: AbstractPrefixMatchBulkLoad.java:325-360).
+    """
+    store = TripleStore(spark, root, num_partitions)
+    input_sig_d = lineage.table_signature(transcripts)
+    input_sig = f"{input_sig_d['rows']}:{input_sig_d['content_hash']}"
+
+    ordered = stable_conversations(transcripts, num_partitions)
+    if verify_invariant:
+        check_turn_invariant(transcripts, ordered)
+
+    extracted = extract_triples(ordered).persist()
+    try:
+        links = build_links(mentions(extracted), gazetteer).localCheckpoint(eager=True)
+        resolved = resolve_surfaces(extracted, links).localCheckpoint(eager=True)
+
+        term2id, id2term = build_dictionaries(resolved)
+        if check_collisions:
+            assert_no_id_collisions(term2id)
+        store.write_dictionaries(term2id, id2term, input_sig)
+
+        quads = encode_quads(resolved)
+        idx_stats = store.write_indexes(quads, input_sig)
+
+        stats = {
+            "input_sig": input_sig,
+            "transcript_rows": input_sig_d["rows"],
+            "extracted": extracted.count(),
+            "links": {
+                r["method"]: r["n"]
+                for r in links.groupBy("method").agg(F.count("*").alias("n")).collect()
+            },
+            "resolved_triples": resolved.count(),
+            "distinct_terms": term2id.count(),
+            "index_rows": idx_stats,
+        }
+        lineage.write_manifest(
+            store.path("_build"), "build_kg", input_sig, [], extra={"stats": stats}
+        )
+        return stats
+    finally:
+        for df in (extracted,):
+            df.unpersist()

@@ -1,0 +1,219 @@
+"""Stage 7b — BGP (basic graph pattern) evaluation: set-oriented joins.
+
+The reference evaluates a BGP as an index-nested-loop chain: one HBase
+prefix scan **per upstream binding** per pattern
+(reference: nl/vu/jena/sparql/engine/iterator/QueryIterTriplePattern.java:21-143,
+QueryIterBlockTriples.java:42-115). That per-binding re-scan is the
+single biggest scalability cliff in the reference design; this module
+replaces it with hash/sort-merge DataFrame joins — the whole point of
+the Spark rebuild (SURVEY.md §7.5).
+
+What carries over semantically:
+
+- **Greedy selectivity reordering** — deterministic parity with the
+  reference's static weight table + bound-var promotion
+  (reference: nl/vu/jena/sparql/engine/optimizer/reorder/ReorderHeuristics.java:41-74
+  weights, :105-159 greedy loop + VAR→TERM promotion). Catalyst/AQE
+  would reorder too, but the explicit pre-planner keeps plans stable
+  run-to-run (resume + P/R determinism).
+- **Id-space execution** (reference: graph/ValueIdMapper.java:20-111):
+  constants are hash-encoded into the scan predicates; joins run on
+  64-bit ids; a constant with no dictionary entry simply yields an
+  empty scan (the reference's dummy-NULL-pattern trick, QueryIterBlockTriples.java:84-96,
+  falls out for free).
+- **Late materialization** (reference: binding/BindingMaterializer.java:25-116):
+  ids become lexical terms only after all joins, via one id2term join
+  per projected variable.
+
+Variable bindings are uniform ``struct(kind, id, num)`` columns so
+entity and numeric-literal bindings join and compare with one code path
+(the TypedId duality of the reference, id/TypedId.java:21-46).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hbase_rdf_spark.functions.encoding import KIND_ENTITY
+from hbase_rdf_spark.plans.patterns import TriplePattern, scan
+
+Elem = str | tuple[str, int] | int | float  # "?var" | term | (lex, kind) | number
+
+
+def is_var(e: Elem) -> bool:
+    return isinstance(e, str) and e.startswith("?")
+
+
+@dataclass(frozen=True)
+class Bgp:
+    """One pattern of a BGP: each element a '?var' or a constant."""
+
+    s: Elem
+    p: Elem
+    o: Elem
+    filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
+
+
+@dataclass
+class Filter:
+    """Numeric filter on an object variable: (var, op, value)."""
+
+    var: str
+    op: str  # '<', '<=', '>', '>=', '=', '!='
+    value: float
+
+    def apply(self, col: Column) -> Column:
+        n = col.getField("num")
+        return {
+            "<": n < self.value,
+            "<=": n <= self.value,
+            ">": n > self.value,
+            ">=": n >= self.value,
+            "=": n == self.value,
+            "!=": n != self.value,
+        }[self.op]
+
+
+# Static weight table — parity with ReorderHeuristics.java:41-74.
+_WEIGHTS = {
+    "spo": 1.0, "sp?": 2.0, "s?o": 3.0, "?po": 4.0,
+    "s??": 5.0, "??o": 6.0, "?p?": 7.0, "???": 8.0,
+}
+_FILTER_BONUS = 0.5  # filtered pattern ranks above its unfiltered twin
+
+
+def _mask(p: Bgp, bound: set[str]) -> str:
+    def b(e: Elem, ch: str) -> str:
+        if not is_var(e):
+            return ch
+        return ch if e in bound else "?"  # bound-var promotion VAR→TERM
+
+    return b(p.s, "s") + b(p.p, "p") + b(p.o, "o")
+
+
+def reorder(patterns: list[Bgp]) -> list[Bgp]:
+    """Greedy lowest-weight-first ordering with bound-var promotion."""
+    remaining = list(patterns)
+    bound: set[str] = set()
+    ordered: list[Bgp] = []
+    while remaining:
+        best_i, best_w = 0, float("inf")
+        for i, p in enumerate(remaining):
+            w = _WEIGHTS[_mask(p, bound)] - (_FILTER_BONUS if p.filtered else 0.0)
+            if w < best_w:
+                best_i, best_w = i, w
+        chosen = remaining.pop(best_i)
+        ordered.append(chosen)
+        for e in (chosen.s, chosen.p, chosen.o):
+            if is_var(e):
+                bound.add(e)
+    return ordered
+
+
+def _binding_struct(kind: Column, ident: Column, num: Column) -> Column:
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        ident.cast("bigint").alias("id"),
+        num.cast("double").alias("num"),
+    )
+
+
+def _scan_pattern(store, p: Bgp) -> DataFrame:
+    """Scan one pattern; project var columns as binding structs."""
+    tp = TriplePattern(
+        s=None if is_var(p.s) else p.s,
+        p=None if is_var(p.p) else p.p,
+        o=None
+        if is_var(p.o)
+        else ((p.o, KIND_ENTITY) if isinstance(p.o, str) else
+              (p.o if isinstance(p.o, tuple) else None)),
+        o_num=p.o if isinstance(p.o, (int, float)) and not isinstance(p.o, bool) else None,
+    )
+    df = scan(store, tp)
+    cols = []
+    if is_var(p.s):
+        cols.append(
+            _binding_struct(F.lit(0), F.col("s"), F.lit(None)).alias(p.s[1:])
+        )
+    if is_var(p.p):
+        cols.append(
+            _binding_struct(F.lit(0), F.col("p"), F.lit(None)).alias(p.p[1:])
+        )
+    if is_var(p.o):
+        cols.append(
+            _binding_struct(F.col("o_kind"), F.col("o"), F.col("o_num")).alias(p.o[1:])
+        )
+    if not cols:  # fully bound pattern → existence check, keep a marker
+        cols.append(F.lit(1).alias("__exists"))
+    return df.select(*cols)
+
+
+def execute_bgp(
+    store,
+    patterns: list[Bgp],
+    filters: list[Filter] | None = None,
+    optional: list[Bgp] | None = None,
+) -> DataFrame:
+    """Evaluate a BGP to a DataFrame of binding structs (one col per var).
+
+    ``optional`` patterns are left-joined after the required ones
+    (OPTIONAL semantics, reference: stock ARQ OpConditional — J11).
+    Filters apply as soon as their variable is in scope; Catalyst pushes
+    them further down on its own.
+    """
+    filters = list(filters or [])
+    result: DataFrame | None = None
+    for p in reorder(patterns):
+        step = _scan_pattern(store, p)
+        if result is None:
+            result = step
+        else:
+            shared = [c for c in step.columns if c in result.columns and c != "__exists"]
+            if shared:
+                result = result.join(step, on=shared, how="inner")
+            else:
+                result = result.crossJoin(step)
+        # apply any filter whose var is now bound
+        ready = [f for f in filters if f.var[1:] in result.columns]
+        for f in ready:
+            result = result.filter(f.apply(F.col(f.var[1:])))
+            filters.remove(f)
+    assert result is not None, "empty BGP"
+    for p in optional or []:
+        step = _scan_pattern(store, p)
+        shared = [c for c in step.columns if c in result.columns and c != "__exists"]
+        result = result.join(step, on=shared, how="left") if shared else result.crossJoin(step)
+    if "__exists" in result.columns:
+        result = result.drop("__exists")
+    return result
+
+
+def materialize(result: DataFrame, store, variables: list[str] | None = None) -> DataFrame:
+    """Late materialization: binding structs → lexical strings.
+
+    One broadcast-or-shuffle join with id2term per projected variable —
+    the set-oriented analog of the reference's per-binding LRU-memoized
+    id→string resolution (binding/BindingMaterializer.java:25-116).
+    """
+    id2term = store.id2term()
+    variables = variables or result.columns
+    out = result
+    for v in variables:
+        name = v[1:] if v.startswith("?") else v
+        d = id2term.select(
+            F.col("id").alias(f"__{name}_id"), F.col("label").alias(f"__{name}_label")
+        )
+        out = out.join(
+            d, out[name].getField("id") == d[f"__{name}_id"], "left"
+        ).withColumn(
+            name + "_term",
+            F.coalesce(
+                F.col(f"__{name}_label"),
+                F.col(name).getField("num").cast("string"),
+            ),
+        ).drop(f"__{name}_id", f"__{name}_label")
+    return out.select(*[F.col((v[1:] if v.startswith('?') else v) + "_term").alias(
+        v[1:] if v.startswith("?") else v
+    ) for v in variables])
