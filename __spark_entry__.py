@@ -225,7 +225,11 @@ def _q_ann_topk(spark, sf):
 def _q_sessionize(spark, sf):
     ev = wordkg.read(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # parquet timestamps land as TIMESTAMP_NTZ; epoch seconds via an
+    # explicit ltz hop (session TZ pinned to UTC in session.py — and the
+    # gap is TZ-invariant anyway)
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.withColumn("new_sess", newsess).withColumn(
         "session_idx", F.sum("new_sess").over(w)

@@ -1,0 +1,94 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Measures
+1. the headline BASELINE.json metric: KG-construction throughput
+   (triples extracted/sec) over a seed-deterministic synthetic
+   transcript corpus sized to the SF dir, and
+2. per-query wall seconds for every oracle-checked query in
+   ``__spark_entry__.queries()`` at ``$SPARK_GRAFT_SF_DIR``
+   (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Scaling-efficiency protocol (north_rule's two-cluster-size criterion,
+sandbox proxy): scripts/bench_scaling.py runs the identical build at
+local[8] and local[32] and reports
+efficiency = throughput(32) / (4 × throughput(8));
+results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# conversations per SF for the construction benchmark (~11 turns,
+# ~1.4 triples per non-tool turn each)
+CONVS_PER_SF = 30_000  # sf0.1 → 3000 convs ≈ 33k turns ≈ 42k triples
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    from hbase_rdf_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="hbase-rdf-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from hbase_rdf_spark.pipeline import build_kg
+    from hbase_rdf_spark.sources.synthetic import build_gazetteer, transcripts_df
+
+    # --- 1. KG construction throughput --------------------------------
+    n_convs = max(200, int(CONVS_PER_SF * sf))
+    root = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        transcripts = transcripts_df(spark, n_convs, seed=42)
+        gaz = spark.createDataFrame(
+            build_gazetteer(), "alias string, entity_id string, kind string"
+        ).select("alias", "entity_id")
+        t0 = time.time()
+        stats = build_kg(spark, transcripts, gaz, root, num_partitions=max(cpus, 16))
+        build_sec = time.time() - t0
+        triples = stats["resolved_triples"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- 2. per-query timings ------------------------------------------
+    qtimes: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full evaluation
+        qtimes[name] = round(time.time() - t0, 3)
+        _ = n
+
+    out = {
+        "metric": "kg_build_seconds",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "build": {
+            "n_convs": n_convs,
+            "transcript_rows": stats["transcript_rows"],
+            "triples": triples,
+            "triples_per_sec": round(triples / build_sec, 1),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

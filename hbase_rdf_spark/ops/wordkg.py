@@ -45,7 +45,10 @@ def doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere (narrow).
     """
     docs = read(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # bind the token array to an attribute FIRST: referencing the split()
+    # expression inside the lambda would re-evaluate it per element
+    # (no CSE inside higher-order functions → O(n²) per document)
+    toks = F.col("_t")
     trip = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda i: F.struct(
@@ -55,7 +58,8 @@ def doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(trip).alias("t"))
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_t"))
+        .select("doc_id", F.explode(trip).alias("t"))
         .select("doc_id", "t.s", "t.p", "t.o")
         .filter(F.col("p").isin(PRED_VOCAB))
     )

@@ -252,7 +252,10 @@ def transcripts_pdf(n_convs: int, seed: int = 42, conv_offset: int = 0) -> pd.Da
     return pdf
 
 
-def transcripts_df(spark, n_convs: int, seed: int = 42, partitions: int | None = None):
+def transcripts_df(
+    spark, n_convs: int, seed: int = 42, partitions: int | None = None,
+    conv_offset: int = 0,
+):
     """Distributed generation: one task per conversation range.
 
     Scales linearly with cores — at 10^12-turn scale the same pattern
@@ -270,5 +273,5 @@ def transcripts_df(spark, n_convs: int, seed: int = 42, partitions: int | None =
                 pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
                 yield pdf
 
-    base = spark.range(0, n_convs, numPartitions=partitions)
+    base = spark.range(conv_offset, conv_offset + n_convs, numPartitions=partitions)
     return base.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)

@@ -1,0 +1,102 @@
+"""Incremental / streaming append — the HBaseLoader analog.
+
+The reference ships a synchronous incremental loader that, per
+statement, inserts missing dictionary entries and puts 3 index rows,
+guarded by a global counter watermark
+(reference: loader/HBaseLoader.java:82-231). The Spark-native rebuild:
+
+- **batch append** (:func:`append_batch`): run the normal pipeline
+  stages on the new transcript slice, then anti-join against the
+  existing store so only NEW dictionary terms and NEW quads append.
+  Hash ids make this idempotent — re-appending the same slice is a
+  no-op (the reference needed its Counters watermark exactly because
+  its ids were arrival-ordered; reference: schema/HBPrefixMatchSchema.java:60-68).
+- **structured streaming** (:func:`stream_transcripts`): wires a
+  transcript stream through ``foreachBatch(append_batch)`` — each
+  micro-batch is one atomic append with per-batch lineage.
+
+On a real cluster the appends are Iceberg snapshot commits; in the
+parquet layout each append adds sorted files to the index directories
+(per-file sort + min/max stats still hold; global clustering degrades
+until a compaction pass — same trade-off Iceberg manages natively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hbase_rdf_spark.functions.encoding import (
+    build_dictionaries,
+    encode_quads,
+)
+from hbase_rdf_spark.operators.extraction import extract_triples, mentions, stable_conversations
+from hbase_rdf_spark.operators.materialize import INDEXES, QUAD_COLS, TripleStore
+from hbase_rdf_spark.pipeline import build_links, resolve_surfaces
+
+
+def append_batch(
+    store: TripleStore,
+    transcripts: DataFrame,
+    gazetteer: DataFrame,
+) -> dict:
+    """Append one transcript slice to an existing store. Idempotent."""
+    spark = store.spark
+    ordered = stable_conversations(transcripts)
+    extracted = extract_triples(ordered).persist()
+    try:
+        links = build_links(mentions(extracted), gazetteer).localCheckpoint(eager=True)
+        resolved = resolve_surfaces(extracted, links).localCheckpoint(eager=True)
+
+        term2id, id2term = build_dictionaries(resolved)
+        existing_ids = store.id2term().select("id")
+        new_id2term = id2term.join(existing_ids, "id", "left_anti")
+        new_term2id = term2id.join(
+            new_id2term.select("id"), "id", "left_semi"
+        )
+
+        quads = encode_quads(resolved)
+        existing = store.index("spo").select(*QUAD_COLS)
+        new_quads = quads.select(*QUAD_COLS).join(
+            existing, QUAD_COLS, "left_anti"
+        ).localCheckpoint(eager=True)
+
+        n_new = new_quads.count()
+        n_terms = new_id2term.count()
+        if n_terms:
+            new_term2id.write.mode("append").parquet(store.path("term2id"))
+            new_id2term.write.mode("append").parquet(store.path("id2term"))
+        if n_new:
+            for name, (_, sort_keys) in INDEXES.items():
+                new_quads.sortWithinPartitions(*sort_keys).write.mode(
+                    "append"
+                ).parquet(store.path(f"triples_{name}"))
+        return {"appended_quads": n_new, "appended_terms": n_terms}
+    finally:
+        extracted.unpersist()
+
+
+def stream_transcripts(
+    store: TripleStore,
+    stream: DataFrame,
+    gazetteer: DataFrame,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+):
+    """Continuous construction from a transcript stream.
+
+    ``stream`` is a streaming DataFrame with the transcript schema
+    (e.g. Kafka → from_json, or file source). Returns the started
+    StreamingQuery; stop() it to shut down.
+    """
+
+    def _each(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch(store, batch_df, gazetteer)
+
+    return (
+        stream.writeStream.foreachBatch(_each)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
