@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 SHINGLE_N = 2  # 2-grams keep short-surface typos reachable by banding
-NUM_HASHES = 32
-BANDS = 16  # 16 bands × 2 rows: high candidate recall at J ≳ 0.4
+NUM_HASHES = 16
+BANDS = 8  # 8 bands × 2 rows: candidate recall ≥ 0.97 at J ≥ 0.6
 ROWS_PER_BAND = NUM_HASHES // BANDS
 DEFAULT_THRESHOLD = 0.5
 
@@ -47,9 +47,10 @@ def normalize_surface(col: Column) -> Column:
 
 
 def _shingles(df: DataFrame, surface_col: str) -> DataFrame:
-    """(surface) → (surface, sh: long) distinct char-3-gram hashes.
+    """(surface) → (surface, sh: long) char-n-gram hashes (with dups —
+    every consumer is dedup-insensitive: min / collect_set).
 
-    JVM-only: sequence+posexplode+substring+xxhash64. Short surfaces are
+    JVM-only: sequence+explode+substring+xxhash64. Short surfaces are
     padded so every surface has at least one shingle.
     """
     base = normalize_surface(F.col(surface_col))
@@ -70,18 +71,26 @@ def _shingles(df: DataFrame, surface_col: str) -> DataFrame:
             ).alias("shingle"),
         )
         .select("surface", F.xxhash64("shingle").alias("sh"))
-        .distinct()
     )
 
 
-def _signatures(shingles: DataFrame) -> DataFrame:
-    """(surface, sh) → (surface, band, band_hash) LSH signature rows."""
+def _sketches(shingles: DataFrame) -> DataFrame:
+    """ONE groupBy per surface → minhash signature AND exact shingle set.
+
+    (surface, shs: array<long>, mh0..mhK) — the signature feeds banding,
+    the set feeds exact Jaccard verification; fusing them halves the
+    shuffle/plan count of the LSH stage.
+    """
     reduced = shingles.withColumn("sh31", F.pmod(F.col("sh"), F.lit(_DOMAIN)))
-    mins = [
+    aggs = [F.collect_set("sh").alias("shs")] + [
         F.min(F.pmod(F.col("sh31") * F.lit(a) + F.lit(b), F.lit(_DOMAIN))).alias(f"mh{i}")
         for i, (a, b) in enumerate(zip(_HASH_A, _HASH_B))
     ]
-    sig = reduced.groupBy("surface").agg(*mins)
+    return reduced.groupBy("surface").agg(*aggs)
+
+
+def _band_rows(sketches: DataFrame) -> DataFrame:
+    """sketch rows → exploded (surface, band, band_hash)."""
     bands = F.array(
         *[
             F.xxhash64(
@@ -91,15 +100,9 @@ def _signatures(shingles: DataFrame) -> DataFrame:
             for band in range(BANDS)
         ]
     )
-    return sig.select(
+    return sketches.select(
         "surface", F.posexplode(bands).alias("band", "band_hash")
     )
-
-
-def _shingle_sets(shingles: DataFrame, prefix: str) -> DataFrame:
-    return shingles.groupBy("surface").agg(
-        F.collect_set("sh").alias(f"{prefix}_shs")
-    ).withColumnRenamed("surface", f"{prefix}_surface")
 
 
 def link_mentions(
@@ -144,14 +147,14 @@ def link_mentions(
 
     # --- LSH path over the residue -------------------------------------
     gaz_surf = gazetteer.select(F.col("alias").alias("surface")).distinct()
-    g_sh = _shingles(gaz_surf, "surface").persist()
-    m_sh = _shingles(residue, "surface").persist()
+    g_sk = _sketches(_shingles(gaz_surf, "surface")).persist()
+    m_sk = _sketches(_shingles(residue, "surface")).persist()
 
     cand = (
-        _signatures(m_sh)
+        _band_rows(m_sk)
         .join(
             F.broadcast(
-                _signatures(g_sh).withColumnRenamed("surface", "g_surface")
+                _band_rows(g_sk).withColumnRenamed("surface", "g_surface")
             ),
             ["band", "band_hash"],
         )
@@ -171,8 +174,16 @@ def link_mentions(
     )
     scored = (
         cand.withColumnRenamed("surface", "m_surface")
-        .join(_shingle_sets(m_sh, "m"), "m_surface")
-        .join(F.broadcast(_shingle_sets(g_sh, "g")), "g_surface")
+        .join(
+            m_sk.select(F.col("surface").alias("m_surface"), F.col("shs").alias("m_shs")),
+            "m_surface",
+        )
+        .join(
+            F.broadcast(
+                g_sk.select(F.col("surface").alias("g_surface"), F.col("shs").alias("g_shs"))
+            ),
+            "g_surface",
+        )
         .withColumn("_inter", F.size(F.array_intersect("m_shs", "g_shs")))
         .withColumn(
             "_jacc",
@@ -199,6 +210,7 @@ def link_mentions(
             F.lit("lsh").alias("method"),
             "score",
         )
+        .persist()  # consumed by the result union AND the left_anti below
     )
     unresolved = (
         residue.join(lsh.select("surface"), "surface", "left_anti")
@@ -221,8 +233,8 @@ def self_candidate_pairs(
     resolve are clustered among themselves (connected components over
     these edges). Returns (a, b, score) with a < b.
     """
-    sh = _shingles(surfaces, "surface")
-    sig = _signatures(sh)
+    sk = _sketches(_shingles(surfaces, "surface")).persist()
+    sig = _band_rows(sk)
     left = sig.withColumnRenamed("surface", "a")
     right = sig.withColumnRenamed("surface", "b")
     cand = (
@@ -231,8 +243,8 @@ def self_candidate_pairs(
         .select("a", "b")
         .distinct()
     )
-    a_sets = _shingle_sets(sh, "m").withColumnRenamed("m_surface", "a")
-    b_sets = _shingle_sets(sh, "g").withColumnRenamed("g_surface", "b")
+    a_sets = sk.select(F.col("surface").alias("a"), F.col("shs").alias("m_shs"))
+    b_sets = sk.select(F.col("surface").alias("b"), F.col("shs").alias("g_shs"))
     lev_sim = 1.0 - F.levenshtein(
         normalize_surface(F.col("a")), normalize_surface(F.col("b"))
     ) / F.greatest(

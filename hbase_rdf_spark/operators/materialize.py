@@ -48,6 +48,9 @@ QUAD_COLS = ["s", "p", "o", "o_kind", "o_num", "c"]
 PROV_COLS = QUAD_COLS + ["conv_id", "turn_idx"]
 
 
+ROWS_PER_PARTITION = 2_000_000  # ≈100-150 MB parquet per sorted file
+
+
 class TripleStore:
     """Directory-backed tripartite triple store + dictionaries.
 
@@ -56,17 +59,27 @@ class TripleStore:
         triples_spo/  triples_pos/  triples_osp/   (sorted parquet + lineage)
         term2id/      id2term/                     (dictionaries)
         provenance/                                (quad → conv_id, turn_idx)
+
+    Partition policy: unless ``num_partitions`` is forced, each table is
+    range-partitioned into ``ceil(rows / ROWS_PER_PARTITION)`` partitions
+    — ~100-150 MB sorted parquet files at any scale (the analog of the
+    reference's counter-driven region split computation,
+    reference: schema/HBPrefixMatchSchema.java:439-527, but sampled by
+    repartitionByRange instead of tracked by a Counters table).
     """
 
     def __init__(self, spark: SparkSession, root: str, num_partitions: int | None = None):
         self.spark = spark
         self.root = root
-        self.n = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        self.n = num_partitions  # None → adaptive per write
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    def _parts_for(self, rows: int) -> int:
+        if self.n:
+            return self.n
+        return max(1, min(100_000, -(-rows // ROWS_PER_PARTITION)))
 
     # -- write ----------------------------------------------------------
     def write_indexes(self, quads: DataFrame, input_sig: str = "") -> dict:
@@ -79,18 +92,21 @@ class TripleStore:
         body = quads.select(*QUAD_COLS).persist()
         stats = {}
         try:
+            n_rows = body.count()  # materializes the cache; sizes partitions
+            n_parts = self._parts_for(n_rows)
             for name, (range_keys, sort_keys) in INDEXES.items():
                 tdir = self.path(f"triples_{name}")
                 if lineage.stage_complete(tdir, input_sig):
                     stats[name] = lineage.read_manifest(tdir)["total_rows"]
                     continue
                 arranged = body.repartitionByRange(
-                    self.n, *range_keys
-                ).sortWithinPartitions(*sort_keys)
+                    n_parts, *range_keys
+                ).sortWithinPartitions(*sort_keys).persist()
                 arranged.write.mode("overwrite").parquet(tdir)
-                parts = lineage.partition_manifest(
-                    self.spark.read.parquet(tdir)
-                )
+                # manifest from the cached write-side frame: identical
+                # partitioning to the written files, no disk re-read
+                parts = lineage.partition_manifest(arranged)
+                arranged.unpersist()
                 m = lineage.write_manifest(
                     tdir, f"materialize_{name}", input_sig, parts,
                     extra={"sort_order": sort_keys},
@@ -101,9 +117,12 @@ class TripleStore:
         if "conv_id" in quads.columns:
             pdir = self.path("provenance")
             if not lineage.stage_complete(pdir, input_sig):
-                quads.select(*PROV_COLS).write.mode("overwrite").parquet(pdir)
-                parts = lineage.partition_manifest(self.spark.read.parquet(pdir))
-                lineage.write_manifest(pdir, "provenance", input_sig, parts)
+                prov = quads.select(*PROV_COLS).persist()
+                prov.write.mode("overwrite").parquet(pdir)
+                lineage.write_manifest(
+                    pdir, "provenance", input_sig, lineage.partition_manifest(prov)
+                )
+                prov.unpersist()
         return stats
 
     def write_dictionaries(
@@ -116,11 +135,14 @@ class TripleStore:
             tdir = self.path(name)
             if lineage.stage_complete(tdir, input_sig):
                 continue
-            df.repartitionByRange(self.n, *keys).sortWithinPartitions(
-                *keys
-            ).write.mode("overwrite").parquet(tdir)
-            parts = lineage.partition_manifest(self.spark.read.parquet(tdir))
-            lineage.write_manifest(tdir, name, input_sig, parts)
+            arranged = df.repartitionByRange(
+                self._parts_for(df.count() if self.n is None else 0), *keys
+            ).sortWithinPartitions(*keys).persist()
+            arranged.write.mode("overwrite").parquet(tdir)
+            lineage.write_manifest(
+                tdir, name, input_sig, lineage.partition_manifest(arranged)
+            )
+            arranged.unpersist()
 
     # -- read -----------------------------------------------------------
     def index(self, name: str) -> DataFrame:

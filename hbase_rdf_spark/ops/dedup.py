@@ -117,7 +117,8 @@ def minhash_duplicate_pairs(
     exact Jaccard so the output has no false positives.
     """
     sh = _word_shingles(df, text_col, id_col, n).withColumnRenamed("id", "surface")
-    sig = _lsh._signatures(sh)
+    sk = _lsh._sketches(sh).persist()
+    sig = _lsh._band_rows(sk)
     cand = (
         sig.alias("a")
         .join(sig.alias("b"), ["band", "band_hash"])
@@ -127,10 +128,9 @@ def minhash_duplicate_pairs(
         )
         .distinct()
     )
-    sets = sh.groupBy("surface").agg(F.collect_set("sh").alias("shs"))
     return (
-        cand.join(sets.select(F.col("surface").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
-        .join(sets.select(F.col("surface").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+        cand.join(sk.select(F.col("surface").alias("id_a"), F.col("shs").alias("shs_a")), "id_a")
+        .join(sk.select(F.col("surface").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",

@@ -84,6 +84,11 @@ def build_links(mention_df: DataFrame, gazetteer: DataFrame) -> DataFrame:
         "surface", "entity_id", "method"
     )
     unresolved = raw.filter(F.col("entity_id").isNull()).select("surface")
+    if unresolved.isEmpty():
+        # common case: gazetteer+LSH resolved everything — skip the
+        # CC machinery entirely (it would still cost ~20 Spark stages
+        # on empty inputs)
+        return resolved
     pairs = (
         self_candidate_pairs(unresolved).select("a", "b").localCheckpoint(eager=True)
     )
@@ -122,38 +127,73 @@ def build_kg(
     num_partitions: int | None = None,
     verify_invariant: bool = False,
     check_collisions: bool = True,
+    input_sig: str | None = None,
 ) -> dict:
     """Run the full construction: transcripts → tripartite triple store.
 
     Returns a stats dict (triple/dictionary/link counts) — the analog of
     the reference's Hadoop counter report
     (reference: AbstractPrefixMatchBulkLoad.java:325-360).
+
+    ``input_sig``: resume key. If None it is computed by hashing the
+    input (one extra pass); callers that already know a stable identity
+    for the input (a snapshot id, a generator seed) pass it directly.
     """
     store = TripleStore(spark, root, num_partitions)
-    input_sig_d = lineage.table_signature(transcripts)
-    input_sig = f"{input_sig_d['rows']}:{input_sig_d['content_hash']}"
+    if input_sig is None:
+        d = lineage.table_signature(transcripts)
+        input_sig = f"{d['rows']}:{d['content_hash']}"
+        n_rows = d["rows"]
+    else:
+        n_rows = -1  # filled from extraction-side count below
+
+    import time as _time
+
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        timings[name] = round(_time.time() - t0, 2)
 
     ordered = stable_conversations(transcripts, num_partitions)
     if verify_invariant:
+        t0 = _time.time()
         check_turn_invariant(transcripts, ordered)
+        _mark("invariant", t0)
 
+    t0 = _time.time()
     extracted = extract_triples(ordered).persist()
+    n_extracted = extracted.count()
+    _mark("extract", t0)
     try:
+        t0 = _time.time()
         links = build_links(mentions(extracted), gazetteer).localCheckpoint(eager=True)
+        _mark("link", t0)
+        t0 = _time.time()
         resolved = resolve_surfaces(extracted, links).localCheckpoint(eager=True)
+        _mark("resolve", t0)
 
-        term2id, id2term = build_dictionaries(resolved)
+        t0 = _time.time()
+        term2id, _ = build_dictionaries(resolved)
+        # one materialization serves collision check + both dictionary
+        # writes + the stats count
+        term2id = term2id.localCheckpoint(eager=True)
+        id2term = term2id.select("id", "kind", F.col("term").alias("label"))
         if check_collisions:
             assert_no_id_collisions(term2id)
+        _mark("dictionaries", t0)
+        t0 = _time.time()
         store.write_dictionaries(term2id, id2term, input_sig)
+        _mark("dict_write", t0)
 
+        t0 = _time.time()
         quads = encode_quads(resolved)
         idx_stats = store.write_indexes(quads, input_sig)
+        _mark("index_write", t0)
 
         stats = {
             "input_sig": input_sig,
-            "transcript_rows": input_sig_d["rows"],
-            "extracted": extracted.count(),
+            "transcript_rows": n_rows,
+            "extracted": n_extracted,
             "links": {
                 r["method"]: r["n"]
                 for r in links.groupBy("method").agg(F.count("*").alias("n")).collect()
@@ -161,6 +201,7 @@ def build_kg(
             "resolved_triples": resolved.count(),
             "distinct_terms": term2id.count(),
             "index_rows": idx_stats,
+            "timings": timings,
         }
         lineage.write_manifest(
             store.path("_build"), "build_kg", input_sig, [], extra={"stats": stats}

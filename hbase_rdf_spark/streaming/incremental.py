@@ -54,11 +54,14 @@ def append_batch(
             new_id2term.select("id"), "id", "left_semi"
         )
 
-        quads = encode_quads(resolved)
+        quads = encode_quads(resolved).select(*QUAD_COLS)
         existing = store.index("spo").select(*QUAD_COLS)
-        new_quads = quads.select(*QUAD_COLS).join(
-            existing, QUAD_COLS, "left_anti"
-        ).localCheckpoint(eager=True)
+        # o / o_num are nullable (numeric vs dictionary objects) — the
+        # dedupe join must be null-safe or nothing ever matches
+        cond = [quads[c].eqNullSafe(existing[c]) for c in QUAD_COLS]
+        new_quads = quads.join(existing, cond, "left_anti").localCheckpoint(
+            eager=True
+        )
 
         n_new = new_quads.count()
         n_terms = new_id2term.count()

@@ -1,0 +1,72 @@
+"""spark-submit entry for one scaling-run leg.
+
+Usage (via spark-submit, master set by the caller):
+    spark-submit --master local[N] --py-files hbase_rdf_spark.zip \
+        scripts/scaling_runner.py <cores> <n_convs>
+
+Runs a JIT warmup build, then the timed KG construction, and prints one
+JSON line: {"cores": N, "seconds": T, "triples": M, "tps": M/T}.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_convs = int(sys.argv[2])
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit provides the master; only shape the SQL confs here
+    spark = (
+        SparkSession.builder.appName(f"kg-scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hbase_rdf_spark.pipeline import build_kg
+    from hbase_rdf_spark.sources.synthetic import build_gazetteer, transcripts_df
+
+    gaz = spark.createDataFrame(
+        build_gazetteer(), "alias string, entity_id string, kind string"
+    ).select("alias", "entity_id")
+
+    warm = tempfile.mkdtemp(prefix="scalewarm_")
+    root = tempfile.mkdtemp(prefix="scale_")
+    try:
+        build_kg(spark, transcripts_df(spark, 300, seed=1), gaz, warm,
+                 input_sig="warm:300:1")
+        t0 = time.time()
+        stats = build_kg(
+            spark, transcripts_df(spark, n_convs, seed=42), gaz, root,
+            input_sig=f"synth:{n_convs}:42",
+        )
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+    print(json.dumps({
+        "cores": cores,
+        "seconds": round(dt, 2),
+        "triples": stats["resolved_triples"],
+        "tps": round(stats["resolved_triples"] / dt, 1),
+        "timings": stats["timings"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
