@@ -58,15 +58,21 @@ def main() -> None:
     ).select("alias", "entity_id")
 
     warm_root = tempfile.mkdtemp(prefix="kgwarm_")
+    data_dir = tempfile.mkdtemp(prefix="kgdata_")
     root = tempfile.mkdtemp(prefix="kgbench_")
     try:
+        # corpus to parquet first (untimed): the pipeline under test READS
+        # transcripts from columnar storage per the input contract
+        transcripts_df(spark, n_convs, seed=42).write.mode("overwrite").parquet(
+            data_dir
+        )
+        transcripts = spark.read.parquet(data_dir)
         # warmup: compiles every codegen stage once (cold-JIT cost is
         # constant, not throughput)
         build_kg(
             spark, transcripts_df(spark, WARMUP_CONVS, seed=1), gaz, warm_root,
             input_sig=f"warmup:{WARMUP_CONVS}:1",
         )
-        transcripts = transcripts_df(spark, n_convs, seed=42)
         t0 = time.time()
         stats = build_kg(
             spark, transcripts, gaz, root,
@@ -77,6 +83,7 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(warm_root, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
 
     # --- 2. per-query timings (1 warmup + 1 measured, per reference
     # harness protocol) ---------------------------------------------------

@@ -76,10 +76,23 @@ class TripleStore:
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    MIN_ROWS_PER_PARTITION = 50_000  # below this, more tasks = pure overhead
+
     def _parts_for(self, rows: int) -> int:
+        """File-size-targeted partition count with a parallelism floor.
+
+        Primary target: ~ROWS_PER_PARTITION rows (~100-150 MB) per sorted
+        file. But when that would leave cores idle (small-to-medium
+        tables), widen to cluster parallelism as long as each task keeps
+        >= MIN_ROWS_PER_PARTITION rows — sorts and parquet encoding then
+        scale with the cluster instead of serializing on one task.
+        """
         if self.n:
             return self.n
-        return max(1, min(100_000, -(-rows // ROWS_PER_PARTITION)))
+        by_size = -(-rows // ROWS_PER_PARTITION)
+        cores = self.spark.sparkContext.defaultParallelism
+        by_cores = min(cores, max(1, rows // self.MIN_ROWS_PER_PARTITION))
+        return max(1, min(100_000, max(by_size, by_cores)))
 
     # -- write ----------------------------------------------------------
     def write_indexes(self, quads: DataFrame, input_sig: str = "") -> dict:

@@ -48,11 +48,17 @@ def is_var(e: Elem) -> bool:
 
 @dataclass(frozen=True)
 class Bgp:
-    """One pattern of a BGP: each element a '?var' or a constant."""
+    """One pattern of a BGP: each element a '?var' or a constant.
+
+    ``g`` is the named-graph/context slot (GRAPH clause): None = any
+    graph, '?var' = bind it, constant = filter on it — the quad-pattern
+    C position of the reference's SPOC masks.
+    """
 
     s: Elem
     p: Elem
     o: Elem
+    g: Elem | None = None
     filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
 
 
@@ -130,6 +136,7 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
         else ((p.o, KIND_ENTITY) if isinstance(p.o, str) else
               (p.o if isinstance(p.o, tuple) else None)),
         o_num=p.o if isinstance(p.o, (int, float)) and not isinstance(p.o, bool) else None,
+        c=None if (p.g is None or is_var(p.g)) else p.g,
     )
     df = scan(store, tp)
     cols = []
@@ -144,6 +151,10 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
     if is_var(p.o):
         cols.append(
             _binding_struct(F.col("o_kind"), F.col("o"), F.col("o_num")).alias(p.o[1:])
+        )
+    if p.g is not None and is_var(p.g):
+        cols.append(
+            _binding_struct(F.lit(0), F.col("c"), F.lit(None)).alias(p.g[1:])
         )
     if not cols:  # fully bound pattern → existence check, keep a marker
         cols.append(F.lit(1).alias("__exists"))
