@@ -31,12 +31,20 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hbase_rdf_spark.ops import wordkg
 from hbase_rdf_spark.ops.dedup import (
+    embedding_near_duplicates,
     exact_duplicates,
     minhash_duplicate_pairs,
+    ngram_jaccard_pairs,
     simhash,
 )
-from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce
-from hbase_rdf_spark.ops.text import detect_language, fingerprint, token_count
+from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce, lsh_topk
+from hbase_rdf_spark.ops.text import (
+    bpe_token_count,
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_count,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -243,7 +251,66 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_pattern_c(spark, sf):
+    return wordkg.event_quads(spark, sf).filter(F.col("c") == "2024-01-12")
+
+
+def _q_pattern_cs(spark, sf):
+    q = wordkg.event_quads(spark, sf)
+    return q.filter((F.col("c") == "2024-01-12") & (F.col("s") == "user:1"))
+
+
+def _q_pattern_cp(spark, sf):
+    q = wordkg.event_quads(spark, sf)
+    return q.filter((F.col("c") == "2024-01-12") & (F.col("p") == "click"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    docs = wordkg.read(spark, sf, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_embedding_neardup(spark, sf):
+    emb = wordkg.read(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_duplicates(emb, threshold=0.4)
+
+
+def _q_bpe_tokens(spark, sf):
+    docs = wordkg.read(spark, sf, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def _q_quality_full(spark, sf):
+    docs = wordkg.read(spark, sf, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_punct_ratio",
+        "q_mean_token_len",
+        "quality_score",
+    )
+
+
 # --- rows-only entries (no exact SQL twin; engine-specific hashes) ---------
+
+
+def _q_ann_lsh(spark, sf):
+    emb = wordkg.read(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries_df, dim=64, k=5, n_bits=8)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
 
 def _q_minhash_pairs(spark, sf):
     docs = wordkg.read(spark, sf, "documents")
@@ -278,13 +345,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _q_bgp_optional,
         "kg_topk_preds": _q_topk_preds,
         "kg_distinct_counts": _q_distinct_counts,
+        "kg_pattern_c": _q_pattern_c,
+        "kg_pattern_cs": _q_pattern_cs,
+        "kg_pattern_cp": _q_pattern_cp,
         "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_embedding_cosine": _q_embedding_neardup,
         "text_token_count": _q_token_count,
+        "text_bpe_tokens": _q_bpe_tokens,
+        "text_quality_full": _q_quality_full,
         "text_lang_detect": _q_lang_detect,
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
         "events_sessionize": _q_sessionize,
         # rows-only (engine-specific hashing, no portable SQL twin):
+        "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
@@ -339,6 +414,83 @@ def _lang_sql() -> str:
     )
 
 
+_QUADS_CTE = f"WITH quads AS ({wordkg.EVENT_QUADS_SQL})"
+
+# DuckDB twin of ops.dedup._word_shingles + exact Jaccard: distinct word
+# trigram sets per doc, pairwise intersect.
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t)-1, 2))]) AS grams
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS sza, len(b.grams) AS szb
+  FROM g a, g b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(inter::DOUBLE / (sza + szb - inter), 6) AS jaccard
+FROM pairs WHERE inter::DOUBLE / (sza + szb - inter) >= 0.8
+"""
+
+_EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+_BPE_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_NTOK = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+    ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+
+_QUALITY_FULL_SQL = rf"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_NTOK} AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+           AS n_punct,
+         len(list_intersect(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')),
+             ['the','and','of','to','is']))
+         + len(list_intersect(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')),
+             ['der','die','und','ist','nicht']))
+         + len(list_intersect(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')),
+             ['le','la','et','est','les']))
+         + len(list_intersect(list_distinct(
+               regexp_split_to_array(trim(lower(text)), '\s+')),
+             ['el','la','que','de','los'])) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN stop_hits::DOUBLE / n_tokens ELSE 0.0 END
+           AS stop_ratio,
+         CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0.0 END
+           AS mean_tok_len
+  FROM feat
+)
+SELECT doc_id, n_chars AS q_chars, n_tokens AS q_tokens,
+       round(punct_ratio, 6) AS q_punct_ratio,
+       round(mean_tok_len, 6) AS q_mean_token_len,
+       round(least(n_tokens / 20.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
+             + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality_score
+FROM r
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_extract_svo": f"{_TRIPLES_CTE} SELECT doc_id, s, p, o FROM triples",
@@ -385,10 +537,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p) AS n_predicates,
                    count(DISTINCT o) AS n_objects
             FROM triples""",
+        "kg_pattern_c": f"""{_QUADS_CTE}
+            SELECT s, p, o_num, c FROM quads WHERE c = '2024-01-12'""",
+        "kg_pattern_cs": f"""{_QUADS_CTE}
+            SELECT s, p, o_num, c FROM quads
+            WHERE c = '2024-01-12' AND s = 'user:1'""",
+        "kg_pattern_cp": f"""{_QUADS_CTE}
+            SELECT s, p, o_num, c FROM quads
+            WHERE c = '2024-01-12' AND p = 'click'""",
         "dedup_exact": """
             SELECT md5(text) AS content_key, count(*) AS group_size,
                    min(doc_id) AS keep_id
             FROM documents GROUP BY md5(text) HAVING count(*) > 1""",
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+        "text_bpe_tokens": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}'))
+                     AS n_bpe_tokens
+            FROM documents""",
+        "text_quality_full": _QUALITY_FULL_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

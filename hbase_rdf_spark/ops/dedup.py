@@ -166,6 +166,107 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select("id", sig.alias("simhash"))
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (id_a, id_b, cos_sim).
+
+    Block-GEMM formulation of the O(N²) verification baseline: the
+    build side is materialized once as a broadcast numpy matrix (the
+    same fits-in-memory contract as a broadcast hash join), and the
+    probe side streams through ``mapInPandas`` doing ONE matmul per
+    Arrow batch — no per-pair expression evaluation, no shuffle of
+    vectors. At 100 TB (build side too big to broadcast) use
+    :func:`embedding_near_duplicates_lsh`, which buckets with sign-LSH
+    so only candidate pairs are scored.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sp = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    id_type = base.schema["id"].dataType.simpleString()
+    build = base.toPandas()
+    b_ids = build["id"].to_numpy()
+    b_mat = np.array([np.asarray(x, dtype=np.float64) for x in build["v"]])
+    b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    bc = sp.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def gen(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            mn = np.sqrt((m * m).sum(axis=1))
+            # same arithmetic shape as the oracle: dot / (|a|·|b|)
+            s = np.round((m @ mat_b.T) / np.outer(mn, norm_b), 6)
+            a_ids = pdf["id"].to_numpy()
+            ii, jj = np.nonzero(
+                (s >= threshold) & (a_ids[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": ids_b[jj], "cos_sim": s[ii, jj]}
+            )
+
+    probe = base.repartition(sp.sparkContext.defaultParallelism)
+    return probe.mapInPandas(
+        gen, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+
+
+def embedding_near_duplicates_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 12,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket join + verify.
+
+    Vectors shuffle only their (tbl, bucket) signature rows — all
+    n_tables bucket ids are computed in ONE scan (multi_table_buckets)
+    and the self-join keys on (tbl, bucket). Two vectors collide in
+    some table with probability (1 - θ/π)^n_bits per table, amplified
+    by n_tables — high for near-parallel vectors. Colliding pairs are
+    exactly re-scored, so output has no false positives (recall < 1,
+    the standard LSH trade).
+    """
+    from hbase_rdf_spark.ops.similarity import dot_unrolled, multi_table_buckets
+
+    sig = multi_table_buckets(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        dim, n_bits, n_tables, "v", seed0=97,
+    )
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    na = F.sqrt(dot_unrolled(F.col("va"), F.col("va"), dim))
+    nb = F.sqrt(dot_unrolled(F.col("vb"), F.col("vb"), dim))
+    cos = dot_unrolled(F.col("va"), F.col("vb"), dim) / (na * nb)
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Hamming-≤3 candidate pairs by 4×16-bit block bucketing.
 

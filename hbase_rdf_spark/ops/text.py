@@ -33,6 +33,23 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer classes, restricted to constructs that Java
+# regex (Spark) and RE2 (DuckDB oracle) interpret identically: runs of
+# letters, runs of digits, and single non-alphanumeric marks.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs / digit runs / punctuation marks.
+
+    `regexp_extract_all` stays inside whole-stage codegen — no UDF. A
+    real BPE vocabulary would further split rare words, so this is a
+    lower bound; the pre-tokenization (the part that determines Spark
+    plumbing and cost) is exactly the GPT-2 shape.
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-hit counts over the token set."""
     toks = F.array_distinct(tokens(F.lower(text)))

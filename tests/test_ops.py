@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from hbase_rdf_spark.ops.dedup import (
     dedup_exact,
+    embedding_near_duplicates,
+    embedding_near_duplicates_lsh,
     exact_duplicates,
     minhash_duplicate_pairs,
     ngram_jaccard_pairs,
@@ -99,6 +101,56 @@ def test_lsh_topk_recall(spark):
     approx = lsh_topk(df, q, dim=12, k=2, n_bits=8, n_tables=4)
     got = {r["vec_id"] for r in approx.collect()}
     assert 0 in got and 99 in got  # near-dup lands in the same buckets
+
+
+def test_embedding_near_dup_exact_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 16)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(30)]
+    # two planted near-dup pairs, one anti-parallel distractor
+    rows.append((100, (base[0] + rng.randn(16) * 0.01).astype(float).tolist()))
+    rows.append((101, (base[1] * 2.0).astype(float).tolist()))  # same direction
+    rows.append((102, (-base[2]).astype(float).tolist()))  # cos = -1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert (0, 100) in exact and (1, 101) in exact
+    assert exact[(1, 101)] == 1.0
+    assert not any(102 in p for p in exact)
+
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates_lsh(
+            df, dim=16, threshold=0.95, n_bits=8, n_tables=6
+        ).collect()
+    }
+    # LSH has recall<1 in general but near-parallel pairs collide whp
+    assert (0, 100) in approx and (1, 101) in approx
+    assert approx <= set(exact)  # verified rescore ⇒ no false positives
+
+
+def test_bpe_token_count(spark):
+    from hbase_rdf_spark.ops.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't panic, it's 2024!"), (2, ""), (3, "abc123")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # don / ' / t / panic / , / it / ' / s / 2024 / !  → 10
+    assert got[1] == 10
+    assert got[2] == 0
+    assert got[3] == 2  # abc | 123
 
 
 def test_text_ops(spark, docs):
