@@ -82,6 +82,37 @@ class Filter:
         }[self.op]
 
 
+@dataclass
+class VarFilter(Filter):
+    """Var-vs-var numeric comparison with an optional constant offset:
+    ``?a < ?b + 120`` (BSBM Q5 shape) → ``a.num < b.num + offset``.
+
+    ``value`` (inherited) is unused; ``other`` names the RHS variable.
+    """
+
+    other: str = ""
+    offset: float = 0.0
+
+    def cond(self) -> Column:
+        lhs = F.col(self.var[1:]).getField("num")
+        rhs = F.col(self.other[1:]).getField("num") + self.offset
+        return {
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+            "=": lhs == rhs,
+            "!=": lhs != rhs,
+        }[self.op]
+
+
+def _filter_vars(f: Filter) -> list[str]:
+    vs = [f.var[1:]]
+    if isinstance(f, VarFilter):
+        vs.append(f.other[1:])
+    return vs
+
+
 # Static weight table — parity with ReorderHeuristics.java:41-74.
 _WEIGHTS = {
     "spo": 1.0, "sp?": 2.0, "s?o": 3.0, "?po": 4.0,
@@ -186,10 +217,16 @@ def execute_bgp(
                 result = result.join(step, on=shared, how="inner")
             else:
                 result = result.crossJoin(step)
-        # apply any filter whose var is now bound
-        ready = [f for f in filters if f.var[1:] in result.columns]
+        # apply any filter whose vars are all now bound
+        ready = [
+            f for f in filters
+            if all(v in result.columns for v in _filter_vars(f))
+        ]
         for f in ready:
-            result = result.filter(f.apply(F.col(f.var[1:])))
+            cond = f.cond() if isinstance(f, VarFilter) else f.apply(
+                F.col(f.var[1:])
+            )
+            result = result.filter(cond)
             filters.remove(f)
     assert result is not None, "empty BGP"
     for p in optional or []:
@@ -201,15 +238,23 @@ def execute_bgp(
     return result
 
 
-def materialize(result: DataFrame, store, variables: list[str] | None = None) -> DataFrame:
+def materialize(
+    result: DataFrame,
+    store,
+    variables: list[str] | None = None,
+    keep: list[str] | None = None,
+) -> DataFrame:
     """Late materialization: binding structs → lexical strings.
 
     One broadcast-or-shuffle join with id2term per projected variable —
     the set-oriented analog of the reference's per-binding LRU-memoized
     id→string resolution (binding/BindingMaterializer.java:25-116).
+
+    ``keep``: plain (non-binding) columns to pass through verbatim —
+    aggregate outputs that are already scalar values.
     """
     id2term = store.id2term()
-    variables = variables or result.columns
+    variables = variables or [c for c in result.columns if c not in (keep or [])]
     out = result
     for v in variables:
         name = v[1:] if v.startswith("?") else v
@@ -225,6 +270,10 @@ def materialize(result: DataFrame, store, variables: list[str] | None = None) ->
                 F.col(name).getField("num").cast("string"),
             ),
         ).drop(f"__{name}_id", f"__{name}_label")
-    return out.select(*[F.col((v[1:] if v.startswith('?') else v) + "_term").alias(
-        v[1:] if v.startswith("?") else v
-    ) for v in variables])
+    cols = [
+        F.col((v[1:] if v.startswith("?") else v) + "_term").alias(
+            v[1:] if v.startswith("?") else v
+        )
+        for v in variables
+    ] + [F.col(k) for k in (keep or [])]
+    return out.select(*cols)

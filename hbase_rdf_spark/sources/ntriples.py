@@ -128,6 +128,14 @@ def quads(parsed: DataFrame) -> DataFrame:
     Column mapping into the shared encode path: subj=s IRI/bnode label,
     pred=p, obj=o lexical, obj_kind as parsed; context carried through.
     """
+    # language-tagged literals keep their tag in N-Triples lexical form
+    # ('"lex"@lang') so lang()/langMatches can recover it and '"x"@en'
+    # ≠ '"x"@de' ≠ plain 'x' — the HBaseValue lang slot of the reference
+    # (reference: id/HBaseValue.java:61-104)
+    obj = F.when(
+        (F.col("o_kind") == 1) & F.col("o_lang").isNotNull(),
+        F.concat(F.lit('"'), F.col("o_lex"), F.lit('"@'), F.col("o_lang")),
+    ).otherwise(F.col("o_lex"))
     return (
         parsed.filter(~F.col("_corrupt") & ~F.col("_skip"))
         .select(
@@ -135,7 +143,7 @@ def quads(parsed: DataFrame) -> DataFrame:
             F.lit(0).alias("turn_idx"),
             F.col("s").alias("subj"),
             F.col("p").alias("pred"),
-            F.col("o_lex").alias("obj"),
+            obj.alias("obj"),
             F.col("o_kind").alias("obj_kind"),
         )
     )

@@ -27,6 +27,10 @@ NQ = [
     '<http://ex/Montgomery> <http://ex/type> <http://ex/City> .',
     '<http://ex/Phoenix> <http://ex/type> <http://ex/City> .',
     '<http://ex/Arizona> <http://ex/capital> <http://ex/Phoenix> .',
+    '<http://ex/Alabama> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/State> .',
+    '<http://ex/Alaska> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/State> .',
+    '<http://ex/Montgomery> <http://ex/label> "Montgomery"@en .',
+    '<http://ex/Montgomery> <http://ex/label> "Montgomerie"@fr .',
 ]
 
 
@@ -51,7 +55,7 @@ def test_spo_mask_query(spark, store):
     got = rows(out)
     assert ("http://ex/name", "Alabama") in got
     assert ("http://ex/capital", "http://ex/Montgomery") in got
-    assert len(got) == 3
+    assert len(got) == 4  # name, capital, areaTotal, rdf:type
 
 
 def test_graph_variable(spark, store):
@@ -134,8 +138,106 @@ def test_filter_term_equality(spark, store):
     assert rows(execute(store, q)) == {("http://ex/Alabama",)}
 
 
+def test_prefix_pname_and_a_keyword(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s WHERE { ?s a ex:State }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/Alabama",),
+        ("http://ex/Alaska",),
+    }
+
+
+def test_lang_matches(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?l WHERE {
+      ex:Montgomery ex:label ?l .
+      FILTER langMatches( lang(?l), 'en')
+    }
+    """
+    assert rows(execute(store, q)) == {('"Montgomery"@en',)}
+    q_any = q.replace("'en'", "'*'")
+    assert len(rows(execute(store, q_any))) == 2
+
+
+def test_var_vs_var_filter_with_offset(spark, store):
+    # BSBM Q5 shape: ?a < (?b - const) between two numeric bindings
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s WHERE {
+      ?s ex:areaTotal ?a .
+      ex:Arizona ex:areaTotal ?b .
+      FILTER (?a < (?b - 100000))
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/Alabama",)}
+
+
+def test_constant_on_left_filter(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s ?a WHERE {
+      ?s ex:areaTotal ?a .
+      FILTER (200000 < ?a)
+    }
+    """
+    got = {r[0] for r in rows(execute(store, q))}
+    assert got == {"http://ex/Alaska", "http://ex/Arizona"}
+
+
+def test_ask(spark, store):
+    yes = execute(store, "ASK { <http://ex/Alabama> <http://ex/capital> ?c }")
+    assert [r["ask"] for r in yes.collect()] == [True]
+    no = execute(store, "ASK { <http://ex/Alaska> <http://ex/capital> ?c }")
+    assert [r["ask"] for r in no.collect()] == [False]
+
+
+def test_describe_iri(spark, store):
+    out = rows(execute(store, "DESCRIBE <http://ex/Alabama>"))
+    assert ("http://ex/Alabama", "http://ex/name", "Alabama") in out
+    assert (
+        "http://ex/Alabama", "http://ex/capital", "http://ex/Montgomery"
+    ) in out
+    assert len(out) == 4  # name, capital, areaTotal, rdf:type
+
+
+def test_describe_where(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    DESCRIBE ?x WHERE { ?x ex:capital ex:Phoenix }
+    """
+    out = rows(execute(store, q))
+    assert all(s == "http://ex/Arizona" for s, _, _ in out)
+    assert len(out) == 3  # name, capital, areaTotal
+
+
+def test_aggregates_group_by(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+    GROUP BY ?s ORDER BY DESC(?n) ?s
+    """
+    out = [(r["s"], r["n"]) for r in execute(store, q).collect()]
+    assert out[0] == ("http://ex/Alabama", 4)
+    assert dict(out)["http://ex/Montgomery"] == 3  # type + 2 labels
+
+
+def test_aggregates_global(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT (AVG(?a) AS ?avg) (COUNT(?a) AS ?n) WHERE { ?s ex:areaTotal ?a }
+    """
+    r = execute(store, q).collect()[0]
+    assert r["n"] == 3
+    assert abs(r["avg"] - (135765.0 + 1717856.0 + 295234.0) / 3) < 1e-6
+
+
 def test_parse_errors():
     with pytest.raises(Exception):
         parse("SELECT ?x WHERE { ?x }")
     with pytest.raises(Exception):
-        parse("ASK { ?s ?p ?o }")
+        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+    with pytest.raises(Exception):
+        parse("PREFIX ex <http://ex/> SELECT ?x WHERE { ?x ex:p ?y }")
