@@ -251,6 +251,27 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_bgp_union(spark, sf):
+    tri = wordkg.doc_triples(spark, sf)
+    a = tri.filter(F.col("p") == "join").select(F.col("s").alias("x"))
+    b = tri.filter(F.col("p") == "merge").select(F.col("o").alias("x"))
+    return a.unionByName(b).distinct()
+
+
+def _q_event_stats(spark, sf):
+    q = wordkg.event_quads(spark, sf)
+    return (
+        q.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_num"), 4).alias("avg_val"),
+            F.round(F.min("o_num"), 4).alias("min_val"),
+            F.round(F.max("o_num"), 4).alias("max_val"),
+        )
+        .orderBy("p")
+    )
+
+
 def _q_pattern_c(spark, sf):
     return wordkg.event_quads(spark, sf).filter(F.col("c") == "2024-01-12")
 
@@ -345,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _q_bgp_optional,
         "kg_topk_preds": _q_topk_preds,
         "kg_distinct_counts": _q_distinct_counts,
+        "kg_bgp_union": _q_bgp_union,
+        "kg_event_stats": _q_event_stats,
         "kg_pattern_c": _q_pattern_c,
         "kg_pattern_cs": _q_pattern_cs,
         "kg_pattern_cp": _q_pattern_cp,
@@ -537,6 +560,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p) AS n_predicates,
                    count(DISTINCT o) AS n_objects
             FROM triples""",
+        "kg_bgp_union": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT x FROM (
+              SELECT s AS x FROM triples WHERE p = 'join'
+              UNION ALL
+              SELECT o AS x FROM triples WHERE p = 'merge')""",
+        "kg_event_stats": """
+            SELECT event_type AS p, count(*) AS n,
+                   round(avg(value), 4) AS avg_val,
+                   round(min(value), 4) AS min_val,
+                   round(max(value), 4) AS max_val
+            FROM events GROUP BY event_type ORDER BY p""",
         "kg_pattern_c": f"""{_QUADS_CTE}
             SELECT s, p, o_num, c FROM quads WHERE c = '2024-01-12'""",
         "kg_pattern_cs": f"""{_QUADS_CTE}

@@ -68,19 +68,25 @@ def build_dictionaries(resolved: DataFrame) -> tuple[DataFrame, DataFrame]:
     (= one shuffle with map-side combine) over the term stream.
     """
     k = F.col("obj_kind").cast("int")
+    # ONE scan, not four union branches: each row explodes into its
+    # (term, kind) contributions — 4x fewer map tasks than unionAll at
+    # any scale, identical output set
+    contrib = F.array(
+        F.struct(F.col("subj").alias("term"), F.lit(KIND_ENTITY).alias("kind")),
+        F.struct(F.col("pred").alias("term"), F.lit(KIND_ENTITY).alias("kind")),
+        F.struct(
+            F.when(k != KIND_NUMERIC, F.col("obj")).alias("term"),
+            k.alias("kind"),
+        ),
+        F.struct(
+            F.concat(F.lit("conv:"), F.col("conv_id")).alias("term"),
+            F.lit(KIND_ENTITY).alias("kind"),
+        ),
+    )
     terms = (
-        resolved.select(F.col("subj").alias("term"), F.lit(KIND_ENTITY).alias("kind"))
-        .unionAll(resolved.select(F.col("pred"), F.lit(KIND_ENTITY)))
-        .unionAll(
-            resolved.filter(k != KIND_NUMERIC).select(
-                F.col("obj"), k.cast("int")
-            )
-        )
-        .unionAll(
-            resolved.select(
-                F.concat(F.lit("conv:"), F.col("conv_id")), F.lit(KIND_ENTITY)
-            )
-        )
+        resolved.select(F.explode(contrib).alias("t"))
+        .select(F.col("t.term").alias("term"), F.col("t.kind").alias("kind"))
+        .filter(F.col("term").isNotNull())
         .distinct()
     )
     term2id = terms.select(

@@ -32,6 +32,9 @@ EXTRACT_SCHEMA = (
 )
 
 
+TURNS_PER_PARTITION = 16_384  # ~a few MB of text per task
+
+
 def stable_conversations(transcripts: DataFrame, partitions: int | None = None) -> DataFrame:
     """Cluster rows by conversation, ordered by turn_idx within each.
 
@@ -39,9 +42,22 @@ def stable_conversations(transcripts: DataFrame, partitions: int | None = None) 
     BASELINE.json input_hint: any extraction that looks across turns sees
     a conversation's turns contiguous and in order, regardless of how the
     source was partitioned.
+
+    Partition count is sized by DATA (rows / TURNS_PER_PARTITION, capped
+    at shuffle.partitions), not blindly by core count: every downstream
+    stage inherits this layout, and tiny-input runs otherwise pay
+    (tasks x shuffle-blocks) overhead on every one of the pipeline's
+    shuffles — the same reasoning as the reference's input-driven
+    reducer-count heuristic (reference:
+    bulkload/AbstractPrefixMatchBulkLoad.java:214-223).
     """
-    n = partitions or transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return transcripts.repartition(int(n), "conv_id").sortWithinPartitions(
+    if partitions is None:
+        cap = int(
+            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        rows = transcripts.count()  # parquet metadata count — cheap
+        partitions = max(1, min(cap, -(-rows // TURNS_PER_PARTITION)))
+    return transcripts.repartition(int(partitions), "conv_id").sortWithinPartitions(
         "conv_id", "turn_idx"
     )
 

@@ -46,7 +46,7 @@ def main() -> None:
 
     warm = tempfile.mkdtemp(prefix="scalewarm_")
     data = tempfile.mkdtemp(prefix="scaledata_")
-    roots = [tempfile.mkdtemp(prefix=f"scale{i}_") for i in range(2)]
+    roots = [tempfile.mkdtemp(prefix=f"scale{i}_") for i in range(3)]
     try:
         # corpus to parquet first (untimed): the pipeline under test READS
         # transcripts from columnar storage, per the input contract —
@@ -57,7 +57,8 @@ def main() -> None:
         build_kg(spark, transcripts_df(spark, 300, seed=1), gaz, warm,
                  input_sig="warm:300:1")
 
-        # best-of-2 to damp single-JVM JIT/GC noise
+        # best-of-N to damp single-JVM JIT/GC noise AND shared-host
+        # tenancy noise (observed 2x wall variance between identical runs)
         best = None
         for root in roots:
             t0 = time.time()
