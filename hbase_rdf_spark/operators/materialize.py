@@ -100,18 +100,27 @@ class TripleStore:
 
         ``quads`` must carry QUAD_COLS (+ optional provenance columns).
         The upstream is persisted once; each index write is a range
-        shuffle + local sort + parquet write.
+        shuffle + local sort + parquet write. The three writes are
+        submitted CONCURRENTLY from driver threads: they share the
+        cached body, so overlapping them hides each write's fixed job
+        latencies (range-sampling pass, manifest pass) and keeps the
+        cluster busy — the reference achieved the same overlap only via
+        server-side coprocessor fan-out
+        (reference: coprocessor/CoprocessorBulkLoad.java:98-114).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         body = quads.select(*QUAD_COLS).persist()
         stats = {}
         try:
             n_rows = body.count()  # materializes the cache; sizes partitions
             n_parts = self._parts_for(n_rows)
-            for name, (range_keys, sort_keys) in INDEXES.items():
+
+            def _write_one(item):
+                name, (range_keys, sort_keys) = item
                 tdir = self.path(f"triples_{name}")
                 if lineage.stage_complete(tdir, input_sig):
-                    stats[name] = lineage.read_manifest(tdir)["total_rows"]
-                    continue
+                    return name, lineage.read_manifest(tdir)["total_rows"]
                 arranged = body.repartitionByRange(
                     n_parts, *range_keys
                 ).sortWithinPartitions(*sort_keys).persist()
@@ -124,7 +133,11 @@ class TripleStore:
                     tdir, f"materialize_{name}", input_sig, parts,
                     extra={"sort_order": sort_keys},
                 )
-                stats[name] = m["total_rows"]
+                return name, m["total_rows"]
+
+            with ThreadPoolExecutor(max_workers=len(INDEXES)) as ex:
+                for name, total in ex.map(_write_one, INDEXES.items()):
+                    stats[name] = total
         finally:
             body.unpersist()
         if "conv_id" in quads.columns:
@@ -141,13 +154,13 @@ class TripleStore:
     def write_dictionaries(
         self, term2id: DataFrame, id2term: DataFrame, input_sig: str = ""
     ) -> None:
-        for name, df, keys in (
-            ("term2id", term2id, ["term"]),
-            ("id2term", id2term, ["id"]),
-        ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_one(item) -> None:
+            name, df, keys = item
             tdir = self.path(name)
             if lineage.stage_complete(tdir, input_sig):
-                continue
+                return
             arranged = df.repartitionByRange(
                 self._parts_for(df.count() if self.n is None else 0), *keys
             ).sortWithinPartitions(*keys).persist()
@@ -156,6 +169,14 @@ class TripleStore:
                 tdir, name, input_sig, lineage.partition_manifest(arranged)
             )
             arranged.unpersist()
+
+        # both dictionaries derive from one cached upstream — overlap
+        # their fixed job latencies (sampling, manifest) in threads
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(_write_one, (
+                ("term2id", term2id, ["term"]),
+                ("id2term", id2term, ["id"]),
+            )))
 
     # -- read -----------------------------------------------------------
     def index(self, name: str) -> DataFrame:
