@@ -91,6 +91,54 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     return size_balanced(videos).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "asset_id bigint, modality string, media binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+
+def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plumbing: payload → payload with clamped dimensions.
+
+    STUB kernel — the deterministic fake re-hashes the payload with the
+    new dimensions (a real impl swaps in PIL's ``thumbnail``/cv2
+    ``resize`` with the identical batch contract). Metadata dims are
+    updated for real, preserving aspect ratio, so downstream
+    partitioning/pruning logic over meta is fully exercised.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for aid, mod, payload, meta in zip(
+                b["asset_id"], b["modality"], b["media"], b["meta"]
+            ):
+                m = dict(meta or {})
+                w, h = m.get("width") or 0, m.get("height") or 0
+                if mod == "image" and max(w, h) > max_side:
+                    scale = max_side / max(w, h)
+                    m["width"] = max(1, int(w * scale))
+                    m["height"] = max(1, int(h * scale))
+                    # STUB: stand-in for the resampled pixel buffer
+                    payload = hashlib.sha256(
+                        bytes(payload) + f"{m['width']}x{m['height']}".encode()
+                    ).digest()
+                rows.append(
+                    (
+                        int(aid), mod, bytearray(payload),
+                        (
+                            m.get("width"), m.get("height"),
+                            m.get("sample_rate"), m.get("duration_ms"),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "media", "meta"]
+            )
+
+    return size_balanced(assets).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def size_balanced(assets: DataFrame, partitions: int | None = None) -> DataFrame:
     """Range-partition by (modality, payload size): large assets spread
     across tasks instead of hash-clumping — the skew guard for binary

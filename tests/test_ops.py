@@ -167,6 +167,27 @@ def test_text_ops(spark, docs):
     assert by_id[1]["fp"] != by_id[5]["fp"]
 
 
+def test_multimodal_resize(spark):
+    from hbase_rdf_spark.ops.multimodal import resize_images
+
+    assets = synthetic_assets(spark, n=30)
+    out = resize_images(assets, max_side=32).collect()
+    assert len(out) == 30
+    by_id = {r["asset_id"]: r for r in out}
+    src = {r["asset_id"]: r for r in assets.collect()}
+    for aid, r in by_id.items():
+        if r["modality"] == "image":
+            assert max(r["meta"]["width"], r["meta"]["height"]) <= 32
+            assert bytes(r["media"]) != bytes(src[aid]["media"])  # re-encoded
+        else:
+            assert bytes(r["media"]) == bytes(src[aid]["media"])  # untouched
+    # determinism
+    out2 = resize_images(synthetic_assets(spark, n=30), max_side=32).collect()
+    assert {(r["asset_id"], bytes(r["media"])) for r in out} == {
+        (r["asset_id"], bytes(r["media"])) for r in out2
+    }
+
+
 def test_multimodal_plumbing(spark):
     assets = synthetic_assets(spark, n=30)
     feats = extract_features(assets, feature_dim=8).collect()
