@@ -122,11 +122,16 @@ def mentions(extracted: DataFrame) -> DataFrame:
     """Distinct entity mention surfaces needing resolution.
 
     Subjects are always entity mentions; objects only when obj_kind = 0.
-    One narrow union + one distinct (single shuffle, heavily combinable
-    map-side since surface cardinality << triple cardinality).
+    ONE scan (explode of both positions) + one distinct — a single
+    map-side-combinable shuffle; surface cardinality << triple
+    cardinality so the shuffle is tiny at any scale.
     """
-    subs = extracted.select(F.col("subj_surface").alias("surface"))
-    objs = extracted.filter(F.col("obj_kind") == 0).select(
-        F.col("obj_surface").alias("surface")
+    both = F.array(
+        F.col("subj_surface"),
+        F.when(F.col("obj_kind") == 0, F.col("obj_surface")),
     )
-    return subs.unionByName(objs).distinct()
+    return (
+        extracted.select(F.explode(both).alias("surface"))
+        .filter(F.col("surface").isNotNull())
+        .distinct()
+    )
