@@ -49,14 +49,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, sh) distinct word-n-gram hashes — JVM-only."""
-    toks = tokens(F.lower(F.col(text_col)))
+    """(id, sh) distinct word-n-gram hashes — JVM-only.
+
+    The token array is bound to an attribute FIRST: referencing the
+    tokenize expression inside the higher-order lambda would re-evaluate
+    it per element (no CSE inside HOFs → O(tokens²) per document; this
+    exact trap cost 8.7s/5k docs before the fix).
+    """
+    toks = F.col("_t")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.lower(F.col(text_col))).alias("_t"),
+        )
+        .select("id", F.explode(grams).alias("sh"))
         .distinct()
     )
 
@@ -68,39 +78,68 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    """EXACT n-gram Jaccard near-dup pairs via a prefix-filtered
+    inverted-index join (the MapReduce set-similarity join of Vernica,
+    Carey & Li, SIGMOD'10).
 
-    Correct but O(pairs-sharing-a-gram) — the *verification* baseline.
-    Common-gram skew is capped by dropping grams shared by > 1000 docs
-    (they cannot discriminate near-dups anyway); at 100 TB use
-    :func:`minhash_duplicate_pairs` to generate candidates instead.
+    Candidate generation only indexes each document's *prefix*: its
+    ``floor((1-t)·|A|) + 1`` globally-rarest grams. Two sets with
+    Jaccard ≥ t MUST share a prefix gram (pigeonhole on the overlap
+    bound ``|A∩B| ≥ t/(1+t)·(|A|+|B|)``), so recall stays 1.0 while the
+    join fans out on rare grams only — the frequent-gram pair explosion
+    of a naive inverted index never happens. Verification computes the
+    exact intersection over FULL gram sets, so precision is exact too.
     """
-    sh = _word_shingles(df, text_col, id_col, n).persist()
-    try:
-        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") <= 1000
+    w = Window
+    # eager localCheckpoint, NOT persist+finally-unpersist: the return
+    # value is LAZY — an unpersist on function exit would run before
+    # evaluation and the shingle explosion would recompute ~7x (df-rank,
+    # sizes, both prefix sides, both verification sides)
+    sh = _word_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    # global document frequency per gram → rarest-first order
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "rnk",
+        F.row_number().over(
+            w.partitionBy("id").orderBy(F.asc("df_"), F.asc("sh"))
+        ),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(
+            F.col("rnk")
+            <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(1)
         )
-        sh_r = sh.join(rare.select("sh"), "sh")
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-        pairs = (
-            sh_r.alias("a")
-            .join(sh_r.alias("b"), "sh")
-            .filter(F.col("a.id") < F.col("b.id"))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"))
+        .select("id", "sh")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification over full shingle sets
+    full = sh.groupBy("id").agg(F.collect_set("sh").alias("shs"))
+    return (
+        cand.join(
+            full.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
         )
-        return (
-            pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-            .withColumn(
-                "jaccard",
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+        .join(
+            full.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
         )
-    finally:
-        sh.unpersist()
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_duplicate_pairs(
