@@ -251,6 +251,23 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_windowed_counts(spark, sf):
+    # tumbling 1-hour event-time windows — the batch shape of the
+    # streaming windowed-agg path (hbase_rdf_spark/streaming/)
+    ev = wordkg.read(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("event_type").alias("p"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_val"),
+        )
+        .select(F.col("w.start").alias("w_start"), "p", "n", "sum_val")
+    )
+
+
 def _q_bgp_union(spark, sf):
     tri = wordkg.doc_triples(spark, sf)
     a = tri.filter(F.col("p") == "join").select(F.col("s").alias("x"))
@@ -381,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
         "events_sessionize": _q_sessionize,
+        "events_windowed": _q_windowed_counts,
         # rows-only (engine-specific hashing, no portable SQL twin):
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -624,6 +642,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5""",
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                   event_type AS p, count(*) AS n,
+                   round(sum(value), 4) AS sum_val
+            FROM events GROUP BY 1, 2""",
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts,

@@ -234,6 +234,15 @@ def test_aggregates_global(spark, store):
     assert abs(r["avg"] - (135765.0 + 1717856.0 + 295234.0) / 3) < 1e-6
 
 
+def test_offset_pagination(spark, store):
+    q = "SELECT ?n WHERE { ?s <http://ex/name> ?n } ORDER BY ?n LIMIT 2"
+    page1 = [r["n"] for r in execute(store, q).collect()]
+    q2 = q.replace("LIMIT 2", "LIMIT 2 OFFSET 2")
+    page2 = [r["n"] for r in execute(store, q2).collect()]
+    assert page1 == ["Alabama", "Alaska"]
+    assert page2 == ["Arizona"]
+
+
 def test_parse_errors():
     with pytest.raises(Exception):
         parse("SELECT ?x WHERE { ?x }")
