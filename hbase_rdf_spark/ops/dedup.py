@@ -148,16 +148,29 @@ def minhash_duplicate_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.7,
+    max_band_size: int | None = None,
+    skew_counter: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, Jaccard-verified: (id_a, id_b, jaccard).
 
     Same banding scheme as entity linking (32 hashes, 8×4 bands →
     catches J ≳ 0.6 with high probability); candidates verified with the
     exact Jaccard so the output has no false positives.
+
+    ``max_band_size``: at web scale a viral bucket (boilerplate text) of
+    m members emits O(m²) candidates; setting a cap drops such buckets
+    — members still collide via their other bands — and reports the
+    drop into ``skew_counter`` (see functions/skew.py).
     """
     sh = _word_shingles(df, text_col, id_col, n).withColumnRenamed("id", "surface")
     sk = _lsh._sketches(sh).persist()
     sig = _lsh._band_rows(sk)
+    if max_band_size is not None:
+        from hbase_rdf_spark.functions.skew import cap_group_size
+
+        sig = cap_group_size(
+            sig, ["band", "band_hash"], max_band_size, counter=skew_counter
+        )
     cand = (
         sig.alias("a")
         .join(sig.alias("b"), ["band", "band_hash"])
