@@ -335,6 +335,89 @@ def _q_quality_full(spark, sf):
     )
 
 
+# --- relational analytics over the TPC-H-shaped tables ---------------------
+# The engine is a general analytics engine, not only a KG store: these
+# exercise the classic agg / join-pipeline / star-join shapes with
+# broadcast dimensions (plans stay hash-join + partial-agg; no UDFs).
+
+
+def _q_rel_pricing_summary(spark, sf):
+    # TPC-H Q1 shape: scan-heavy partial-aggregatable rollup
+    li = wordkg.read(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_rel_shipping_priority(spark, sf):
+    # TPC-H Q3 shape: selective dim filter -> join pipeline -> top-k
+    cust = wordkg.read(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = wordkg.read(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = wordkg.read(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(
+                    F.broadcast(cust.select("c_custkey")),
+                    orders["o_custkey"] == cust["c_custkey"],
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_rel_region_revenue(spark, sf):
+    # TPC-H Q5 shape: star join through region->nation->customer->orders
+    # ->lineitem->supplier with the supplier co-nation constraint
+    region = wordkg.read(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = wordkg.read(spark, sf, "nation")
+    cust = wordkg.read(spark, sf, "customer")
+    orders = wordkg.read(spark, sf, "orders")
+    li = wordkg.read(spark, sf, "lineitem")
+    supp = wordkg.read(spark, sf, "supplier")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust),
+            (orders["o_custkey"] == cust["c_custkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
 # --- rows-only entries (no exact SQL twin; engine-specific hashes) ---------
 
 
@@ -399,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "rel_region_revenue": _q_rel_region_revenue,
         # rows-only (engine-specific hashing, no portable SQL twin):
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -642,6 +728,46 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5""",
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "rel_shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""",
+        "rel_region_revenue": """
+            SELECT n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, nation ASC""",
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
                    event_type AS p, count(*) AS n,
