@@ -205,7 +205,19 @@ def execute_bgp(
     Filters apply as soon as their variable is in scope; Catalyst pushes
     them further down on its own.
     """
+    from dataclasses import replace
+
     filters = list(filters or [])
+    # J8 fidelity: a pattern whose object var carries a single-var filter
+    # ranks above its unfiltered twin (ReorderHeuristics' filtered flag,
+    # reference: optimizer/reorder/StatsMatcher.java:291-400)
+    fvars = {f.var for f in filters if not isinstance(f, VarFilter)}
+    patterns = [
+        replace(p, filtered=True)
+        if (is_var(p.o) and p.o in fvars and not p.filtered)
+        else p
+        for p in patterns
+    ]
     result: DataFrame | None = None
     for p in reorder(patterns):
         step = _scan_pattern(store, p)

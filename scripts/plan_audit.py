@@ -94,6 +94,34 @@ def main() -> None:
                            "PushedFilters", "Scan parquet", "Exchange")),
     ))
 
+    from hbase_rdf_spark.plans.bgp import Filter
+
+    p4 = eng.bgp(
+        [Bgp("?x", "rel:works_at", "?y"), Bgp("?x", "rel:age", "?a")],
+        filters=[Filter("?a", ">", 30.0)],
+    )
+    sections.append((
+        "BGP numeric FILTER — pushdown through binding structs",
+        "FILTER(?a > 30) is declared post-join on the binding struct, "
+        "yet Catalyst collapses the projection and pushes "
+        "GreaterThan(o_num, 30.0) into the rel:age pattern's scan — the "
+        "reference needed a bespoke filter-placement transform "
+        "(HBaseTransformFilterPlacement) plus TypedId range encoding for "
+        "the same effect.",
+        trim(plan_of(p4), ("PushedFilters", "Scan parquet", "Join")),
+    ))
+
+    import __spark_entry__ as entrymod
+
+    p5 = entrymod.queries()["rel_region_revenue"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Relational star join (TPC-H Q5 shape)",
+        "Dimension sides broadcast; the only exchanges are the fact-side "
+        "aggregation shuffles.",
+        trim(plan_of(p5), ("BroadcastHashJoin", "SortMergeJoin", "Exchange",
+                           "HashAggregate", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

@@ -114,6 +114,37 @@ def test_numeric_range_scan(spark, built):
     assert got == want
 
 
+def test_partial_resume_rebuilds_only_missing_stage(spark, tmp_path):
+    """Kill-and-restart semantics: wipe ONE index table, rerun — the
+    missing stage rebuilds byte-identically while completed stages are
+    skipped (their manifests carry the same input_sig)."""
+    import shutil
+
+    from hbase_rdf_spark.functions import lineage
+
+    gaz = spark.createDataFrame(
+        build_gazetteer(), "alias string, entity_id string, kind string"
+    ).select("alias", "entity_id")
+    root = str(tmp_path / "kg")
+    build_kg(spark, transcripts_df(spark, 40, seed=11), gaz, root)
+    pos_manifest = lineage.read_manifest(root + "/triples_pos")
+    dict_mtime = __import__("os").path.getmtime(root + "/term2id/_lineage.json")
+
+    shutil.rmtree(root + "/triples_pos")
+    build_kg(spark, transcripts_df(spark, 40, seed=11), gaz, root)
+
+    rebuilt = lineage.read_manifest(root + "/triples_pos")
+    assert rebuilt["total_rows"] == pos_manifest["total_rows"]
+    assert [p["content_hash"] for p in rebuilt["partitions"]] == [
+        p["content_hash"] for p in pos_manifest["partitions"]
+    ]
+    # untouched stage was skipped, not rewritten
+    assert (
+        __import__("os").path.getmtime(root + "/term2id/_lineage.json")
+        == dict_mtime
+    )
+
+
 def test_resume_reproduces_identical_store(spark, tmp_path):
     """FIXTURES.md §7: independent runs over the same input write
     identical content (hash ids ⇒ byte-stable semantics), and a resumed
