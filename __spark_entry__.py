@@ -170,6 +170,30 @@ def _q_bgp_optional(spark, sf):
     )
 
 
+def _q_bgp_chain3(spark, sf):
+    # 3-pattern chain x -join-> y -scan-> z -merge-> w, counted per y
+    tri = wordkg.doc_triples(spark, sf)
+    a = tri.filter(F.col("p") == "join").select(
+        F.col("s").alias("x"), F.col("o").alias("y")
+    )
+    b = tri.filter(F.col("p") == "scan").select(
+        F.col("s").alias("y"), F.col("o").alias("z")
+    )
+    c = tri.filter(F.col("p") == "merge").select(
+        F.col("s").alias("z"), F.col("o").alias("w")
+    )
+    return (
+        a.join(b, "y")
+        .join(c, "z")
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("w").alias("n_w"),
+        )
+        .orderBy("y")
+    )
+
+
 def _q_topk_preds(spark, sf):
     tri = wordkg.doc_triples(spark, sf)
     return (
@@ -392,6 +416,23 @@ def _q_rel_shipping_priority(spark, sf):
     )
 
 
+def _q_rel_brand_revenue(spark, sf):
+    # part-lineitem fact join: per-brand revenue and volume
+    li = wordkg.read(spark, sf, "lineitem")
+    part = wordkg.read(spark, sf, "part")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(revenue, 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def _q_rel_region_revenue(spark, sf):
     # TPC-H Q5 shape: star join through region->nation->customer->orders
     # ->lineitem->supplier with the supplier co-nation constraint
@@ -466,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": _q_bgp_optional,
         "kg_topk_preds": _q_topk_preds,
         "kg_distinct_counts": _q_distinct_counts,
+        "kg_bgp_chain3": _q_bgp_chain3,
         "kg_bgp_union": _q_bgp_union,
         "kg_event_stats": _q_event_stats,
         "kg_pattern_c": _q_pattern_c,
@@ -483,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
         "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
         # rows-only (engine-specific hashing, no portable SQL twin):
@@ -664,6 +707,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p) AS n_predicates,
                    count(DISTINCT o) AS n_objects
             FROM triples""",
+        "kg_bgp_chain3": f"""{_TRIPLES_CTE}
+            SELECT a.o AS y, count(*) AS n, count(DISTINCT c.o) AS n_w
+            FROM (SELECT * FROM triples WHERE p = 'join') a
+            JOIN (SELECT * FROM triples WHERE p = 'scan') b ON a.o = b.s
+            JOIN (SELECT * FROM triples WHERE p = 'merge') c ON b.o = c.s
+            GROUP BY a.o ORDER BY y""",
         "kg_bgp_union": f"""{_TRIPLES_CTE}
             SELECT DISTINCT x FROM (
               SELECT s AS x FROM triples WHERE p = 'join'
@@ -742,6 +791,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        "rel_brand_revenue": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   round(sum(l.l_quantity), 2) AS volume,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand ORDER BY p.p_brand""",
         "rel_shipping_priority": """
             SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)

@@ -229,7 +229,11 @@ class _Parser:
         return q
 
     def _select_clause(self, q: Query) -> None:
-        if self.kw("DISTINCT"):
+        # REDUCED permits-but-does-not-require dedup; hash-based
+        # dropDuplicates costs the same either way, so both lower to
+        # DISTINCT (the reference's DISTINCT→REDUCED transform inverted,
+        # reference: optimizer/HBaseOptimize.java:106-107)
+        if self.kw("DISTINCT") or self.kw("REDUCED"):
             q.distinct = True
         while True:
             tok = self.peek()
