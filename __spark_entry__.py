@@ -275,6 +275,17 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_degrees_topk(spark, sf):
+    from hbase_rdf_spark.ops.graph import degrees
+
+    tri = wordkg.doc_triples(spark, sf)
+    return (
+        degrees(tri, src="s", dst="o")
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def _q_windowed_counts(spark, sf):
     # tumbling 1-hour event-time windows — the batch shape of the
     # streaming windowed-agg path (hbase_rdf_spark/streaming/)
@@ -462,6 +473,18 @@ def _q_rel_region_revenue(spark, sf):
 # --- rows-only entries (no exact SQL twin; engine-specific hashes) ---------
 
 
+def _q_pagerank(spark, sf):
+    from hbase_rdf_spark.ops.graph import pagerank
+
+    tri = wordkg.doc_triples(spark, sf)
+    out = pagerank(tri.select("s", "o"), iterations=8)
+    return (
+        out.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def _q_ann_lsh(spark, sf):
     emb = wordkg.read(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -524,11 +547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
+        "kg_degrees_topk": _q_degrees_topk,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
-        # rows-only (engine-specific hashing, no portable SQL twin):
+        # rows-only (engine-specific hashing / iterative FP, no SQL twin):
+        "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash": _q_simhash,
@@ -777,6 +802,15 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5""",
+        "kg_degrees_topk": f"""{_TRIPLES_CTE}
+            SELECT node, sum(o_) AS out_deg, sum(i_) AS in_deg,
+                   count(*) AS degree
+            FROM (
+              SELECT s AS node, 1 AS o_, 0 AS i_ FROM triples
+              UNION ALL
+              SELECT o AS node, 0 AS o_, 1 AS i_ FROM triples)
+            GROUP BY node
+            ORDER BY degree DESC, node ASC LIMIT 20""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -178,6 +178,36 @@ class TripleStore:
                 ("id2term", id2term, ["id"]),
             )))
 
+    def compact(self, name: str, input_sig: str = "compact") -> dict:
+        """Rewrite one index table into freshly range-partitioned, sorted
+        files — the Iceberg ``rewrite_data_files`` analog.
+
+        Incremental appends (streaming/incremental.py) add per-batch
+        sorted files; per-file min/max stats stay valid but global
+        clustering—and therefore file-pruning selectivity—degrades as
+        batch count grows. Compaction restores the bulk-load layout.
+        Reads are materialized via localCheckpoint before the overwrite
+        so the rewrite is safe against its own source files.
+        """
+        range_keys, sort_keys = INDEXES[name]
+        tdir = self.path(f"triples_{name}")
+        cur = self.spark.read.parquet(tdir).localCheckpoint(eager=True)
+        n_rows = cur.count()
+        arranged = cur.repartitionByRange(
+            self._parts_for(n_rows), *range_keys
+        ).sortWithinPartitions(*sort_keys).persist()
+        arranged.write.mode("overwrite").parquet(tdir)
+        parts = lineage.partition_manifest(arranged)
+        arranged.unpersist()
+        return lineage.write_manifest(
+            tdir, f"compact_{name}", input_sig, parts,
+            extra={"sort_order": sort_keys},
+        )
+
+    def compact_all(self, input_sig: str = "compact") -> dict:
+        return {name: self.compact(name, input_sig)["total_rows"]
+                for name in INDEXES}
+
     # -- read -----------------------------------------------------------
     def index(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(f"triples_{name}"))
