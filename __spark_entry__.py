@@ -275,6 +275,31 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_events_asof(spark, sf):
+    # attribution shape: each purchase joined to the user's latest
+    # click at-or-before it (right side pre-deduped per (user, ts) for
+    # cross-engine determinism on timestamp ties)
+    from hbase_rdf_spark.ops.temporal import asof_join
+
+    ev = wordkg.read(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], suffix="_c")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts_c").alias("click_ts"),
+        F.round("click_value_c", 4).alias("click_value"),
+    )
+
+
 def _q_degrees_topk(spark, sf):
     from hbase_rdf_spark.ops.graph import degrees
 
@@ -547,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
+        "events_asof_attribution": _q_events_asof,
         "kg_degrees_topk": _q_degrees_topk,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_brand_revenue": _q_rel_brand_revenue,
@@ -802,6 +828,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5""",
+        "events_asof_attribution": """
+            WITH p AS (
+              SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts, round(max(value), 4) AS click_value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.event_id, p.ts,
+                   c.ts AS click_ts, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "kg_degrees_topk": f"""{_TRIPLES_CTE}
             SELECT node, sum(o_) AS out_deg, sum(i_) AS in_deg,
                    count(*) AS degree

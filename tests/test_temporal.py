@@ -1,0 +1,53 @@
+"""As-of join: backward-inclusive point-in-time semantics."""
+
+from datetime import datetime
+
+from hbase_rdf_spark.ops.temporal import asof_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", ts("2025-01-01 10:00:05"), 100.0),
+            ("A", ts("2025-01-01 10:00:10"), 101.0),
+            ("A", ts("2025-01-01 09:59:00"), 99.0),  # before any quote
+            ("B", ts("2025-01-01 10:00:07"), 50.0),
+        ],
+        "sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", ts("2025-01-01 10:00:00"), 99.5),
+            ("A", ts("2025-01-01 10:00:10"), 100.5),  # equal ts → inclusive
+            ("B", ts("2025-01-01 10:00:01"), 49.9),
+        ],
+        "sym string, ts timestamp, bid double",
+    )
+    out = asof_join(trades, quotes, on=["sym"], suffix="_q")
+    got = {
+        (r["sym"], r["ts"]): (r["ts_q"], r["bid_q"]) for r in out.collect()
+    }
+    assert got[("A", ts("2025-01-01 10:00:05"))] == (ts("2025-01-01 10:00:00"), 99.5)
+    # equal timestamps match (inclusive)
+    assert got[("A", ts("2025-01-01 10:00:10"))] == (ts("2025-01-01 10:00:10"), 100.5)
+    # left row before any right row → nulls, row preserved
+    assert got[("A", ts("2025-01-01 09:59:00"))] == (None, None)
+    assert got[("B", ts("2025-01-01 10:00:07"))] == (ts("2025-01-01 10:00:01"), 49.9)
+    assert out.count() == 4
+
+
+def test_asof_does_not_leak_across_keys(spark):
+    left = spark.createDataFrame(
+        [("A", ts("2025-01-01 12:00:00"), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [("B", ts("2025-01-01 11:00:00"), 7.0)],
+        "k string, ts timestamp, w double",
+    )
+    row = asof_join(left, right, on=["k"]).collect()[0]
+    assert row["w_r"] is None and row["ts_r"] is None
