@@ -300,6 +300,32 @@ def _q_events_asof(spark, sf):
     )
 
 
+def _q_events_interval(spark, sf):
+    # range-join shape: error events matched into their enclosing
+    # (user, session) time interval via bucketed interval join
+    from hbase_rdf_spark.ops.temporal import interval_join
+
+    ev = wordkg.read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess_idx = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w)
+    sessions = (
+        ev.withColumn("session_idx", sess_idx)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = interval_join(
+        errors, sessions, on=["user_id"], bucket_seconds=1800
+    )
+    return joined.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
 def _q_degrees_topk(spark, sf):
     from hbase_rdf_spark.ops.graph import degrees
 
@@ -573,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
         "events_asof_attribution": _q_events_asof,
+        "events_interval_errors": _q_events_interval,
         "kg_degrees_topk": _q_degrees_topk,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_brand_revenue": _q_rel_brand_revenue,
@@ -841,6 +868,32 @@ def oracle_sql() -> dict[str, str]:
                    c.ts AS click_ts, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "events_interval_errors": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                       AS session_idx
+              FROM g
+            ), sess AS (
+              SELECT user_id, session_idx,
+                     min(ts) AS start_ts, max(ts) AS end_ts
+              FROM s GROUP BY user_id, session_idx
+            ), err AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'error'
+            )
+            SELECT e.user_id, sess.session_idx, count(*) AS n_errors
+            FROM err e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts BETWEEN sess.start_ts AND sess.end_ts
+            GROUP BY e.user_id, sess.session_idx""",
         "kg_degrees_topk": f"""{_TRIPLES_CTE}
             SELECT node, sum(o_) AS out_deg, sum(i_) AS in_deg,
                    count(*) AS degree

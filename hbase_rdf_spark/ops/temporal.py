@@ -26,6 +26,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: each point row matched to every interval (same key)
+    with ``start_ts ≤ point_ts ≤ end_ts`` — inclusive on both ends.
+
+    A naive theta-join degenerates to a per-key cross product. Instead
+    the time domain is bucketed: every interval explodes into the
+    buckets it covers (``sequence`` — one row per covered bucket), each
+    point maps to its single bucket, and the join becomes an EQUI-join
+    on (key…, bucket) plus an exact residual filter. Work scales with
+    interval-length/bucket_seconds instead of |points|×|intervals|;
+    pick ``bucket_seconds`` near the typical interval length.
+    """
+    epoch = lambda c: F.col(c).cast("timestamp_ltz").cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(epoch(start_ts) / bucket_seconds),
+                F.floor(epoch(end_ts) / bucket_seconds),
+            )
+        ),
+    )
+    pt = points.withColumn("_bkt", F.floor(epoch(point_ts) / bucket_seconds))
+    out = pt.join(iv, on=[*on, "_bkt"]).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return out.drop("_bkt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -40,6 +40,40 @@ def test_asof_backward_inclusive(spark):
     assert out.count() == 4
 
 
+def test_interval_join_inclusive_bounds_and_buckets(spark):
+    from hbase_rdf_spark.ops.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [
+            ("u1", ts("2025-01-01 10:00:00"), ts("2025-01-01 12:00:00"), "iv1"),
+            ("u1", ts("2025-01-01 15:00:00"), ts("2025-01-01 15:30:00"), "iv2"),
+            ("u2", ts("2025-01-01 10:30:00"), ts("2025-01-01 11:30:00"), "iv3"),
+        ],
+        "k string, start_ts timestamp, end_ts timestamp, iv string",
+    )
+    points = spark.createDataFrame(
+        [
+            ("u1", ts("2025-01-01 10:00:00"), "p_start"),   # on start bound
+            ("u1", ts("2025-01-01 12:00:00"), "p_end"),     # on end bound
+            ("u1", ts("2025-01-01 13:00:00"), "p_gap"),     # between intervals
+            ("u1", ts("2025-01-01 15:10:00"), "p_iv2"),
+            ("u2", ts("2025-01-01 11:00:00"), "p_u2"),
+            ("u2", ts("2025-01-01 15:10:00"), "p_u2_none"), # iv2 is u1's
+        ],
+        "k string, ts timestamp, p string",
+    )
+    # small bucket forces multi-bucket interval explosion; result must be
+    # identical to the naive theta-join semantics
+    out = interval_join(points, intervals, on=["k"], bucket_seconds=900)
+    got = {(r["p"], r["iv"]) for r in out.collect()}
+    assert got == {
+        ("p_start", "iv1"),
+        ("p_end", "iv1"),
+        ("p_iv2", "iv2"),
+        ("p_u2", "iv3"),
+    }
+
+
 def test_asof_does_not_leak_across_keys(spark):
     left = spark.createDataFrame(
         [("A", ts("2025-01-01 12:00:00"), 1.0)],
