@@ -524,6 +524,27 @@ def _q_rel_region_revenue(spark, sf):
 # --- rows-only entries (no exact SQL twin; engine-specific hashes) ---------
 
 
+def _q_approx_sketches(spark, sf):
+    # sketch ops for 100 TB profiling: HLL++ distinct counts and
+    # quantile sketches are the only sane way to profile at scale —
+    # rows-only entry (sketch estimates are engine-specific; accuracy
+    # vs exact is asserted in tests/test_ops.py::test_sketch_accuracy)
+    ev = wordkg.read(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(
+                F.percentile_approx("value", 0.5, 10_000), 4
+            ).alias("p50_value"),
+            F.round(
+                F.percentile_approx("value", 0.95, 10_000), 4
+            ).alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_pagerank(spark, sf):
     from hbase_rdf_spark.ops.graph import pagerank
 
@@ -606,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
         # rows-only (engine-specific hashing / iterative FP, no SQL twin):
+        "events_approx_sketches": _q_approx_sketches,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,

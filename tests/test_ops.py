@@ -153,6 +153,29 @@ def test_bpe_token_count(spark):
     assert got[3] == 2  # abc | 123
 
 
+def test_sketch_accuracy(spark):
+    """HLL++ distinct and quantile sketches stay within advertised error
+    vs exact answers (the rows-only events_approx_sketches entry)."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    vals = rng.exponential(50.0, size=20_000)
+    users = rng.randint(0, 3_000, size=20_000)
+    df = spark.createDataFrame(
+        [(int(u), float(v)) for u, v in zip(users, vals)],
+        "user_id long, value double",
+    )
+    row = df.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("p95"),
+    ).collect()[0]
+    exact_users = df.select("user_id").distinct().count()
+    assert abs(row["au"] - exact_users) / exact_users < 0.05
+    assert abs(row["p50"] - float(np.quantile(vals, 0.5))) < 2.0
+    assert abs(row["p95"] - float(np.quantile(vals, 0.95))) < 5.0
+
+
 def test_text_ops(spark, docs):
     out = docs.select(
         "doc_id",
