@@ -171,16 +171,21 @@ def _q_bgp_optional(spark, sf):
 
 
 def _q_bgp_chain3(spark, sf):
-    # 3-pattern chain x -join-> y -scan-> z -merge-> w, counted per y
+    # 3-pattern chain with BOUND endpoints — spark -join-> ?y -scan->
+    # ?z -merge-> data — the realistic path-query shape. (An
+    # all-variables 3-hop chain over a ~30-word vocabulary graph is a
+    # dense-graph path COUNT: ~10^8 paths at sf0.1 — semantically
+    # correct but not a query anyone asks; endpoint constants keep the
+    # selectivity the reorderer expects from chain BGPs.)
     tri = wordkg.doc_triples(spark, sf)
-    a = tri.filter(F.col("p") == "join").select(
-        F.col("s").alias("x"), F.col("o").alias("y")
+    a = tri.filter((F.col("p") == "join") & (F.col("s") == "spark")).select(
+        F.col("o").alias("y")
     )
     b = tri.filter(F.col("p") == "scan").select(
         F.col("s").alias("y"), F.col("o").alias("z")
     )
-    c = tri.filter(F.col("p") == "merge").select(
-        F.col("s").alias("z"), F.col("o").alias("w")
+    c = tri.filter((F.col("p") == "merge") & (F.col("o") == "data")).select(
+        F.col("s").alias("z")
     )
     return (
         a.join(b, "y")
@@ -188,7 +193,7 @@ def _q_bgp_chain3(spark, sf):
         .groupBy("y")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct("w").alias("n_w"),
+            F.countDistinct("z").alias("n_z"),
         )
         .orderBy("y")
     )
@@ -808,10 +813,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o) AS n_objects
             FROM triples""",
         "kg_bgp_chain3": f"""{_TRIPLES_CTE}
-            SELECT a.o AS y, count(*) AS n, count(DISTINCT c.o) AS n_w
-            FROM (SELECT * FROM triples WHERE p = 'join') a
+            SELECT a.o AS y, count(*) AS n, count(DISTINCT b.o) AS n_z
+            FROM (SELECT * FROM triples
+                  WHERE p = 'join' AND s = 'spark') a
             JOIN (SELECT * FROM triples WHERE p = 'scan') b ON a.o = b.s
-            JOIN (SELECT * FROM triples WHERE p = 'merge') c ON b.o = c.s
+            JOIN (SELECT * FROM triples
+                  WHERE p = 'merge' AND o = 'data') c ON b.o = c.s
             GROUP BY a.o ORDER BY y""",
         "kg_bgp_union": f"""{_TRIPLES_CTE}
             SELECT DISTINCT x FROM (
