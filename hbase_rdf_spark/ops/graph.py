@@ -63,30 +63,41 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    # out-degrees and the dangling-node set are STATIC — computed once
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    base = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
+        "node", "od"
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "od")
-        dangling = (
-            with_deg.filter(F.col("od").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+        with_deg = ranks.join(base, "node")
+        # dangling mass enters the SAME plan via a broadcast 1-row agg —
+        # one Spark action per iteration (the checkpoint), no driver
+        # round-trip per round
+        dangling = with_deg.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_d")
         )
         contrib = (
-            e.join(with_deg.filter(F.col("od").isNotNull()),
-                   e["src"] == F.col("node"))
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("od")).alias("c"))
+            e.join(
+                with_deg.filter(F.col("od").isNotNull()),
+                e["src"] == F.col("node"),
+            )
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("od")).alias("c")
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_d") / n
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
