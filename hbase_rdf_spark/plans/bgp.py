@@ -170,23 +170,29 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
         c=None if (p.g is None or is_var(p.g)) else p.g,
     )
     df = scan(store, tp)
-    cols = []
+    bindings: list[tuple[str, Column]] = []
     if is_var(p.s):
-        cols.append(
-            _binding_struct(F.lit(0), F.col("s"), F.lit(None)).alias(p.s[1:])
-        )
+        bindings.append((p.s[1:], _binding_struct(F.lit(0), F.col("s"), F.lit(None))))
     if is_var(p.p):
-        cols.append(
-            _binding_struct(F.lit(0), F.col("p"), F.lit(None)).alias(p.p[1:])
-        )
+        bindings.append((p.p[1:], _binding_struct(F.lit(0), F.col("p"), F.lit(None))))
     if is_var(p.o):
-        cols.append(
-            _binding_struct(F.col("o_kind"), F.col("o"), F.col("o_num")).alias(p.o[1:])
+        bindings.append(
+            (p.o[1:], _binding_struct(F.col("o_kind"), F.col("o"), F.col("o_num")))
         )
     if p.g is not None and is_var(p.g):
-        cols.append(
-            _binding_struct(F.lit(0), F.col("c"), F.lit(None)).alias(p.g[1:])
-        )
+        bindings.append((p.g[1:], _binding_struct(F.lit(0), F.col("c"), F.lit(None))))
+    # duplicate-var consistency WITHIN a pattern (?x p ?x): bind once,
+    # constrain the repeated positions equal — the reference enforces
+    # this in its binding insert (graph/TripleBinder.java:10-33,
+    # QueryIterTriplePattern.insert)
+    seen: dict[str, Column] = {}
+    cols = []
+    for name, struct_col in bindings:
+        if name in seen:
+            df = df.filter(seen[name].eqNullSafe(struct_col))
+        else:
+            seen[name] = struct_col
+            cols.append(struct_col.alias(name))
     if not cols:  # fully bound pattern → existence check, keep a marker
         cols.append(F.lit(1).alias("__exists"))
     return df.select(*cols)
