@@ -122,6 +122,35 @@ def bgps(draw):
     return pats
 
 
+def to_sparql(patterns: list[Bgp]) -> str:
+    """Render patterns back to SPARQL text (round-trips the parser)."""
+
+    def term(e):
+        return e if (isinstance(e, str) and e.startswith("?")) else f"<{e}>"
+
+    body = " . ".join(
+        f"{term(p.s)} {term(p.p)} {term(p.o)}" for p in patterns
+    )
+    return f"SELECT * WHERE {{ {body} }}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(patterns=bgps())
+def test_sparql_text_matches_bruteforce(spark, pstore, patterns):
+    """The full text path (tokenize → parse → plan → execute) agrees
+    with the naive evaluator on arbitrary generated queries."""
+    from hbase_rdf_spark.plans.sparql import execute
+
+    expected = brute_force(patterns)
+    out = execute(pstore, to_sparql(patterns))
+    got = {tuple(r[c] for c in sorted(out.columns)) for r in out.collect()}
+    assert got == expected, f"query={to_sparql(patterns)!r}"
+
+
 @settings(
     max_examples=25,
     deadline=None,
