@@ -111,6 +111,7 @@ class Query:
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     describe_target: object = None  # '?var' or constant term
+    construct_template: list[Bgp] = field(default_factory=list)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
@@ -209,6 +210,13 @@ class _Parser:
                 q.describe_target = self.next()
             else:
                 q.describe_target = self.term()
+        elif head == "CONSTRUCT":
+            q = Query(variables=[], form="construct")
+            self.expect("{")
+            tmpl = Query(variables=[])
+            self._group(tmpl, None)
+            self.expect("}")
+            q.construct_template = tmpl.patterns
         else:
             raise SparqlSyntaxError(f"unsupported query form {head}")
 
@@ -216,7 +224,7 @@ class _Parser:
         if self.kw("FROM"):
             g = self.next()
             default_graph = g[1:-1] if g.startswith("<") else g
-        if q.form == "select" or q.form == "describe":
+        if q.form in ("select", "describe", "construct"):
             if q.form == "describe" and self.peek() is None:
                 return q  # DESCRIBE <iri> with no pattern
             self.expect("WHERE")
@@ -527,6 +535,45 @@ def _describe(store, q: Query, bindings: DataFrame | None) -> DataFrame:
     )
 
 
+def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
+    """CONSTRUCT: instantiate the template once per binding, union the
+    per-pattern projections, distinct — stock-ARQ semantics (J11)."""
+    def _is_var(e):
+        return isinstance(e, str) and e.startswith("?")
+
+    tmpl_vars = sorted(
+        {
+            e[1:]
+            for pat in q.construct_template
+            for e in (pat.s, pat.p, pat.o)
+            if _is_var(e)
+        }
+    )
+    mat = materialize(bindings, store, [f"?{v}" for v in tmpl_vars])
+
+    def render(e):
+        if _is_var(e):
+            return F.col(e[1:])
+        if isinstance(e, tuple):
+            return F.lit(e[0])
+        return F.lit(str(e))
+
+    out = None
+    for pat in q.construct_template:
+        rowset = mat.select(
+            render(pat.s).alias("s"),
+            render(pat.p).alias("p"),
+            render(pat.o).alias("o"),
+        )
+        out = rowset if out is None else out.unionByName(rowset)
+    assert out is not None, "empty CONSTRUCT template"
+    # a binding with an unbound (OPTIONAL) var yields no triple for
+    # patterns using it, per SPARQL semantics
+    return out.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+    ).dropDuplicates()
+
+
 def execute(store, query: str | Query) -> DataFrame:
     """SPARQL text → materialized DataFrame (one string column per var)."""
     q = parse(query) if isinstance(query, str) else query
@@ -555,6 +602,8 @@ def execute(store, query: str | Query) -> DataFrame:
         return store.spark.createDataFrame([(n > 0,)], "ask boolean")
     if q.form == "describe":
         return _describe(store, q, result)
+    if q.form == "construct":
+        return _construct(store, q, result)
 
     if q.aggregates:
         gvars = [v[1:] for v in q.group_by]

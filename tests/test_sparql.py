@@ -243,10 +243,25 @@ def test_offset_pagination(spark, store):
     assert page2 == ["Arizona"]
 
 
+def test_construct(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    CONSTRUCT { ?s ex:capitalOf ?state . ?state ex:hasCapital ?s }
+    WHERE { ?state ex:capital ?s }
+    """
+    got = rows(execute(store, q))
+    assert got == {
+        ("http://ex/Montgomery", "http://ex/capitalOf", "http://ex/Alabama"),
+        ("http://ex/Alabama", "http://ex/hasCapital", "http://ex/Montgomery"),
+        ("http://ex/Phoenix", "http://ex/capitalOf", "http://ex/Arizona"),
+        ("http://ex/Arizona", "http://ex/hasCapital", "http://ex/Phoenix"),
+    }
+
+
 def test_parse_errors():
     with pytest.raises(Exception):
         parse("SELECT ?x WHERE { ?x }")
     with pytest.raises(Exception):
-        parse("CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }")
+        parse("SELECT ?x WHERE { ?x <http://ex/p>+ ?y }")  # property paths
     with pytest.raises(Exception):
         parse("PREFIX ex <http://ex/> SELECT ?x WHERE { ?x ex:p ?y }")
