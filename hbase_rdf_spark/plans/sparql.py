@@ -5,10 +5,10 @@ pattern-scan layer (reference: nl/vu/jena/, nl/vu/datalayer/hbase/sail/).
 Their observable query surface — the 13 quad queries in
 reference: data/test-queries.rq, the BSBM mixes in
 reference: examples/BSBMQueries.java:5-76 — uses: PREFIX declarations,
-prefixed names, the ``a`` keyword, SELECT [DISTINCT], ASK, DESCRIBE,
-FROM <g> / GRAPH clauses, basic graph patterns, FILTER with numeric /
-equality / var-vs-var (±constant) comparisons and langMatches(lang()),
-OPTIONAL, UNION, ORDER BY, LIMIT/OFFSET. Aggregates
+prefixed names, the ``a`` keyword, SELECT [DISTINCT|REDUCED], ASK,
+DESCRIBE, CONSTRUCT, FROM <g> / GRAPH clauses, basic graph patterns,
+FILTER with numeric / equality / var-vs-var (±constant) comparisons and
+langMatches(lang()), OPTIONAL, UNION, ORDER BY, LIMIT/OFFSET. Aggregates
 (COUNT/SUM/AVG/MIN/MAX + GROUP BY) are carried from the Sesame path,
 which evaluated them in its in-memory store
 (reference: sail/HBaseSailConnection.java:11-87 imports, :522-576) —
