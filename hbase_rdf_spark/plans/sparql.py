@@ -528,11 +528,13 @@ def _describe(store, q: Query, bindings: DataFrame | None) -> DataFrame:
             F.col("id").alias(f"__{pos}_id"), F.col("label").alias(f"__{pos}_l")
         )
         out = out.join(d, out[pos] == d[f"__{pos}_id"], "left")
+    # a DESCRIBE result is a GRAPH (set of triples): the same fact
+    # asserted in several contexts must appear once
     return out.select(
         F.col("__s_l").alias("s"),
         F.col("__p_l").alias("p"),
         F.coalesce(F.col("__o_l"), F.col("o_num").cast("string")).alias("o"),
-    )
+    ).dropDuplicates()
 
 
 def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
