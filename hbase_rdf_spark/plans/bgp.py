@@ -32,7 +32,7 @@ entity and numeric-literal bindings join and compare with one code path
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
