@@ -23,10 +23,12 @@ from hbase_rdf_spark.sources.ntriples import parse_lines, quads
 SUBJECTS = [f"http://ex/s{i}" for i in range(4)]
 PREDS = [f"http://ex/p{i}" for i in range(3)]
 OBJECTS = [f"http://ex/o{i}" for i in range(3)] + SUBJECTS[:2]
+GRAPHS = ["http://ex/g0", "http://ex/g1"]
 
-# deterministic small graph: ~60% density over (s, p) pairs
+# deterministic small quad graph: ~60% density over (s, p) pairs,
+# context assigned round-robin
 TRIPLES = [
-    (s, p, OBJECTS[(i * 7 + j * 3) % len(OBJECTS)])
+    (s, p, OBJECTS[(i * 7 + j * 3) % len(OBJECTS)], GRAPHS[(i + j) % 2])
     for i, s in enumerate(SUBJECTS)
     for j, p in enumerate(PREDS)
     if (i * 5 + j * 11) % 10 < 6
@@ -37,7 +39,8 @@ TRIPLES = [
 def pstore(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("propstore"))
     lines = spark.createDataFrame(
-        [(f"<{s}> <{p}> <{o}> .",) for s, p, o in TRIPLES], "value string"
+        [(f"<{s}> <{p}> <{o}> <{g}> .",) for s, p, o, g in TRIPLES],
+        "value string",
     )
     resolved = quads(parse_lines(lines))
     st_ = TripleStore(spark, root, num_partitions=2)
@@ -49,16 +52,25 @@ def pstore(spark, tmp_path_factory):
 
 def brute_force(patterns: list[Bgp]) -> set[tuple]:
     """Naive evaluation: cross-join all pattern matches, keep rows where
-    shared variables agree; project variables in sorted name order."""
-    tdf = pd.DataFrame(TRIPLES, columns=["s", "p", "o"])
+    shared variables agree; project variables in sorted name order.
+
+    The engine stores contexts dictionary-encoded as ``conv:<graph>``
+    terms (ntriples context → conv_id slot), so the g column carries
+    that prefix for variable bindings while constants compare raw."""
+    tdf = pd.DataFrame(TRIPLES, columns=["s", "p", "o", "_graw"])
+    tdf["g"] = "conv:" + tdf["_graw"]
     frames = []
     for k, pat in enumerate(patterns):
         m = tdf
         cols = {}
-        for slot in ("s", "p", "o"):
+        for slot in ("s", "p", "o", "g"):
             v = getattr(pat, slot)
+            if v is None:
+                continue
             if isinstance(v, str) and v.startswith("?"):
                 cols[slot] = v[1:]
+            elif slot == "g":
+                m = m[m["_graw"] == v]
             else:
                 m = m[m[slot] == v]
         m = m.rename(columns=cols)[list(cols.values())]
@@ -111,7 +123,13 @@ def bgps(draw):
         s = elem(draw, SUBJECTS, var_names)
         p = elem(draw, PREDS, var_names)
         o = elem(draw, OBJECTS, var_names)
-        pats.append(Bgp(s, p, o))
+        gk = draw(st.integers(0, 3))  # 0-1: no graph slot (any graph)
+        g = None
+        if gk == 2:
+            g = draw(st.sampled_from(GRAPHS))
+        elif gk == 3:
+            g = "?g"
+        pats.append(Bgp(s, p, o, g=g))
     # at least one variable somewhere, else nothing to project
     if not any(
         isinstance(e, str) and e.startswith("?")
@@ -123,15 +141,17 @@ def bgps(draw):
 
 
 def to_sparql(patterns: list[Bgp]) -> str:
-    """Render patterns back to SPARQL text (round-trips the parser)."""
+    """Render patterns back to SPARQL text (round-trips the parser),
+    wrapping graph-constrained patterns in GRAPH blocks."""
 
     def term(e):
         return e if (isinstance(e, str) and e.startswith("?")) else f"<{e}>"
 
-    body = " . ".join(
-        f"{term(p.s)} {term(p.p)} {term(p.o)}" for p in patterns
-    )
-    return f"SELECT * WHERE {{ {body} }}"
+    parts = []
+    for p in patterns:
+        t = f"{term(p.s)} {term(p.p)} {term(p.o)}"
+        parts.append(t if p.g is None else f"GRAPH {term(p.g)} {{ {t} }}")
+    return f"SELECT * WHERE {{ {' . '.join(parts)} }}"
 
 
 @settings(
