@@ -55,6 +55,25 @@ class KgEngine:
                                   checkpoint_dir, **kw)
 
     # -- retrieval ---------------------------------------------------------
+    def cache(self) -> "KgEngine":
+        """Pin the three indexes + dictionary in executor memory.
+
+        The Spark-native replacement for the reference's per-pattern LRU
+        result cache and block-cache prewarm (reference:
+        graph/HBaseGraph.java:33-58, schema/HBPrefixMatchSchema.java:162-182):
+        one cached copy serves EVERY pattern instead of memoizing
+        per-scan results. Lazy — materializes on first use.
+        """
+        self._cached = [
+            self.store.index(n).persist() for n in ("spo", "pos", "osp")
+        ] + [self.store.id2term().persist()]
+        return self
+
+    def uncache(self) -> None:
+        for df in getattr(self, "_cached", []):
+            df.unpersist()
+        self._cached = []
+
     def scan(self, pattern: TriplePattern) -> DataFrame:
         return scan(self.store, pattern)
 

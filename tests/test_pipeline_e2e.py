@@ -114,6 +114,22 @@ def test_numeric_range_scan(spark, built):
     assert got == want
 
 
+def test_engine_cache_pins_indexes(spark, built):
+    from hbase_rdf_spark.engine import KgEngine
+
+    store, _, _ = built
+    eng = KgEngine(spark, store.root)
+    try:
+        eng.cache()
+        assert all(df.storageLevel.useMemory for df in eng._cached)
+        # scans still answer correctly through the cached relations
+        n = eng.scan(TriplePattern(p="rel:works_at")).count()
+        assert n > 0
+    finally:
+        eng.uncache()
+        assert eng._cached == []
+
+
 def test_partial_resume_rebuilds_only_missing_stage(spark, tmp_path):
     """Kill-and-restart semantics: wipe ONE index table, rerun — the
     missing stage rebuilds byte-identically while completed stages are
