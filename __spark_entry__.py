@@ -5,15 +5,20 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-Query naming maps to SURVEY.md §2 operators:
+Query naming maps to SURVEY.md §2 operators (full map: COVERAGE.md):
   kg_extract_*   → S1/K1/K2 (parse + triple emission)
   kg_dictionary* → K3/K4 (term dedup + id assignment), Q5/Q6
   kg_encode*     → K5/K6 (id-space quad assembly)
-  kg_pattern_*   → Q1/Q2 (the 8 bound/unbound triple masks)
-  kg_event_*     → Q3 (numeric TypedId-analog range scans)
-  kg_bgp_*       → J2/J8/J11 (set-oriented BGP joins, OPTIONAL)
-  kg_topk_*      → J9 (TopN)
-  dedup_* text_* ann_* events_* → training-data pipeline operators
+  kg_pattern_*   → Q1/Q2 (triple masks + _c/_cs/_cp context masks)
+  kg_event_*     → Q3 (numeric TypedId-analog range scans), aggregates
+  kg_bgp_*       → J2/J8/J11 (BGP joins: 2- and 3-pattern chains,
+                   OPTIONAL, UNION)
+  kg_topk_* kg_distinct_* → J9 (TopN, distinct)
+  kg_degrees_* kg_pagerank → graph analytics (ops/graph.py)
+  rel_*          → relational analytics (TPC-H shapes, broadcast dims)
+  events_*       → sessionization, tumbling windows, as-of join,
+                   interval join, sketches (ops/temporal.py et al.)
+  dedup_* text_* ann_* → training-data pipeline operators
   (hbase_rdf_spark/ops/).
 
 The transcript-grammar pipeline itself (mention linking, LSH,

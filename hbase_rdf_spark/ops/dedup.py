@@ -105,11 +105,16 @@ def ngram_jaccard_pairs(
         ),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # sound prefix length is floor((1-t)·|A|) + 1, but (1.0 - t) is
+    # inexact in binary FP (1.0-0.8 = 0.1999…96): for |A| a multiple of
+    # 5 the product lands just BELOW the integer and floor loses 1,
+    # breaking the recall proof (observed: one missed pair at sf0.1).
+    # +1 keeps a strictly-superset prefix — always sound, never lossy.
     prefix = (
         ranked.join(sizes, "id")
         .filter(
             F.col("rnk")
-            <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(1)
+            <= F.floor((1.0 - threshold) * F.col("sz")) + F.lit(2)
         )
         .select("id", "sh")
     )
