@@ -112,6 +112,7 @@ class Query:
     group_by: list[str] = field(default_factory=list)
     describe_target: object = None  # '?var' or constant term
     construct_template: list[Bgp] = field(default_factory=list)
+    having: tuple | None = None  # (?aggAlias, op, number)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
@@ -413,6 +414,18 @@ class _Parser:
             self.expect("BY")
             while self.peek() is not None and self.peek().startswith("?"):
                 q.group_by.append(self.next())
+            if self.kw("HAVING"):
+                # HAVING ( ?aggAlias op number ) — post-aggregation filter
+                self.expect("(")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("HAVING operand must be a var")
+                op = self.next()
+                num = self.term()
+                if not isinstance(num, (int, float)):
+                    raise SparqlSyntaxError("HAVING comparison must be numeric")
+                self.expect(")")
+                q.having = (v, op, float(num))
         if self.kw("ORDER"):
             self.expect("BY")
             while True:
@@ -613,6 +626,15 @@ def execute(store, query: str | Query) -> DataFrame:
         grouped = (
             result.groupBy(*gvars).agg(*aggs) if gvars else result.agg(*aggs)
         )
+        if q.having:
+            v, op, num = q.having
+            col = F.col(v[1:])
+            grouped = grouped.filter(
+                {
+                    "<": col < num, "<=": col <= num, ">": col > num,
+                    ">=": col >= num, "=": col == num, "!=": col != num,
+                }[op]
+            )
         # materialize group vars; aggregate columns pass through verbatim
         out = materialize(
             grouped, store, [f"?{g}" for g in gvars],

@@ -224,6 +224,18 @@ def test_aggregates_group_by(spark, store):
     assert dict(out)["http://ex/Montgomery"] == 3  # type + 2 labels
 
 
+def test_having(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+    GROUP BY ?s HAVING (?n >= 3) ORDER BY ?s
+    """
+    out = {(r["s"], r["n"]) for r in execute(store, q).collect()}
+    assert ("http://ex/Alabama", 4) in out
+    assert ("http://ex/Montgomery", 3) in out
+    assert all(n >= 3 for _, n in out)
+
+
 def test_aggregates_global(spark, store):
     q = """
     PREFIX ex: <http://ex/>
