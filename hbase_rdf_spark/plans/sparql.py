@@ -9,7 +9,7 @@ prefixed names, the ``a`` keyword, SELECT [DISTINCT|REDUCED], ASK,
 DESCRIBE, CONSTRUCT, FROM <g> / GRAPH clauses, basic graph patterns,
 FILTER with numeric / equality / var-vs-var (±constant) comparisons and
 langMatches(lang()), OPTIONAL, UNION, ORDER BY, LIMIT/OFFSET. Aggregates
-(COUNT/SUM/AVG/MIN/MAX + GROUP BY) are carried from the Sesame path,
+(COUNT/SUM/AVG/MIN/MAX + GROUP BY/HAVING) are carried from the Sesame path,
 which evaluated them in its in-memory store
 (reference: sail/HBaseSailConnection.java:11-87 imports, :522-576) —
 here they lower to a real distributed groupBy.
