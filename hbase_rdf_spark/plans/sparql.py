@@ -23,7 +23,7 @@ unionByName, ORDER+LIMIT → TakeOrderedAndProject (the reference's TopN
 transform, reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
 
 Unsupported (deliberately, matching the reference's own gaps §2.6):
-property paths, subqueries, CONSTRUCT, GROUP_CONCAT/SAMPLE.
+property paths, subqueries, GROUP_CONCAT/SAMPLE.
 """
 
 from __future__ import annotations
