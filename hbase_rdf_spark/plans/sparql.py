@@ -171,9 +171,9 @@ class _Parser:
                 # form '"lex"@lang' (see sources/ntriples.py quads())
                 return (f'"{lex}"{suffix}', 1)
             if suffix.startswith("^^"):
-                # keep full typed-literal lexical form as the term,
-                # matching how non-numeric typed literals are stored
-                return (f"{lex}{suffix}", 1)
+                # non-numeric typed literal: quoted N-Triples lexical
+                # form, exactly how sources/ntriples.py quads() stores it
+                return (f'"{lex}"{suffix}', 1)
             return (lex, 1)
         if ":" in tok:
             return self._expand_pname(tok)

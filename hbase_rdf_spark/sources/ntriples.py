@@ -128,14 +128,27 @@ def quads(parsed: DataFrame) -> DataFrame:
     Column mapping into the shared encode path: subj=s IRI/bnode label,
     pred=p, obj=o lexical, obj_kind as parsed; context carried through.
     """
-    # language-tagged literals keep their tag in N-Triples lexical form
-    # ('"lex"@lang') so lang()/langMatches can recover it and '"x"@en'
-    # ≠ '"x"@de' ≠ plain 'x' — the HBaseValue lang slot of the reference
+    # language-tagged and (non-numeric) datatyped literals keep their
+    # tag in N-Triples lexical form ('"lex"@lang' / '"lex"^^<dt>') so
+    # lang()/langMatches can recover tags, '"x"@en' ≠ '"x"^^<dt>' ≠
+    # plain 'x', and SPARQL constants with custom datatypes (reference:
+    # data/test-queries.rq:3-8, squareKilometre) match what is stored —
+    # the HBaseValue lang/datatype slots of the reference
     # (reference: id/HBaseValue.java:61-104)
-    obj = F.when(
-        (F.col("o_kind") == 1) & F.col("o_lang").isNotNull(),
-        F.concat(F.lit('"'), F.col("o_lex"), F.lit('"@'), F.col("o_lang")),
-    ).otherwise(F.col("o_lex"))
+    obj = (
+        F.when(
+            (F.col("o_kind") == 1) & F.col("o_lang").isNotNull(),
+            F.concat(F.lit('"'), F.col("o_lex"), F.lit('"@'), F.col("o_lang")),
+        )
+        .when(
+            (F.col("o_kind") == 1) & F.col("o_datatype").isNotNull(),
+            F.concat(
+                F.lit('"'), F.col("o_lex"), F.lit('"^^<'),
+                F.col("o_datatype"), F.lit(">"),
+            ),
+        )
+        .otherwise(F.col("o_lex"))
+    )
     return (
         parsed.filter(~F.col("_corrupt") & ~F.col("_skip"))
         .select(

@@ -31,6 +31,9 @@ NQ = [
     '<http://ex/Alaska> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/State> .',
     '<http://ex/Montgomery> <http://ex/label> "Montgomery"@en .',
     '<http://ex/Montgomery> <http://ex/label> "Montgomerie"@fr .',
+    # custom (non-XSD) datatype — the reference corpus shape
+    # (reference: data/test-queries.rq:3-8, dbpedia squareKilometre)
+    '<http://ex/Alabama> <http://ex/areaSq> "135765.0"^^<http://ex/dt/squareKilometre> <http://ex/wiki/Alabama> .',
 ]
 
 
@@ -55,7 +58,7 @@ def test_spo_mask_query(spark, store):
     got = rows(out)
     assert ("http://ex/name", "Alabama") in got
     assert ("http://ex/capital", "http://ex/Montgomery") in got
-    assert len(got) == 4  # name, capital, areaTotal, rdf:type
+    assert len(got) == 5  # name, capital, areaTotal, rdf:type, areaSq
 
 
 def test_graph_variable(spark, store):
@@ -200,7 +203,7 @@ def test_describe_iri(spark, store):
     assert (
         "http://ex/Alabama", "http://ex/capital", "http://ex/Montgomery"
     ) in out
-    assert len(out) == 4  # name, capital, areaTotal, rdf:type
+    assert len(out) == 5  # name, capital, areaTotal, rdf:type, areaSq
 
 
 def test_describe_where(spark, store):
@@ -220,8 +223,26 @@ def test_aggregates_group_by(spark, store):
     GROUP BY ?s ORDER BY DESC(?n) ?s
     """
     out = [(r["s"], r["n"]) for r in execute(store, q).collect()]
-    assert out[0] == ("http://ex/Alabama", 4)
+    assert out[0] == ("http://ex/Alabama", 5)
     assert dict(out)["http://ex/Montgomery"] == 3  # type + 2 labels
+
+
+def test_custom_datatype_literal_bound_object(spark, store):
+    """Replays the reference's quad-query masks with a typed-literal
+    constant in the object position (test-queries.rq lines 3-8): a
+    non-XSD datatype must round-trip store→query."""
+    lit = '"135765.0"^^<http://ex/dt/squareKilometre>'
+    q = f"SELECT ?s WHERE {{ ?s <http://ex/areaSq> {lit} }}"
+    assert rows(execute(store, q)) == {("http://ex/Alabama",)}
+    q2 = f"SELECT ?s ?p WHERE {{ ?s ?p {lit} }}"
+    assert rows(execute(store, q2)) == {("http://ex/Alabama", "http://ex/areaSq")}
+    q3 = f"SELECT ?g ?p WHERE {{ GRAPH ?g {{ <http://ex/Alabama> ?p {lit} }} }}"
+    assert rows(execute(store, q3)) == {
+        ("conv:http://ex/wiki/Alabama", "http://ex/areaSq")
+    }
+    # wrong datatype must NOT match
+    q4 = 'SELECT ?s WHERE { ?s <http://ex/areaSq> "135765.0"^^<http://ex/dt/other> }'
+    assert rows(execute(store, q4)) == set()
 
 
 def test_having(spark, store):
@@ -231,7 +252,7 @@ def test_having(spark, store):
     GROUP BY ?s HAVING (?n >= 3) ORDER BY ?s
     """
     out = {(r["s"], r["n"]) for r in execute(store, q).collect()}
-    assert ("http://ex/Alabama", 4) in out
+    assert ("http://ex/Alabama", 5) in out
     assert ("http://ex/Montgomery", 3) in out
     assert all(n >= 3 for _, n in out)
 
