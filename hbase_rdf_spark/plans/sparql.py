@@ -23,7 +23,7 @@ unionByName, ORDER+LIMIT → TakeOrderedAndProject (the reference's TopN
 transform, reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
 
 Unsupported (deliberately, matching the reference's own gaps §2.6):
-property paths, subqueries, GROUP_CONCAT/SAMPLE.
+property paths, subqueries.
 """
 
 from __future__ import annotations
@@ -57,7 +57,7 @@ _NUM_DT = re.compile(
     r"(double|float|decimal|integer|long|int|short|byte)>$"
 )
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 
 
 def tokenize(q: str) -> list[str]:
@@ -511,9 +511,41 @@ def _agg_expr(a: Aggregate):
         return (
             F.countDistinct(col) if a.distinct else F.count(col)
         ).alias(a.alias[1:])
+    if a.func in ("GROUP_CONCAT", "SAMPLE"):
+        # label-space aggregates: operate on the pre-materialized lexical
+        # column (see the label-attach step in execute()). Deterministic:
+        # GROUP_CONCAT sorts its members; SAMPLE picks the minimum.
+        lbl = F.col(f"__{a.var[1:]}_lbl")
+        if a.func == "SAMPLE":
+            return F.min(lbl).alias(a.alias[1:])
+        members = F.collect_set(lbl) if a.distinct else F.collect_list(lbl)
+        return F.concat_ws(" ", F.sort_array(members)).alias(a.alias[1:])
     num = F.col(a.var[1:]).getField("num")
     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[a.func]
     return fn(num).alias(a.alias[1:])
+
+
+def _attach_labels(result, store, var_names):
+    """Join the lexical label for each var (numeric fallback) as
+    ``__{v}_lbl`` — needed by label-space aggregates BEFORE grouping."""
+    for v in var_names:
+        d = store.id2term().select(
+            F.col("id").alias(f"__{v}_aid"), F.col("label").alias(f"__{v}_albl")
+        )
+        result = (
+            result.join(
+                d, result[v].getField("id") == d[f"__{v}_aid"], "left"
+            )
+            .withColumn(
+                f"__{v}_lbl",
+                F.coalesce(
+                    F.col(f"__{v}_albl"),
+                    F.col(v).getField("num").cast("string"),
+                ),
+            )
+            .drop(f"__{v}_aid", f"__{v}_albl")
+        )
+    return result
 
 
 def _describe(store, q: Query, bindings: DataFrame | None) -> DataFrame:
@@ -622,6 +654,12 @@ def execute(store, query: str | Query) -> DataFrame:
 
     if q.aggregates:
         gvars = [v[1:] for v in q.group_by]
+        label_vars = sorted({
+            a.var[1:] for a in q.aggregates
+            if a.func in ("GROUP_CONCAT", "SAMPLE") and a.var
+        })
+        if label_vars:
+            result = _attach_labels(result, store, label_vars)
         aggs = [_agg_expr(a) for a in q.aggregates]
         grouped = (
             result.groupBy(*gvars).agg(*aggs) if gvars else result.agg(*aggs)

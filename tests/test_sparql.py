@@ -245,6 +245,21 @@ def test_custom_datatype_literal_bound_object(spark, store):
     assert rows(execute(store, q4)) == set()
 
 
+def test_group_concat_and_sample(spark, store):
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s (GROUP_CONCAT(?o) AS ?os) (SAMPLE(?o) AS ?one)
+    WHERE { ?s ex:label ?o } GROUP BY ?s
+    """
+    r = execute(store, q).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["s"] == "http://ex/Montgomery"
+    # deterministic: members sorted; SAMPLE = minimum
+    assert row["os"] == '"Montgomerie"@fr "Montgomery"@en'
+    assert row["one"] == '"Montgomerie"@fr'
+
+
 def test_having(spark, store):
     q = """
     PREFIX ex: <http://ex/>
