@@ -60,6 +60,7 @@ class Bgp:
     o: Elem
     g: Elem | None = None
     filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
+    path_plus: bool = False  # predicate is a one-or-more path (<p>+)
 
 
 @dataclass
@@ -157,8 +158,96 @@ def _binding_struct(kind: Column, ident: Column, num: Column) -> Column:
     )
 
 
+PATH_MAX_ITERS = 30
+
+
+def _path_closure(store, pred: Elem) -> DataFrame:
+    """Transitive closure of one predicate: (a, b, b_kind, b_num) pairs
+    reachable in ≥ 1 hops — the evaluation behind ``<p>+`` paths.
+
+    Frontier expansion with distinct + anti-join (only NEW pairs join
+    next round), ``localCheckpoint`` per round to cut lineage — the same
+    iterative-DataFrame discipline as connected components
+    (operators/cc.py). Cycles terminate naturally: a revisited pair is
+    filtered by the anti-join. Literal endpoints are terminal by
+    construction (their kind-tagged hash ids never appear in the
+    subject position).
+    """
+    e = scan(store, TriplePattern(p=None if is_var(pred) else pred))
+    base = (
+        e.select(
+            F.col("s").alias("a"),
+            F.col("o").alias("b"),
+            F.col("o_kind").alias("b_kind"),
+            F.col("o_num").alias("b_num"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure, frontier = base, base
+    for _ in range(PATH_MAX_ITERS):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.b") == F.col("e.a"))
+            .select(
+                F.col("f.a").alias("a"),
+                F.col("e.b").alias("b"),
+                F.col("e.b_kind").alias("b_kind"),
+                F.col("e.b_num").alias("b_num"),
+            )
+            .distinct()
+        )
+        new = nxt.join(closure, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    else:
+        raise RuntimeError(f"path closure did not converge in {PATH_MAX_ITERS} rounds")
+    return closure
+
+
+def _path_step(store, p: Bgp) -> DataFrame:
+    """Binding step for an s <pred>+ o pattern over the closure."""
+    from hbase_rdf_spark.plans.patterns import encode_term
+
+    df = _path_closure(store, p.p)
+    if not is_var(p.s):
+        df = df.filter(F.col("a") == encode_term(p.s))
+    if not is_var(p.o):
+        if isinstance(p.o, (int, float)) and not isinstance(p.o, bool):
+            df = df.filter(
+                (F.col("b_kind") == 2) & (F.col("b_num") == float(p.o))
+            )
+        else:
+            lex, kind = p.o if isinstance(p.o, tuple) else (p.o, KIND_ENTITY)
+            df = df.filter(
+                (F.col("b_kind") == kind) & (F.col("b") == encode_term(lex, kind))
+            )
+    cols = []
+    if is_var(p.s):
+        cols.append(_binding_struct(F.lit(0), F.col("a"), F.lit(None)).alias(p.s[1:]))
+    if is_var(p.o):
+        cols.append(
+            _binding_struct(
+                F.col("b_kind"), F.col("b"), F.col("b_num")
+            ).alias(p.o[1:])
+        )
+    if not cols:
+        cols.append(F.lit(1).alias("__exists"))
+    out = df.select(*cols)
+    if is_var(p.s) and is_var(p.o) and p.s == p.o:
+        # same var both ends: only cyclic reachability rows qualify
+        out = df.filter(F.col("a") == F.col("b")).select(
+            _binding_struct(F.lit(0), F.col("a"), F.lit(None)).alias(p.s[1:])
+        )
+    return out
+
+
 def _scan_pattern(store, p: Bgp) -> DataFrame:
     """Scan one pattern; project var columns as binding structs."""
+    if p.path_plus:
+        return _path_step(store, p)
     tp = TriplePattern(
         s=None if is_var(p.s) else p.s,
         p=None if is_var(p.p) else p.p,

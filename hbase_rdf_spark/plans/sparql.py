@@ -328,8 +328,15 @@ class _Parser:
             else:
                 s = self.term()
                 p = self._pred_term()
+                path_plus = False
+                if self.peek() == "+":
+                    # one-or-more property path <p>+ (transitive closure;
+                    # the reference evaluated paths via stock ARQ after
+                    # its path-flattening transform, HBaseOptimize.java:111)
+                    self.next()
+                    path_plus = True
                 o = self.term()
-                q.patterns.append(Bgp(s, p, o, g=graph))
+                q.patterns.append(Bgp(s, p, o, g=graph, path_plus=path_plus))
                 if self.peek() == ".":
                     self.next()
 
