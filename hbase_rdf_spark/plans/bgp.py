@@ -60,7 +60,7 @@ class Bgp:
     o: Elem
     g: Elem | None = None
     filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
-    path_plus: bool = False  # predicate is a one-or-more path (<p>+)
+    path_mod: str | None = None  # property-path modifier: '+' | '*' | '?'
 
 
 @dataclass
@@ -207,11 +207,47 @@ def _path_closure(store, pred: Elem) -> DataFrame:
     return closure
 
 
+def _graph_nodes(store) -> DataFrame:
+    """All terms occurring in the graph as (a, b=a, b_kind, b_num) —
+    the zero-length path pairs for * and ? modifiers."""
+    spo = store.index("spo")
+    subs = spo.select(
+        F.col("s").alias("b"),
+        F.lit(0).cast("tinyint").alias("b_kind"),
+        F.lit(None).cast("double").alias("b_num"),
+    )
+    objs = spo.select(
+        F.col("o").alias("b"),
+        F.col("o_kind").alias("b_kind"),
+        F.col("o_num").alias("b_num"),
+    )
+    return (
+        subs.unionByName(objs)
+        .dropDuplicates(["b"])
+        .select(F.col("b").alias("a"), "b", "b_kind", "b_num")
+    )
+
+
 def _path_step(store, p: Bgp) -> DataFrame:
-    """Binding step for an s <pred>+ o pattern over the closure."""
+    """Binding step for s <pred>{+,*,?} o patterns.
+
+    '+' = transitive closure; '*' adds the zero-length identity pairs
+    over every graph term; '?' = identity pairs + single hop.
+    """
     from hbase_rdf_spark.plans.patterns import encode_term
 
-    df = _path_closure(store, p.p)
+    if p.path_mod == "+":
+        df = _path_closure(store, p.p)
+    elif p.path_mod == "*":
+        df = _path_closure(store, p.p).unionByName(_graph_nodes(store)).distinct()
+    elif p.path_mod == "?":
+        one = scan(store, TriplePattern(p=None if is_var(p.p) else p.p)).select(
+            F.col("s").alias("a"), F.col("o").alias("b"),
+            F.col("o_kind").alias("b_kind"), F.col("o_num").alias("b_num"),
+        )
+        df = one.unionByName(_graph_nodes(store)).distinct()
+    else:
+        raise ValueError(f"unknown path modifier {p.path_mod!r}")
     if not is_var(p.s):
         df = df.filter(F.col("a") == encode_term(p.s))
     if not is_var(p.o):
@@ -246,7 +282,7 @@ def _path_step(store, p: Bgp) -> DataFrame:
 
 def _scan_pattern(store, p: Bgp) -> DataFrame:
     """Scan one pattern; project var columns as binding structs."""
-    if p.path_plus:
+    if p.path_mod:
         return _path_step(store, p)
     tp = TriplePattern(
         s=None if is_var(p.s) else p.s,

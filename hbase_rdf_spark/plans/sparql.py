@@ -22,8 +22,10 @@ predicates pushed by Catalyst (J6/J7), OPTIONAL → left join, UNION →
 unionByName, ORDER+LIMIT → TakeOrderedAndProject (the reference's TopN
 transform, reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
 
-Unsupported (deliberately, matching the reference's own gaps §2.6):
-property paths, subqueries.
+Property paths support the +, * and ? modifiers (transitive closure
+via iterative frontier joins; '?' reachable through the Bgp API since
+the token clashes with variable syntax). Unsupported (deliberately):
+subqueries, path sequences/alternatives.
 """
 
 from __future__ import annotations
@@ -328,15 +330,15 @@ class _Parser:
             else:
                 s = self.term()
                 p = self._pred_term()
-                path_plus = False
-                if self.peek() == "+":
-                    # one-or-more property path <p>+ (transitive closure;
-                    # the reference evaluated paths via stock ARQ after
-                    # its path-flattening transform, HBaseOptimize.java:111)
-                    self.next()
-                    path_plus = True
+                path_mod = None
+                if self.peek() in ("+", "*"):
+                    # property path modifiers (transitive closure /
+                    # zero-or-more; the reference evaluated paths via
+                    # stock ARQ after its path-flattening transform,
+                    # HBaseOptimize.java:111)
+                    path_mod = self.next()
                 o = self.term()
-                q.patterns.append(Bgp(s, p, o, g=graph, path_plus=path_plus))
+                q.patterns.append(Bgp(s, p, o, g=graph, path_mod=path_mod))
                 if self.peek() == ".":
                     self.next()
 

@@ -354,11 +354,26 @@ def test_property_path_plus_multihop(spark, tmp_path_factory):
     ))
     assert got_cycle == {("http://x/b",), ("http://x/c",), ("http://x/d",)}
 
+    # zero-or-more includes the start node itself
+    got_star = rows(execute(
+        st, "SELECT ?y WHERE { <http://x/a> <http://x/next>* ?y }"
+    ))
+    assert got_star == {
+        ("http://x/a",), ("http://x/b",), ("http://x/c",), ("http://x/d",)
+    }
+
+    # zero-or-one via the Bgp API ('?' clashes with var syntax in text)
+    from hbase_rdf_spark.plans.bgp import Bgp, execute_bgp, materialize
+
+    res = execute_bgp(st, [Bgp("http://x/a", "http://x/next", "?y", path_mod="?")])
+    got_opt = {r["y"] for r in materialize(res, st, ["?y"]).collect()}
+    assert got_opt == {"http://x/a", "http://x/b"}
+
 
 def test_parse_errors():
     with pytest.raises(Exception):
         parse("SELECT ?x WHERE { ?x }")
     with pytest.raises(Exception):
-        parse("SELECT ?x WHERE { ?x <http://ex/p>* ?y }")  # * paths unsupported
+        parse("SELECT ?x WHERE { { SELECT ?x WHERE { ?x ?p ?o } } }")  # subqueries
     with pytest.raises(Exception):
         parse("PREFIX ex <http://ex/> SELECT ?x WHERE { ?x ex:p ?y }")
