@@ -267,12 +267,14 @@ def _q_ann_topk(spark, sf):
 def _q_sessionize(spark, sf):
     ev = wordkg.read(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps land as TIMESTAMP_NTZ; epoch seconds via an
-    # explicit ltz hop (session TZ pinned to UTC in session.py — and the
-    # gap is TZ-invariant anyway)
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    # parquet timestamps land as TIMESTAMP_NTZ; epoch via an explicit
+    # ltz hop (session TZ pinned to UTC in session.py — and the gap is
+    # TZ-invariant anyway). Microsecond precision: event timestamps
+    # carry sub-second fractions, and a whole-second cast disagrees
+    # with the fractional-epoch oracle at exact gap boundaries.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gap = epoch - F.lag(epoch).over(w)
-    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    newsess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("new_sess", newsess).withColumn(
         "session_idx", F.sum("new_sess").over(w)
     )
@@ -317,10 +319,11 @@ def _q_events_interval(spark, sf):
 
     ev = wordkg.read(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    # microsecond-precision gaps — see _q_sessionize for why
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gap = epoch - F.lag(epoch).over(w)
     sess_idx = F.sum(
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     ).over(w)
     sessions = (
         ev.withColumn("session_idx", sess_idx)
@@ -929,7 +932,8 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts BETWEEN sess.start_ts AND sess.end_ts
             GROUP BY e.user_id, sess.session_idx""",
         "kg_degrees_topk": f"""{_TRIPLES_CTE}
-            SELECT node, sum(o_) AS out_deg, sum(i_) AS in_deg,
+            SELECT node, CAST(sum(o_) AS BIGINT) AS out_deg,
+                   CAST(sum(i_) AS BIGINT) AS in_deg,
                    count(*) AS degree
             FROM (
               SELECT s AS node, 1 AS o_, 0 AS i_ FROM triples
