@@ -350,6 +350,111 @@ def _q_degrees_topk(spark, sf):
     )
 
 
+# --- SPARQL-engine-backed entries ------------------------------------------
+# These run the REAL SPARQL engine end to end (parser → BGP planner →
+# id-space joins → late materialization) over a TripleStore built from
+# the word-trigram triples, so the gate exercises the engine path the
+# pytest suite covers — not a DataFrame twin.
+
+_WORD_STORES: dict[str, object] = {}
+
+
+def _word_store(spark, sf):
+    st = _WORD_STORES.get(sf)
+    if st is not None:
+        return st
+    import tempfile
+
+    from hbase_rdf_spark.functions.encoding import (
+        build_dictionaries,
+        encode_quads,
+    )
+    from hbase_rdf_spark.operators.materialize import TripleStore
+
+    tri = wordkg.doc_triples(spark, sf)
+    resolved = tri.select(
+        F.col("doc_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("s").alias("subj"),
+        F.col("p").alias("pred"),
+        F.col("o").alias("obj"),
+        F.lit(0).alias("obj_kind"),
+    )
+    st = TripleStore(
+        spark, tempfile.mkdtemp(prefix="wordstore_"), num_partitions=4
+    )
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "wordkg")
+    st.write_indexes(encode_quads(resolved), "wordkg")
+    _WORD_STORES[sf] = st
+    return st
+
+
+def _sparql(spark, sf, q):
+    from hbase_rdf_spark.plans.sparql import execute
+
+    return execute(_word_store(spark, sf), q)
+
+
+def _q_sparql_optional_group(spark, sf):
+    # multi-pattern OPTIONAL evaluated as a UNIT: ?z/?w bind together or
+    # not at all (SPARQL LeftJoin / ARQ OpConditional — J11)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?z ?w WHERE {
+          <spark> <sort> ?y .
+          OPTIONAL { ?y <merge> ?z . ?z <group> ?w }
+        }""")
+
+
+def _q_sparql_notbound(spark, sf):
+    # BSBM-Q3 shape: negation as failure via OPTIONAL + FILTER(!bound),
+    # with a group-local FILTER inside the OPTIONAL block
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          OPTIONAL { ?y <filter> ?z FILTER(?z = <data>) }
+          FILTER(!bound(?z))
+        }""")
+
+
+def _q_sparql_filter_or(spark, sf):
+    # || disjunction over term (in)equality (HBaseOptimize.java:75-93)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?s ?o WHERE {
+          ?s <scan> ?o FILTER(?s = <spark> || ?o = <data>)
+        }""")
+
+
+def _q_path_seq(spark, sf):
+    return _sparql(
+        spark, sf,
+        "SELECT DISTINCT ?z WHERE { <spark> <join>/<scan> ?z }",
+    )
+
+
+def _q_path_alt(spark, sf):
+    return _sparql(
+        spark, sf,
+        "SELECT DISTINCT ?o WHERE { <spark> <join>|<sort> ?o }",
+    )
+
+
+def _q_path_inv(spark, sf):
+    return _sparql(
+        spark, sf,
+        "SELECT DISTINCT ?s WHERE { <data> ^<merge> ?s }",
+    )
+
+
+def _q_path_plus(spark, sf):
+    # transitive closure (iterative frontier joins) vs a DuckDB
+    # recursive CTE
+    return _sparql(
+        spark, sf,
+        "SELECT DISTINCT ?o WHERE { <spark> <join>+ ?o }",
+    )
+
+
 def _q_windowed_counts(spark, sf):
     # tumbling 1-hour event-time windows — the batch shape of the
     # streaming windowed-agg path (hbase_rdf_spark/streaming/)
@@ -635,6 +740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution": _q_events_asof,
         "events_interval_errors": _q_events_interval,
         "kg_degrees_topk": _q_degrees_topk,
+        # SPARQL engine end-to-end (parser → planner → id joins → mat.)
+        "kg_sparql_optional_group": _q_sparql_optional_group,
+        "kg_sparql_notbound": _q_sparql_notbound,
+        "kg_sparql_filter_or": _q_sparql_filter_or,
+        "kg_path_seq": _q_path_seq,
+        "kg_path_alt": _q_path_alt,
+        "kg_path_inv": _q_path_inv,
+        "kg_path_plus": _q_path_plus,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
@@ -931,6 +1044,45 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = sess.user_id
              AND e.ts BETWEEN sess.start_ts AND sess.end_ts
             GROUP BY e.user_id, sess.session_idx""",
+        "kg_sparql_optional_group": f"""{_TRIPLES_CTE}
+            , a AS (
+              SELECT DISTINCT o AS y FROM triples
+              WHERE s = 'spark' AND p = 'sort'
+            ), b AS (
+              SELECT DISTINCT m.s AS y, m.o AS z, g.o AS w
+              FROM triples m JOIN triples g
+                ON m.o = g.s AND g.p = 'group'
+              WHERE m.p = 'merge'
+            )
+            SELECT DISTINCT a.y AS y, b.z AS z, b.w AS w
+            FROM a LEFT JOIN b ON a.y = b.y""",
+        "kg_sparql_notbound": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND o NOT IN (SELECT s FROM triples
+                            WHERE p = 'filter' AND o = 'data')""",
+        "kg_sparql_filter_or": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT s, o FROM triples
+            WHERE p = 'scan' AND (s = 'spark' OR o = 'data')""",
+        "kg_path_seq": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t2.o AS z
+            FROM triples t1 JOIN triples t2
+              ON t1.o = t2.s AND t2.p = 'scan'
+            WHERE t1.s = 'spark' AND t1.p = 'join'""",
+        "kg_path_alt": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o FROM triples
+            WHERE s = 'spark' AND p IN ('join', 'sort')""",
+        "kg_path_inv": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT s FROM triples
+            WHERE p = 'merge' AND o = 'data'""",
+        "kg_path_plus": f"""{_TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+            , reach AS (
+              SELECT o FROM triples WHERE s = 'spark' AND p = 'join'
+              UNION
+              SELECT t.o FROM reach r
+              JOIN triples t ON t.s = r.o AND t.p = 'join'
+            )
+            SELECT DISTINCT o FROM reach""",
         "kg_degrees_topk": f"""{_TRIPLES_CTE}
             SELECT node, CAST(sum(o_) AS BIGINT) AS out_deg,
                    CAST(sum(i_) AS BIGINT) AS in_deg,

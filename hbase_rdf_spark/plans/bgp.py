@@ -24,6 +24,15 @@ What carries over semantically:
 - **Late materialization** (reference: binding/BindingMaterializer.java:25-116):
   ids become lexical terms only after all joins, via one id2term join
   per projected variable.
+- **OPTIONAL as a unit** (SPARQL LeftJoin / ARQ OpConditional): the
+  whole optional group is inner-joined first — patterns + its own
+  FILTERs — then left-joined onto the required bindings, so a partial
+  match inside the group binds nothing (the round-1 per-pattern left
+  join was wrong).
+- **Property paths** (reference flattens via ARQ,
+  optimizer/HBaseOptimize.java:111): an algebra over (a, b) pair sets —
+  atom scans, inverse (swap), sequence (pair join), alternative
+  (union), and the +/*/? closures via iterative frontier expansion.
 
 Variable bindings are uniform ``struct(kind, id, num)`` columns so
 entity and numeric-literal bindings join and compare with one code path
@@ -32,17 +41,32 @@ entity and numeric-literal bindings join and compare with one code path
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hbase_rdf_spark.functions.encoding import KIND_ENTITY
 from hbase_rdf_spark.plans.patterns import TriplePattern, scan
 
+
+@dataclass(frozen=True)
+class Path:
+    """A property-path expression tree (predicate position of a Bgp).
+
+    op: 'atom' (single IRI), 'inv' (^p), 'seq' (p1/p2), 'alt' (p1|p2),
+    'mod' (child with '+', '*' or '?').
+    """
+
+    op: str
+    children: tuple = ()
+    iri: str | None = None
+    mod: str | None = None
+
+
 Elem = str | tuple[str, int] | int | float  # "?var" | term | (lex, kind) | number
 
 
-def is_var(e: Elem) -> bool:
+def is_var(e) -> bool:
     return isinstance(e, str) and e.startswith("?")
 
 
@@ -52,15 +76,27 @@ class Bgp:
 
     ``g`` is the named-graph/context slot (GRAPH clause): None = any
     graph, '?var' = bind it, constant = filter on it — the quad-pattern
-    C position of the reference's SPOC masks.
+    C position of the reference's SPOC masks. ``p`` may be a ``Path``
+    tree; ``path_mod`` is the legacy single-modifier shorthand
+    (equivalent to ``Path('mod', (Path('atom', iri=p),), mod=...)``).
     """
 
     s: Elem
-    p: Elem
+    p: Elem | Path
     o: Elem
     g: Elem | None = None
     filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
     path_mod: str | None = None  # property-path modifier: '+' | '*' | '?'
+
+
+@dataclass
+class OptionalBlock:
+    """One OPTIONAL { … } group: evaluated as a unit (inner joins +
+    group-local filters), then left-joined onto the required bindings."""
+
+    patterns: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    optional: list = field(default_factory=list)  # nested OptionalBlocks
 
 
 @dataclass
@@ -82,6 +118,16 @@ class Filter:
             "!=": n != self.value,
         }[self.op]
 
+    # -- FilterExpr protocol (plans/filters.py) --------------------------
+    def vars(self) -> set[str]:
+        return {self.var[1:]}
+
+    def label_vars(self) -> set[str]:
+        return set()
+
+    def cond(self) -> Column:
+        return self.apply(F.col(self.var[1:]))
+
 
 @dataclass
 class VarFilter(Filter):
@@ -93,6 +139,9 @@ class VarFilter(Filter):
 
     other: str = ""
     offset: float = 0.0
+
+    def vars(self) -> set[str]:
+        return {self.var[1:], self.other[1:]}
 
     def cond(self) -> Column:
         lhs = F.col(self.var[1:]).getField("num")
@@ -107,13 +156,6 @@ class VarFilter(Filter):
         }[self.op]
 
 
-def _filter_vars(f: Filter) -> list[str]:
-    vs = [f.var[1:]]
-    if isinstance(f, VarFilter):
-        vs.append(f.other[1:])
-    return vs
-
-
 # Static weight table — parity with ReorderHeuristics.java:41-74.
 _WEIGHTS = {
     "spo": 1.0, "sp?": 2.0, "s?o": 3.0, "?po": 4.0,
@@ -123,7 +165,7 @@ _FILTER_BONUS = 0.5  # filtered pattern ranks above its unfiltered twin
 
 
 def _mask(p: Bgp, bound: set[str]) -> str:
-    def b(e: Elem, ch: str) -> str:
+    def b(e, ch: str) -> str:
         if not is_var(e):
             return ch
         return ch if e in bound else "?"  # bound-var promotion VAR→TERM
@@ -158,12 +200,73 @@ def _binding_struct(kind: Column, ident: Column, num: Column) -> Column:
     )
 
 
+def pattern_vars(patterns: list[Bgp]) -> set[str]:
+    """All variable names (no '?') a pattern list can bind."""
+    out: set[str] = set()
+    for p in patterns:
+        for e in (p.s, p.p, p.o, p.g):
+            if is_var(e):
+                out.add(e[1:])
+    return out
+
+
+def _block_vars(blk: OptionalBlock) -> set[str]:
+    vs = pattern_vars(blk.patterns)
+    for sub in blk.optional:
+        vs |= _block_vars(sub)
+    return vs
+
+
+# ---------------------------------------------------------------------------
+# property paths: an algebra over (a, b) pair sets
+# ---------------------------------------------------------------------------
+
 PATH_MAX_ITERS = 30
 
+_PAIR_COLS = ["a", "a_kind", "a_num", "b", "b_kind", "b_num"]
 
-def _path_closure(store, pred: Elem) -> DataFrame:
-    """Transitive closure of one predicate: (a, b, b_kind, b_num) pairs
-    reachable in ≥ 1 hops — the evaluation behind ``<p>+`` paths.
+
+def _atom_pairs(store, iri: str, g: str | None) -> DataFrame:
+    """Single-hop pairs of one predicate (optionally graph-restricted)."""
+    e = scan(store, TriplePattern(p=iri, c=g))
+    return e.select(
+        F.col("s").alias("a"),
+        F.lit(0).cast("tinyint").alias("a_kind"),
+        F.lit(None).cast("double").alias("a_num"),
+        F.col("o").alias("b"),
+        F.col("o_kind").alias("b_kind"),
+        F.col("o_num").alias("b_num"),
+    )
+
+
+def _graph_nodes(store, g: str | None) -> DataFrame:
+    """All terms occurring in the graph as identity pairs (a=b) — the
+    zero-length path endpoints for * and ? modifiers."""
+    spo = scan(store, TriplePattern(c=g))
+    subs = spo.select(
+        F.col("s").alias("b"),
+        F.lit(0).cast("tinyint").alias("b_kind"),
+        F.lit(None).cast("double").alias("b_num"),
+    )
+    objs = spo.select(
+        F.col("o").alias("b"),
+        F.col("o_kind").alias("b_kind"),
+        F.col("o_num").alias("b_num"),
+    )
+    return (
+        subs.unionByName(objs)
+        .dropDuplicates(["b"])
+        .select(
+            F.col("b").alias("a"),
+            F.col("b_kind").alias("a_kind"),
+            F.col("b_num").alias("a_num"),
+            "b", "b_kind", "b_num",
+        )
+    )
+
+
+def _closure(base: DataFrame) -> DataFrame:
+    """Transitive closure of a pair set: pairs reachable in ≥ 1 steps.
 
     Frontier expansion with distinct + anti-join (only NEW pairs join
     next round), ``localCheckpoint`` per round to cut lineage — the same
@@ -171,19 +274,10 @@ def _path_closure(store, pred: Elem) -> DataFrame:
     (operators/cc.py). Cycles terminate naturally: a revisited pair is
     filtered by the anti-join. Literal endpoints are terminal by
     construction (their kind-tagged hash ids never appear in the
-    subject position).
+    ``a`` position of a forward step; numeric endpoints have NULL ids
+    and drop out of the equi-join).
     """
-    e = scan(store, TriplePattern(p=None if is_var(pred) else pred))
-    base = (
-        e.select(
-            F.col("s").alias("a"),
-            F.col("o").alias("b"),
-            F.col("o_kind").alias("b_kind"),
-            F.col("o_num").alias("b_num"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    base = base.distinct().localCheckpoint(eager=True)
     closure, frontier = base, base
     for _ in range(PATH_MAX_ITERS):
         nxt = (
@@ -191,6 +285,8 @@ def _path_closure(store, pred: Elem) -> DataFrame:
             .join(base.alias("e"), F.col("f.b") == F.col("e.a"))
             .select(
                 F.col("f.a").alias("a"),
+                F.col("f.a_kind").alias("a_kind"),
+                F.col("f.a_num").alias("a_num"),
                 F.col("e.b").alias("b"),
                 F.col("e.b_kind").alias("b_kind"),
                 F.col("e.b_num").alias("b_num"),
@@ -207,82 +303,112 @@ def _path_closure(store, pred: Elem) -> DataFrame:
     return closure
 
 
-def _graph_nodes(store) -> DataFrame:
-    """All terms occurring in the graph as (a, b=a, b_kind, b_num) —
-    the zero-length path pairs for * and ? modifiers."""
-    spo = store.index("spo")
-    subs = spo.select(
-        F.col("s").alias("b"),
-        F.lit(0).cast("tinyint").alias("b_kind"),
-        F.lit(None).cast("double").alias("b_num"),
-    )
-    objs = spo.select(
-        F.col("o").alias("b"),
-        F.col("o_kind").alias("b_kind"),
-        F.col("o_num").alias("b_num"),
-    )
-    return (
-        subs.unionByName(objs)
-        .dropDuplicates(["b"])
-        .select(F.col("b").alias("a"), "b", "b_kind", "b_num")
+def _pairs(store, path: Path, g: str | None) -> DataFrame:
+    """Evaluate a path expression to its (a, b) pair set."""
+    if path.op == "atom":
+        return _atom_pairs(store, path.iri, g)
+    if path.op == "inv":
+        inner = _pairs(store, path.children[0], g)
+        return inner.select(
+            F.col("b").alias("a"),
+            F.col("b_kind").alias("a_kind"),
+            F.col("b_num").alias("a_num"),
+            F.col("a").alias("b"),
+            F.col("a_kind").alias("b_kind"),
+            F.col("a_num").alias("b_num"),
+        )
+    if path.op == "seq":
+        acc = _pairs(store, path.children[0], g)
+        for child in path.children[1:]:
+            nxt = _pairs(store, child, g)
+            acc = (
+                acc.alias("l")
+                .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                .select(
+                    F.col("l.a").alias("a"),
+                    F.col("l.a_kind").alias("a_kind"),
+                    F.col("l.a_num").alias("a_num"),
+                    F.col("r.b").alias("b"),
+                    F.col("r.b_kind").alias("b_kind"),
+                    F.col("r.b_num").alias("b_num"),
+                )
+            )
+        return acc
+    if path.op == "alt":
+        out = _pairs(store, path.children[0], g)
+        for child in path.children[1:]:
+            out = out.unionByName(_pairs(store, child, g))
+        return out.distinct()
+    if path.op == "mod":
+        inner = _pairs(store, path.children[0], g)
+        if path.mod == "+":
+            return _closure(inner)
+        if path.mod == "*":
+            return _closure(inner).unionByName(_graph_nodes(store, g)).distinct()
+        if path.mod == "?":
+            return inner.unionByName(_graph_nodes(store, g)).distinct()
+        raise ValueError(f"unknown path modifier {path.mod!r}")
+    raise ValueError(f"unknown path op {path.op!r}")
+
+
+def _endpoint_filter(df: DataFrame, col: str, value) -> DataFrame:
+    """Constrain a pair endpoint (a/b) to a constant term."""
+    from hbase_rdf_spark.plans.patterns import encode_term
+
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        return df.filter(
+            (F.col(f"{col}_kind") == 2) & (F.col(f"{col}_num") == float(value))
+        )
+    lex, kind = value if isinstance(value, tuple) else (value, KIND_ENTITY)
+    return df.filter(
+        (F.col(f"{col}_kind") == kind) & (F.col(col) == encode_term(lex, kind))
     )
 
 
 def _path_step(store, p: Bgp) -> DataFrame:
-    """Binding step for s <pred>{+,*,?} o patterns.
-
-    '+' = transitive closure; '*' adds the zero-length identity pairs
-    over every graph term; '?' = identity pairs + single hop.
-    """
-    from hbase_rdf_spark.plans.patterns import encode_term
-
-    if p.path_mod == "+":
-        df = _path_closure(store, p.p)
-    elif p.path_mod == "*":
-        df = _path_closure(store, p.p).unionByName(_graph_nodes(store)).distinct()
-    elif p.path_mod == "?":
-        one = scan(store, TriplePattern(p=None if is_var(p.p) else p.p)).select(
-            F.col("s").alias("a"), F.col("o").alias("b"),
-            F.col("o_kind").alias("b_kind"), F.col("o_num").alias("b_num"),
+    """Binding step for a pattern whose predicate is a path expression."""
+    if is_var(p.g):
+        raise ValueError(
+            "property paths inside GRAPH ?var are not supported — "
+            "bind the graph to a constant"
         )
-        df = one.unionByName(_graph_nodes(store)).distinct()
+    if isinstance(p.p, Path):
+        path = p.p
+    elif p.path_mod:
+        if is_var(p.p):
+            raise ValueError("a path modifier on a variable predicate is not valid SPARQL")
+        path = Path("mod", (Path("atom", iri=p.p),), mod=p.path_mod)
     else:
-        raise ValueError(f"unknown path modifier {p.path_mod!r}")
+        raise ValueError("not a path pattern")
+    df = _pairs(store, path, p.g)
     if not is_var(p.s):
-        df = df.filter(F.col("a") == encode_term(p.s))
+        df = _endpoint_filter(df, "a", p.s)
     if not is_var(p.o):
-        if isinstance(p.o, (int, float)) and not isinstance(p.o, bool):
-            df = df.filter(
-                (F.col("b_kind") == 2) & (F.col("b_num") == float(p.o))
-            )
-        else:
-            lex, kind = p.o if isinstance(p.o, tuple) else (p.o, KIND_ENTITY)
-            df = df.filter(
-                (F.col("b_kind") == kind) & (F.col("b") == encode_term(lex, kind))
-            )
+        df = _endpoint_filter(df, "b", p.o)
+    if is_var(p.s) and is_var(p.o) and p.s == p.o:
+        # same var both ends: only cyclic reachability rows qualify
+        return df.filter(F.col("a") == F.col("b")).select(
+            _binding_struct(
+                F.col("a_kind"), F.col("a"), F.col("a_num")
+            ).alias(p.s[1:])
+        )
     cols = []
     if is_var(p.s):
-        cols.append(_binding_struct(F.lit(0), F.col("a"), F.lit(None)).alias(p.s[1:]))
+        cols.append(
+            _binding_struct(F.col("a_kind"), F.col("a"), F.col("a_num")).alias(p.s[1:])
+        )
     if is_var(p.o):
         cols.append(
-            _binding_struct(
-                F.col("b_kind"), F.col("b"), F.col("b_num")
-            ).alias(p.o[1:])
+            _binding_struct(F.col("b_kind"), F.col("b"), F.col("b_num")).alias(p.o[1:])
         )
     if not cols:
         cols.append(F.lit(1).alias("__exists"))
-    out = df.select(*cols)
-    if is_var(p.s) and is_var(p.o) and p.s == p.o:
-        # same var both ends: only cyclic reachability rows qualify
-        out = df.filter(F.col("a") == F.col("b")).select(
-            _binding_struct(F.lit(0), F.col("a"), F.lit(None)).alias(p.s[1:])
-        )
-    return out
+    return df.select(*cols)
 
 
 def _scan_pattern(store, p: Bgp) -> DataFrame:
     """Scan one pattern; project var columns as binding structs."""
-    if p.path_mod:
+    if p.path_mod or isinstance(p.p, Path):
         return _path_step(store, p)
     tp = TriplePattern(
         s=None if is_var(p.s) else p.s,
@@ -323,32 +449,93 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
     return df.select(*cols)
 
 
+# ---------------------------------------------------------------------------
+# filter application (id space + label space)
+# ---------------------------------------------------------------------------
+
+
+def _attach_filter_labels(store, df: DataFrame, names: list[str]) -> DataFrame:
+    """Attach ``__{name}_flbl`` lexical-label columns (one id2term join
+    per variable) for label-space filters — regex/str()/langMatches/
+    isIRI/isBlank (see plans/filters.py)."""
+    for n in names:
+        if f"__{n}_flbl" in df.columns:
+            continue
+        d = store.id2term().select(
+            F.col("id").alias(f"__{n}_fid"),
+            F.col("label").alias(f"__{n}_flbl"),
+        )
+        df = df.join(
+            d, df[n].getField("id") == d[f"__{n}_fid"], "left"
+        ).drop(f"__{n}_fid")
+    return df
+
+
+def _apply_filter(store, df: DataFrame, f) -> DataFrame:
+    lv = sorted(f.label_vars())
+    if lv:
+        df = _attach_filter_labels(store, df, lv)
+        df = df.filter(f.cond())
+        return df.drop(*[f"__{n}_flbl" for n in lv])
+    return df.filter(f.cond())
+
+
+# ---------------------------------------------------------------------------
+# BGP execution
+# ---------------------------------------------------------------------------
+
+
 def execute_bgp(
     store,
     patterns: list[Bgp],
-    filters: list[Filter] | None = None,
-    optional: list[Bgp] | None = None,
+    filters=None,
+    optional=None,
 ) -> DataFrame:
     """Evaluate a BGP to a DataFrame of binding structs (one col per var).
 
-    ``optional`` patterns are left-joined after the required ones
-    (OPTIONAL semantics, reference: stock ARQ OpConditional — J11).
-    Filters apply as soon as their variable is in scope; Catalyst pushes
-    them further down on its own.
+    ``filters`` — FilterExpr-protocol objects (plans/filters.py, plus
+    the Filter/VarFilter comparisons here): applied as soon as their
+    variables are in scope; id-space filters eagerly inside the join
+    loop (Catalyst pushes them into the scans), label-space ones after
+    the required joins. A filter whose variables never come into scope
+    raises instead of being silently dropped.
+
+    ``optional`` — OptionalBlocks (bare Bgp accepted for compat as a
+    single-pattern block). SPARQL LeftJoin semantics: each block is
+    inner-joined as a unit (its own filters included), then left-joined
+    onto the required bindings; with no shared variables the left join
+    keeps unmatched left rows (a crossJoin would drop them when the
+    block is empty).
     """
     from dataclasses import replace
 
     filters = list(filters or [])
+    blocks = [
+        ob if isinstance(ob, OptionalBlock) else OptionalBlock(patterns=[ob])
+        for ob in (optional or [])
+    ]
     # J8 fidelity: a pattern whose object var carries a single-var filter
     # ranks above its unfiltered twin (ReorderHeuristics' filtered flag,
     # reference: optimizer/reorder/StatsMatcher.java:291-400)
-    fvars = {f.var for f in filters if not isinstance(f, VarFilter)}
+    fvars = {
+        f.var for f in filters
+        if isinstance(f, Filter) and not isinstance(f, VarFilter)
+    }
     patterns = [
         replace(p, filtered=True)
         if (is_var(p.o) and p.o in fvars and not p.filtered)
         else p
         for p in patterns
     ]
+    pending = list(filters)
+
+    def _ready(df: DataFrame, label_space: bool):
+        return [
+            f for f in pending
+            if f.vars() <= set(df.columns)
+            and (label_space or not f.label_vars())
+        ]
+
     result: DataFrame | None = None
     for p in reorder(patterns):
         step = _scan_pattern(store, p)
@@ -360,22 +547,42 @@ def execute_bgp(
                 result = result.join(step, on=shared, how="inner")
             else:
                 result = result.crossJoin(step)
-        # apply any filter whose vars are all now bound
-        ready = [
-            f for f in filters
-            if all(v in result.columns for v in _filter_vars(f))
-        ]
-        for f in ready:
-            cond = f.cond() if isinstance(f, VarFilter) else f.apply(
-                F.col(f.var[1:])
-            )
-            result = result.filter(cond)
-            filters.remove(f)
+        for f in _ready(result, label_space=False):
+            result = _apply_filter(store, result, f)
+            pending.remove(f)
     assert result is not None, "empty BGP"
-    for p in optional or []:
-        step = _scan_pattern(store, p)
+    # label-space filters once the required bindings are complete
+    for f in _ready(result, label_space=True):
+        result = _apply_filter(store, result, f)
+        pending.remove(f)
+    for blk in blocks:
+        bvars = _block_vars(blk)
+        for f in blk.filters:
+            if not f.vars() <= bvars:
+                raise ValueError(
+                    "FILTER inside OPTIONAL references variables bound "
+                    f"outside the block ({sorted(f.vars() - bvars)}) — "
+                    "correlated OPTIONAL filters are not supported"
+                )
+        step = execute_bgp(
+            store, blk.patterns, filters=blk.filters, optional=blk.optional
+        )
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
-        result = result.join(step, on=shared, how="left") if shared else result.crossJoin(step)
+        if shared:
+            result = result.join(step, on=shared, how="left")
+        else:
+            result = result.join(step, F.lit(True), "left")
+    # filters whose vars only bind via optional blocks: SPARQL evaluates
+    # them on the merged solution (unbound → type error → row dropped,
+    # which SQL NULL comparison semantics reproduce exactly)
+    for f in _ready(result, label_space=True):
+        result = _apply_filter(store, result, f)
+        pending.remove(f)
+    if pending:
+        missing = sorted(set().union(*(f.vars() for f in pending)) - set(result.columns))
+        raise ValueError(
+            f"FILTER references variables never bound by the pattern: {missing}"
+        )
     if "__exists" in result.columns:
         result = result.drop("__exists")
     return result

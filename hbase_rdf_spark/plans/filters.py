@@ -1,0 +1,218 @@
+"""SPARQL FILTER expression AST — the J12 scalar-function surface.
+
+The reference evaluates FILTER expressions through stock ARQ/Sesame
+expression trees (reference: nl/vu/jena/sparql/engine/optimizer/
+HBaseOptimize.java:75-93 expands `||` disjunctions;
+reference: sail/HBaseQueryVisitor.java:289-313 stringifies the
+type-test / str() / lang() functions). Here every expression lowers to
+one Spark ``Column`` predicate, so Catalyst can push conjuncts into the
+scans.
+
+Two evaluation spaces:
+
+- **id space** (cheap, the default): numeric comparisons read the
+  ``num`` field of the binding struct; term (in)equality compares the
+  hash id; ``bound()`` is a null test (an OPTIONAL left join
+  null-extends unbound vars); ``isLiteral/isNumeric`` read the ``kind``
+  tag.
+- **label space** (one id2term join per variable): ``regex``, ``str()``
+  comparisons, ``langMatches(lang())`` and ``isIRI/isBlank`` (blank
+  nodes share kind 0 with IRIs and differ only in their ``_:`` label
+  prefix — sources/ntriples.py:29). The executor attaches a
+  ``__{var}_flbl`` column before applying such a filter and drops it
+  after; see ``plans/bgp.py execute_bgp``.
+
+SPARQL error semantics fall out of SQL three-valued logic: an unbound
+variable makes the comparison NULL, ``NULL OR true`` is true,
+``NOT NULL`` is NULL, and a NULL predicate drops the row — exactly the
+type-error → false rule of the spec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, functions as F
+
+# stored lexical form of tagged/typed literals: '"lex"@lang' or
+# '"lex"^^<dt>' (see sources/ntriples.py quads())
+_TAGGED_RX = r'^"(.*)"(?:@[A-Za-z0-9-]+|\^\^<[^<>]*>)$'
+_LANG_RX = r'^".*"@([A-Za-z0-9-]+)$'
+
+
+def _flbl(name: str) -> Column:
+    return F.col(f"__{name}_flbl")
+
+
+def str_value(name: str) -> Column:
+    """SPARQL ``str(?v)``: IRI string, or the literal's lexical form
+    (tag/datatype wrappers stripped), or the numeric value."""
+    lbl = _flbl(name)
+    lex = F.when(
+        lbl.rlike(_TAGGED_RX), F.regexp_extract(lbl, _TAGGED_RX, 1)
+    ).otherwise(lbl)
+    return F.coalesce(lex, F.col(name).getField("num").cast("string"))
+
+
+class FilterExpr:
+    """Base: a boolean SPARQL expression over binding-struct columns."""
+
+    def vars(self) -> set[str]:  # var names (no '?') that must be in scope
+        raise NotImplementedError
+
+    def label_vars(self) -> set[str]:  # vars needing a __{v}_flbl column
+        return set()
+
+    def cond(self) -> Column:
+        raise NotImplementedError
+
+
+@dataclass
+class And(FilterExpr):
+    children: list = field(default_factory=list)
+
+    def vars(self):
+        return set().union(*(c.vars() for c in self.children))
+
+    def label_vars(self):
+        return set().union(*(c.label_vars() for c in self.children))
+
+    def cond(self):
+        return reduce(lambda a, b: a & b, (c.cond() for c in self.children))
+
+
+@dataclass
+class Or(FilterExpr):
+    children: list = field(default_factory=list)
+
+    def vars(self):
+        return set().union(*(c.vars() for c in self.children))
+
+    def label_vars(self):
+        return set().union(*(c.label_vars() for c in self.children))
+
+    def cond(self):
+        return reduce(lambda a, b: a | b, (c.cond() for c in self.children))
+
+
+@dataclass
+class Not(FilterExpr):
+    child: FilterExpr = None  # type: ignore[assignment]
+
+    def vars(self):
+        return self.child.vars()
+
+    def label_vars(self):
+        return self.child.label_vars()
+
+    def cond(self):
+        return ~self.child.cond()
+
+
+@dataclass
+class Bound(FilterExpr):
+    """``bound(?v)`` — negation-as-failure building block (BSBM Q3)."""
+
+    var: str  # '?v'
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        return F.col(self.var[1:]).isNotNull()
+
+
+@dataclass
+class TypeTest(FilterExpr):
+    """isIRI/isURI, isBlank, isLiteral, isNumeric — kind-tag tests
+    (kinds: 0 entity/bnode, 1 string literal, 2 numeric;
+    functions/encoding.py:18). IRI-vs-blank needs the label prefix."""
+
+    var: str
+    test: str  # 'isiri' | 'isblank' | 'isliteral' | 'isnumeric'
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]} if self.test in ("isiri", "isblank") else set()
+
+    def cond(self):
+        name = self.var[1:]
+        kind = F.col(name).getField("kind")
+        if self.test == "isliteral":
+            return kind.isin(1, 2)
+        if self.test == "isnumeric":
+            return kind == 2
+        blank = _flbl(name).startswith("_:")
+        if self.test == "isblank":
+            return (kind == 0) & blank
+        return (kind == 0) & ~blank  # isiri / isuri
+
+
+@dataclass
+class Regex(FilterExpr):
+    """``regex(?v, "pat" [, "i"])`` over str(?v) — label space."""
+
+    var: str
+    pattern: str
+    flags: str = ""
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        pat = self.pattern
+        if "i" in self.flags:
+            pat = "(?i)" + pat
+        return str_value(self.var[1:]).rlike(pat)
+
+
+@dataclass
+class StrCmp(FilterExpr):
+    """``str(?v) = "text"`` (or !=) — label space."""
+
+    var: str
+    op: str  # '=' | '!='
+    text: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        eq = str_value(self.var[1:]) == self.text
+        return eq if self.op == "=" else ~eq
+
+
+@dataclass
+class LangMatch(FilterExpr):
+    """``langMatches(lang(?v), "range")`` — the stored '"lex"@lang' form
+    carries the tag; '*' matches any tagged literal."""
+
+    var: str
+    range: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        name = self.var[1:]
+        lbl = _flbl(name)
+        lang = F.when(
+            lbl.rlike(_LANG_RX),
+            F.lower(F.regexp_extract(lbl, _LANG_RX, 1)),
+        ).otherwise(F.lit(""))
+        rng = self.range.lower()
+        if rng == "*":
+            return lang != ""
+        return (lang == rng) | lang.startswith(rng + "-")

@@ -7,8 +7,7 @@ reference: data/test-queries.rq, the BSBM mixes in
 reference: examples/BSBMQueries.java:5-76 — uses: PREFIX declarations,
 prefixed names, the ``a`` keyword, SELECT [DISTINCT|REDUCED], ASK,
 DESCRIBE, CONSTRUCT, FROM <g> / GRAPH clauses, basic graph patterns,
-FILTER with numeric / equality / var-vs-var (±constant) comparisons and
-langMatches(lang()), OPTIONAL, UNION, ORDER BY, LIMIT/OFFSET. Aggregates
+FILTER expressions, OPTIONAL, UNION, ORDER BY, LIMIT/OFFSET. Aggregates
 (COUNT/SUM/AVG/MIN/MAX + GROUP BY/HAVING) are carried from the Sesame path,
 which evaluated them in its in-memory store
 (reference: sail/HBaseSailConnection.java:11-87 imports, :522-576) —
@@ -18,37 +17,74 @@ This module parses exactly that subset (recursive descent, no deps) and
 compiles it onto the set-oriented BGP executor — SPARQL text in,
 DataFrame out. Where ARQ ran a client-side iterator chain, every clause
 here lowers to DataFrame algebra: BGP → joins (J2), FILTER → column
-predicates pushed by Catalyst (J6/J7), OPTIONAL → left join, UNION →
-unionByName, ORDER+LIMIT → TakeOrderedAndProject (the reference's TopN
-transform, reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
+predicates pushed by Catalyst (J6/J7), OPTIONAL → group-as-unit left
+join (ARQ OpConditional), UNION → unionByName (multiple independent
+chains distribute over the required patterns), ORDER+LIMIT →
+TakeOrderedAndProject (the reference's TopN transform,
+reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
 
-Property paths support the +, * and ? modifiers (transitive closure
-via iterative frontier joins; '?' reachable through the Bgp API since
-the token clashes with variable syntax). Unsupported (deliberately):
-subqueries, path sequences/alternatives.
+FILTER surface (J12): numeric/var-vs-var comparisons, term
+(in)equality, ``&&``/``||``/``!``, ``bound()``,
+``isIRI/isURI/isBlank/isLiteral/isNumeric``, ``str()`` comparisons,
+``regex()`` and ``langMatches(lang())`` — see plans/filters.py
+(reference: optimizer/HBaseOptimize.java:75-93 disjunction expansion,
+sail/HBaseQueryVisitor.java:289-313 function stringifiers).
+
+Property paths: ``^p`` inverse, ``p1/p2`` sequence, ``p1|p2``
+alternative, and the ``+ * ?`` closures, freely composable with parens
+(reference flattens paths via stock ARQ, HBaseOptimize.java:111).
+Blank nodes in queries (``_:b``, ``[]``) act as non-projectable
+variables, per spec. Unsupported (deliberately): subqueries.
 """
 
 from __future__ import annotations
 
+import itertools
 import re
 from dataclasses import dataclass, field
+from functools import reduce as _reduce
 
 from pyspark.sql import DataFrame, functions as F
 
-from hbase_rdf_spark.plans.bgp import Bgp, Filter, VarFilter, execute_bgp, materialize
+from hbase_rdf_spark.plans.bgp import (
+    Bgp,
+    Filter,
+    OptionalBlock,
+    Path,
+    VarFilter,
+    execute_bgp,
+    materialize,
+    pattern_vars,
+    _block_vars,
+)
+from hbase_rdf_spark.plans.filters import (
+    And,
+    Bound,
+    LangMatch,
+    Not,
+    Or,
+    Regex,
+    StrCmp,
+    TypeTest,
+)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
+# token order matters: IRIs (no whitespace allowed inside — rules out
+# mis-capturing a '<'…'>' span across a FILTER), literals, vars, then
+# numbers, pnames (local part may contain but not END with '.', per
+# SPARQL PN_LOCAL — 'foaf:Person.' is a pname + the triple terminator),
+# multi-char ops BEFORE single-char punctuation ('||' vs '|').
 _TOKEN_RX = re.compile(
     r"""
-    (?P<iri><[^<>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^<[^<>]*>)?)
+    (?P<iri><[^<>\s]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^<[^<>\s]*>)?)
   | (?P<squote>'(?:[^'\\]|\\.)*')
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z_][A-Za-z0-9_-]*:)
-  | (?P<punct>[{}()*.,;])
-  | (?P<op><=|>=|!=|=|<|>|&&|\|\||[+-])
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
+  | (?P<op><=|>=|!=|=|<|>|&&|\|\||!|[+-])
+  | (?P<punct>[{}()*.,;/|^?\[\]])
   | (?P<word>[A-Za-z_][A-Za-z0-9_-]*)
     """,
     re.VERBOSE,
@@ -60,6 +96,8 @@ _NUM_DT = re.compile(
 )
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
+
+_TYPE_TESTS = {"isiri", "isuri", "isblank", "isliteral", "isnumeric"}
 
 
 def tokenize(q: str) -> list[str]:
@@ -92,12 +130,22 @@ class Aggregate:
 
 @dataclass
 class LangFilter:
-    """FILTER langMatches(lang(?v), 'range') — needs the literal label,
-    so it evaluates via one id2term join after the BGP (late-bound lang,
-    the J12 ``lang()``/``langMatches`` functions of the reference)."""
+    """Legacy API form of FILTER langMatches(lang(?v), 'range') — the
+    parser now emits plans/filters.LangMatch; this stays for direct
+    Query-object users."""
 
     var: str
     range: str
+
+
+@dataclass
+class GroupBlock:
+    """One branch of a UNION chain: patterns + branch-local filters and
+    OPTIONAL blocks."""
+
+    patterns: list[Bgp] = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    optional: list[OptionalBlock] = field(default_factory=list)
 
 
 @dataclass
@@ -106,9 +154,12 @@ class Query:
     form: str = "select"  # select | ask | describe
     distinct: bool = False
     patterns: list[Bgp] = field(default_factory=list)
-    optional: list[Bgp] = field(default_factory=list)
-    union_blocks: list[list[Bgp]] = field(default_factory=list)
-    filters: list[Filter] = field(default_factory=list)
+    optional: list[OptionalBlock] = field(default_factory=list)
+    # UNION chains: each chain is a list of GroupBlock branches; joins
+    # distribute over unions, so N chains execute as the cross product
+    # of their branches
+    union_blocks: list[list[GroupBlock]] = field(default_factory=list)
+    filters: list = field(default_factory=list)
     lang_filters: list[LangFilter] = field(default_factory=list)
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
@@ -125,6 +176,7 @@ class _Parser:
         self.t = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._bn_counter = 0
 
     def peek(self) -> str | None:
         return self.t[self.i] if self.i < len(self.t) else None
@@ -151,6 +203,10 @@ class _Parser:
     # -- terms ----------------------------------------------------------
     def _expand_pname(self, tok: str):
         pfx, _, local = tok.partition(":")
+        if pfx == "_":
+            # blank-node label: a non-projectable variable scoped to the
+            # query, per SPARQL semantics
+            return f"?__bn_{local}"
         if pfx not in self.prefixes:
             raise SparqlSyntaxError(f"undeclared prefix {pfx!r} in {tok}")
         return self.prefixes[pfx] + local
@@ -160,6 +216,11 @@ class _Parser:
         tok = self.next()
         if tok.startswith("?"):
             return tok
+        if tok == "[":
+            # anonymous blank node '[]' → fresh non-projectable variable
+            self.expect("]")
+            self._bn_counter += 1
+            return f"?__bn_anon{self._bn_counter}"
         if tok.startswith("<"):
             return tok[1:-1]  # IRI → entity constant (kind 0)
         if tok.startswith('"'):
@@ -190,6 +251,74 @@ class _Parser:
             self.next()
             return RDF_TYPE
         return self.term()
+
+    # -- property paths -------------------------------------------------
+    # path := seq ('|' seq)* ; seq := elt ('/' elt)* ;
+    # elt := ['^'] primary ['+'|'*'|'?'] ; primary := iri | 'a' | '(' path ')'
+    def _path(self):
+        """Parse the predicate position → '?var' | IRI str | Path."""
+        p = self._path_alt()
+        if isinstance(p, Path) and p.op == "atom":
+            return p.iri  # plain predicate — the common fast path
+        return p
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self.peek() == "|":
+            self.next()
+            parts.append(self._path_seq())
+        if len(parts) == 1:
+            return parts[0]
+        return Path("alt", tuple(self._as_path(p) for p in parts))
+
+    def _path_seq(self):
+        parts = [self._path_elt()]
+        while self.peek() == "/":
+            self.next()
+            parts.append(self._path_elt())
+        if len(parts) == 1:
+            return parts[0]
+        return Path("seq", tuple(self._as_path(p) for p in parts))
+
+    def _as_path(self, p) -> Path:
+        if isinstance(p, Path):
+            return p
+        if isinstance(p, str) and p.startswith("?"):
+            raise SparqlSyntaxError(
+                "a variable cannot appear inside a property-path expression"
+            )
+        return Path("atom", iri=p)
+
+    def _path_elt(self):
+        inv = self.peek() == "^"
+        if inv:
+            self.next()
+        prim = self._path_primary()
+        mod = None
+        if self.peek() in ("+", "*", "?"):
+            mod = self.next()
+        if isinstance(prim, str) and prim.startswith("?"):
+            if inv or mod:
+                raise SparqlSyntaxError(
+                    "path operators on a variable predicate are not valid SPARQL"
+                )
+            return prim
+        if mod is not None:
+            prim = Path("mod", (self._as_path(prim),), mod=mod)
+        if inv:
+            prim = Path("inv", (self._as_path(prim),))
+        return prim
+
+    def _path_primary(self):
+        if self.peek() == "(":
+            self.next()
+            p = self._path_alt()
+            self.expect(")")
+            return self._as_path(p)
+        t = self._pred_term()
+        if isinstance(t, str):
+            return t  # '?var' or IRI
+        raise SparqlSyntaxError(f"invalid path element {t!r}")
 
     # -- query ----------------------------------------------------------
     def parse(self) -> Query:
@@ -293,6 +422,8 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, g)
                 self.expect("}")
+                if sub.union_blocks:
+                    raise SparqlSyntaxError("UNION inside GRAPH is not supported")
                 q.patterns.extend(sub.patterns)
                 q.optional.extend(sub.optional)
                 q.filters.extend(sub.filters)
@@ -303,7 +434,17 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                q.optional.extend(sub.patterns)
+                if sub.union_blocks:
+                    raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
+                # the whole group left-joins as a unit, its FILTERs
+                # applied inside the block (SPARQL LeftJoin semantics)
+                q.optional.append(
+                    OptionalBlock(
+                        patterns=sub.patterns,
+                        filters=sub.filters,
+                        optional=sub.optional,
+                    )
+                )
             elif up == "FILTER":
                 self.next()
                 self._filter(q)
@@ -313,42 +454,119 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                blocks = [sub.patterns]
+                branches = [self._as_branch(sub)]
                 while self.peek() is not None and self.peek().upper() == "UNION":
                     self.next()
                     self.expect("{")
                     alt = Query(variables=[])
                     self._subgroup(alt, graph)
                     self.expect("}")
-                    blocks.append(alt.patterns)
-                if len(blocks) == 1:
-                    q.patterns.extend(blocks[0])
+                    branches.append(self._as_branch(alt))
+                if len(branches) == 1:
+                    b = branches[0]
+                    q.patterns.extend(b.patterns)
+                    q.filters.extend(b.filters)
+                    q.optional.extend(b.optional)
                 else:
-                    q.union_blocks = blocks
+                    q.union_blocks.append(branches)
             elif tok == ".":
                 self.next()
             else:
                 s = self.term()
-                p = self._pred_term()
-                path_mod = None
-                if self.peek() in ("+", "*"):
-                    # property path modifiers (transitive closure /
-                    # zero-or-more; the reference evaluated paths via
-                    # stock ARQ after its path-flattening transform,
-                    # HBaseOptimize.java:111)
-                    path_mod = self.next()
+                p = self._path()
                 o = self.term()
-                q.patterns.append(Bgp(s, p, o, g=graph, path_mod=path_mod))
+                if isinstance(p, Path):
+                    if p.op == "mod" and p.children[0].op == "atom":
+                        # single-modifier shorthand — legacy Bgp form
+                        q.patterns.append(
+                            Bgp(s, p.children[0].iri, o, g=graph, path_mod=p.mod)
+                        )
+                    else:
+                        q.patterns.append(Bgp(s, p, o, g=graph))
+                else:
+                    q.patterns.append(Bgp(s, p, o, g=graph))
                 if self.peek() == ".":
                     self.next()
+
+    def _as_branch(self, sub: "Query") -> GroupBlock:
+        if sub.union_blocks:
+            raise SparqlSyntaxError("nested UNION chains are not supported")
+        return GroupBlock(
+            patterns=sub.patterns,
+            filters=sub.filters,
+            optional=sub.optional,
+        )
 
     def _subgroup(self, sub: "Query", graph) -> None:
         self._group(sub, graph)
 
     # -- filters --------------------------------------------------------
+    # expr := and_expr ('||' and_expr)* ; and_expr := unary ('&&' unary)*
+    # unary := '!' unary | '(' expr ')' | builtin-call | comparison
     def _filter(self, q: Query) -> None:
+        if self.peek() == "(":
+            self.next()
+            e = self._or_expr()
+            self.expect(")")
+        else:
+            # bare builtin-call form: FILTER langMatches(...), FILTER !bound(...)
+            e = self._unary_expr()
+        # split a top-level conjunction so each conjunct pushes down
+        # independently (the reference's filter-placement transform,
+        # HBaseTransformFilterPlacement.java)
+        for c in (e.children if isinstance(e, And) else [e]):
+            q.filters.append(c)
+
+    def _or_expr(self):
+        parts = [self._and_expr()]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def _and_expr(self):
+        parts = [self._unary_expr()]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._unary_expr())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def _unary_expr(self):
         tok = self.peek()
-        if tok is not None and tok.lower() == "langmatches":
+        if tok == "!":
+            self.next()
+            return Not(self._unary_expr())
+        low = tok.lower() if tok is not None else ""
+        if low == "bound":
+            self.next()
+            self.expect("(")
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("bound() takes a variable")
+            self.expect(")")
+            return Bound(v)
+        if low in _TYPE_TESTS:
+            self.next()
+            self.expect("(")
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{tok}() takes a variable")
+            self.expect(")")
+            test = "isiri" if low == "isuri" else low
+            return TypeTest(v, test)
+        if low == "regex":
+            self.next()
+            self.expect("(")
+            v = self._str_or_var()
+            self.expect(",")
+            pat = self._string_arg()
+            flags = ""
+            if self.peek() == ",":
+                self.next()
+                flags = self._string_arg()
+            self.expect(")")
+            return Regex(v, pat, flags)
+        if low == "langmatches":
             self.next()
             self.expect("(")
             fn = self.next()
@@ -358,18 +576,63 @@ class _Parser:
             v = self.next()
             self.expect(")")
             self.expect(",")
-            rng = self.next()
-            if rng.startswith("'") or rng.startswith('"'):
-                rng = rng.strip("'\"")
+            rng = self._string_arg()
             self.expect(")")
-            q.lang_filters.append(LangFilter(v, rng))
-            return
-        self.expect("(")
-        self._filter_expr(q)
-        self.expect(")")
+            return LangMatch(v, rng)
+        if tok == "(":
+            # either a parenthesized boolean expression or a
+            # parenthesized arithmetic operand — disambiguate by trying
+            # the boolean parse first and backtracking
+            save = self.i
+            try:
+                self.next()
+                e = self._or_expr()
+                self.expect(")")
+                return e
+            except SparqlSyntaxError:
+                self.i = save
+        return self._comparison()
+
+    def _str_or_var(self) -> str:
+        """A ?var, or str(?var) — both denote the same label column."""
+        tok = self.next()
+        if tok.lower() == "str":
+            self.expect("(")
+            v = self.next()
+            self.expect(")")
+        else:
+            v = tok
+        if not v.startswith("?"):
+            raise SparqlSyntaxError(f"expected a variable, got {v}")
+        return v
+
+    def _string_arg(self) -> str:
+        tok = self.next()
+        if tok.startswith('"') or tok.startswith("'"):
+            body = tok[1:-1]
+            # strip any @lang/^^dt suffix a bare term-literal would carry
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"', tok)
+            if m:
+                body = m.group(1)
+            return body.replace('\\"', '"').replace("\\\\", "\\")
+        raise SparqlSyntaxError(f"expected a string argument, got {tok}")
 
     def _operand(self):
-        """var | number | constant term, with optional ± constant."""
+        """var | number | constant term | str(?v), with optional ± constant.
+
+        Returns (base, offset, is_str): is_str marks a str(?v) wrapper.
+        """
+        if self.peek() is not None and self.peek().lower() == "str":
+            save = self.i
+            self.next()
+            if self.peek() == "(":
+                self.expect("(")
+                v = self.next()
+                self.expect(")")
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("str() takes a variable")
+                return v, 0.0, True
+            self.i = save
         paren = self.peek() == "("
         if paren:
             self.next()
@@ -383,40 +646,46 @@ class _Parser:
             offset += sign * float(off)
         if paren:
             self.expect(")")
-        return base, offset
+        return base, offset, False
 
     _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
 
-    def _filter_expr(self, q: Query) -> None:
-        while True:
-            lhs, l_off = self._operand()
-            op = self.next()
-            rhs, r_off = self._operand()
-            if not (isinstance(lhs, str) and lhs.startswith("?")):
-                # constant-on-the-left form (BSBM Q5): flip the comparison
-                lhs, rhs = rhs, lhs
-                l_off, r_off = r_off, l_off
-                op = self._FLIP.get(op)
-                if op is None:
-                    raise SparqlSyntaxError("unsupported FILTER operator")
-            if not (isinstance(lhs, str) and lhs.startswith("?")):
-                raise SparqlSyntaxError("FILTER needs a variable operand")
-            if isinstance(rhs, str) and rhs.startswith("?"):
-                q.filters.append(
-                    VarFilter(lhs, op, 0.0, other=rhs, offset=r_off - l_off)
+    def _comparison(self):
+        lhs, l_off, l_str = self._operand()
+        op = self.next()
+        if op not in self._FLIP:
+            raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
+        rhs, r_off, r_str = self._operand()
+        if r_str and not l_str:
+            # put the str() side on the left
+            lhs, rhs = rhs, lhs
+            l_off, r_off = r_off, l_off
+            l_str, r_str = r_str, l_str
+            op = self._FLIP[op]
+        if l_str:
+            if r_str or not isinstance(rhs, tuple):
+                raise SparqlSyntaxError(
+                    "str() comparisons support a string constant RHS only"
                 )
-            elif isinstance(rhs, (int, float)):
-                q.filters.append(Filter(lhs, op, float(rhs) + r_off - l_off))
-            elif op in ("=", "!=") and isinstance(rhs, (str, tuple)):
-                # constant (in)equality: bind into the pattern set via an
-                # equality filter on the encoded id — J6's constant binding
-                q.filters.append(_TermFilter(lhs, op, rhs))
-            else:
-                raise SparqlSyntaxError(f"unsupported FILTER on {rhs!r}")
-            if self.peek() == "&&":
-                self.next()
-                continue
-            break
+            if op not in ("=", "!="):
+                raise SparqlSyntaxError("str() supports = / != only")
+            return StrCmp(lhs, op, rhs[0])
+        if not (isinstance(lhs, str) and lhs.startswith("?")):
+            # constant-on-the-left form (BSBM Q5): flip the comparison
+            lhs, rhs = rhs, lhs
+            l_off, r_off = r_off, l_off
+            op = self._FLIP[op]
+        if not (isinstance(lhs, str) and lhs.startswith("?")):
+            raise SparqlSyntaxError("FILTER needs a variable operand")
+        if isinstance(rhs, str) and rhs.startswith("?"):
+            return VarFilter(lhs, op, 0.0, other=rhs, offset=r_off - l_off)
+        if isinstance(rhs, (int, float)):
+            return Filter(lhs, op, float(rhs) + r_off - l_off)
+        if op in ("=", "!=") and isinstance(rhs, (str, tuple)):
+            # constant (in)equality: bind into the pattern set via an
+            # equality filter on the encoded id — J6's constant binding
+            return _TermFilter(lhs, op, rhs)
+        raise SparqlSyntaxError(f"unsupported FILTER on {rhs!r}")
 
     def _modifiers(self, q: Query) -> None:
         if self.kw("GROUP"):
@@ -484,12 +753,8 @@ _LANG_RX = r'^".*"@([A-Za-z0-9-]+)$'
 
 
 def _apply_lang_filters(result: DataFrame, store, lang_filters) -> DataFrame:
-    """langMatches(lang(?v), 'rng') via one id2term join per filter var.
-
-    The literal's language tag lives in its stored lexical form
-    '"lex"@lang'; an id-join recovers it without materializing the whole
-    binding set.
-    """
+    """Legacy LangFilter application (parser-built queries use the
+    LangMatch FilterExpr instead, evaluated inside execute_bgp)."""
     for lf in lang_filters:
         name = lf.var[1:]
         d = store.id2term().select(
@@ -630,27 +895,46 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
     ).dropDuplicates()
 
 
+def _combo_result(store, q: Query, combo) -> DataFrame:
+    """Evaluate one branch combination of the query's UNION chains."""
+    pats = list(q.patterns)
+    filts = list(q.filters)
+    opts = list(q.optional)
+    for b in combo:
+        pats += b.patterns
+        filts += b.filters
+        opts += b.optional
+    scope = pattern_vars(pats)
+    for blk in opts:
+        scope |= _block_vars(blk)
+    out_of_scope = [f for f in filts if not f.vars() <= scope]
+    if out_of_scope:
+        # SPARQL: a filter var unbound in this branch is a type error →
+        # every solution of the branch is dropped; keep the schema
+        applicable = [f for f in filts if f.vars() <= scope]
+        return execute_bgp(store, pats, filters=applicable, optional=opts).limit(0)
+    return execute_bgp(store, pats, filters=filts, optional=opts)
+
+
 def execute(store, query: str | Query) -> DataFrame:
     """SPARQL text → materialized DataFrame (one string column per var)."""
     q = parse(query) if isinstance(query, str) else query
-
-    def run_block(patterns: list[Bgp]) -> DataFrame:
-        return execute_bgp(
-            store, patterns, filters=list(q.filters), optional=list(q.optional)
-        )
 
     if q.form == "describe" and not q.patterns and not q.union_blocks:
         return _describe(store, q, None)
 
     if q.union_blocks:
-        blocks = [run_block(q.patterns + b) for b in q.union_blocks]
-        result = blocks[0]
-        for b in blocks[1:]:
-            result = result.unionByName(b, allowMissingColumns=True)
+        combos = list(itertools.product(*q.union_blocks))
+        results = [_combo_result(store, q, combo) for combo in combos]
+        result = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), results
+        )
     else:
-        result = run_block(q.patterns)
+        result = execute_bgp(
+            store, q.patterns, filters=list(q.filters), optional=list(q.optional)
+        )
 
-    if q.lang_filters:
+    if q.lang_filters:  # legacy Query-object API
         result = _apply_lang_filters(result, store, q.lang_filters)
 
     if q.form == "ask":
@@ -660,6 +944,10 @@ def execute(store, query: str | Query) -> DataFrame:
         return _describe(store, q, result)
     if q.form == "construct":
         return _construct(store, q, result)
+
+    def _projectable(cols):
+        # blank-node vars (__bn_*) are never projectable, per spec
+        return [c for c in cols if not c.startswith("__bn_")]
 
     if q.aggregates:
         gvars = [v[1:] for v in q.group_by]
@@ -688,11 +976,15 @@ def execute(store, query: str | Query) -> DataFrame:
             keep=[a.alias[1:] for a in q.aggregates],
         )
         projected = [
-            v[1:] for v in (q.variables or [f"?{c}" for c in out.columns])
+            v[1:] for v in (
+                q.variables or [f"?{c}" for c in _projectable(out.columns)]
+            )
         ]
         out = out.select(*projected)
     else:
-        variables = q.variables or [f"?{c}" for c in result.columns]
+        variables = q.variables or [
+            f"?{c}" for c in _projectable(result.columns)
+        ]
         out = materialize(result, store, variables)
     if q.distinct:
         out = out.dropDuplicates()

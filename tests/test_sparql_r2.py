@@ -1,0 +1,289 @@
+"""Round-2 SPARQL surface: grouped OPTIONAL semantics, the extended
+FILTER function set (||, !, bound, type tests, str(), regex), property
+path sequences/alternatives/inverse, blank nodes in queries, multiple
+UNION chains, and the parser fixes (trailing-dot pname).
+
+Semantics model: SPARQL 1.1 spec LeftJoin/expression evaluation; the
+reference gets these via stock ARQ
+(reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:75-111,
+sail/HBaseQueryVisitor.java:289-313).
+"""
+
+import pytest
+
+from hbase_rdf_spark.functions.encoding import build_dictionaries, encode_quads
+from hbase_rdf_spark.operators.materialize import TripleStore
+from hbase_rdf_spark.plans.sparql import SparqlSyntaxError, execute, parse
+from hbase_rdf_spark.sources.ntriples import parse_lines, quads
+
+NQ = [
+    # states: s1 capital-with-type, s2 capital-without-type, s3 none
+    "<http://ex/s1> <http://ex/state> <http://ex/yes> .",
+    "<http://ex/s2> <http://ex/state> <http://ex/yes> .",
+    "<http://ex/s3> <http://ex/state> <http://ex/yes> .",
+    "<http://ex/s1> <http://ex/capital> <http://ex/c1> .",
+    "<http://ex/c1> <http://ex/type> <http://ex/City> .",
+    "<http://ex/s2> <http://ex/capital> <http://ex/c2> .",
+    # items with/without prices
+    "<http://ex/i1> <http://ex/item> <http://ex/yes> .",
+    '<http://ex/i1> <http://ex/price> "50"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    "<http://ex/i2> <http://ex/item> <http://ex/yes> .",
+    '<http://ex/i2> <http://ex/price> "150"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    "<http://ex/i3> <http://ex/item> <http://ex/yes> .",
+    # knows chain a→b→c→d (graph g1) + one extra edge only in g2
+    "<http://ex/a> <http://ex/knows> <http://ex/b> <http://ex/g1> .",
+    "<http://ex/b> <http://ex/knows> <http://ex/c> <http://ex/g1> .",
+    "<http://ex/c> <http://ex/knows> <http://ex/d> <http://ex/g1> .",
+    "<http://ex/d> <http://ex/knows> <http://ex/e> <http://ex/g2> .",
+    # seq path: a likes x, x partOf y
+    "<http://ex/a> <http://ex/likes> <http://ex/x> .",
+    "<http://ex/x> <http://ex/partOf> <http://ex/y> .",
+    # mixed-kind objects for the type tests
+    "<http://ex/m> <http://ex/val> <http://ex/anIri> .",
+    '<http://ex/m> <http://ex/val> "plain" .',
+    '<http://ex/m> <http://ex/val> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    "<http://ex/m> <http://ex/val> _:bn1 .",
+    # names for regex / str / lang
+    '<http://ex/a> <http://ex/name> "Alice" .',
+    '<http://ex/b> <http://ex/name> "Bob"@en .',
+    '<http://ex/c> <http://ex/name> "ALINE" .',
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sparqlr2store"))
+    lines = spark.createDataFrame([(l,) for l in NQ], "value string")
+    resolved = quads(parse_lines(lines))
+    st = TripleStore(spark, root, num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "nq")
+    st.write_indexes(encode_quads(resolved), "nq")
+    return st
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# -- OPTIONAL as a unit -----------------------------------------------------
+
+
+def test_optional_group_binds_as_unit(store):
+    q = """
+    SELECT ?s ?cap ?t WHERE {
+      ?s <http://ex/state> <http://ex/yes> .
+      OPTIONAL { ?s <http://ex/capital> ?cap . ?cap <http://ex/type> ?t }
+    }
+    """
+    got = rows(execute(store, q))
+    # s2's capital c2 has no type: the WHOLE group must stay unbound —
+    # the round-1 per-pattern left join incorrectly bound ?cap=c2
+    assert got == {
+        ("http://ex/s1", "http://ex/c1", "http://ex/City"),
+        ("http://ex/s2", None, None),
+        ("http://ex/s3", None, None),
+    }
+
+
+def test_filter_inside_optional(store):
+    q = """
+    SELECT ?i ?p WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/price> ?p FILTER(?p < 100) }
+    }
+    """
+    got = rows(execute(store, q))
+    # i2's price 150 fails the block filter → unbound, row kept
+    assert got == {
+        ("http://ex/i1", "50.0"),
+        ("http://ex/i2", None),
+        ("http://ex/i3", None),
+    }
+
+
+def test_not_bound_negation_as_failure(store):
+    # BSBM Q3 shape
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/price> ?p }
+      FILTER(!bound(?p))
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i3",)}
+
+
+def test_top_level_filter_on_optional_var_drops_unbound(store):
+    # spec: unbound var in a comparison is a type error → row dropped
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/price> ?p }
+      FILTER(?p < 100)
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",)}
+
+
+def test_correlated_optional_filter_raises(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      OPTIONAL { ?i <http://ex/item> ?y FILTER(?p > 10) }
+    }
+    """
+    with pytest.raises(ValueError, match="correlated"):
+        execute(store, q).collect()
+
+
+def test_filter_on_never_bound_var_raises(store):
+    q = "SELECT ?i WHERE { ?i <http://ex/item> ?y FILTER(?nosuch > 1) }"
+    with pytest.raises(ValueError, match="never bound"):
+        execute(store, q).collect()
+
+
+# -- FILTER functions -------------------------------------------------------
+
+
+def test_disjunction(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p FILTER(?p < 60 || ?p > 120)
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",), ("http://ex/i2",)}
+
+
+def test_type_tests(store):
+    base = "SELECT ?o WHERE {{ <http://ex/m> <http://ex/val> ?o FILTER({t}(?o)) }}"
+    assert rows(execute(store, base.format(t="isIRI"))) == {("http://ex/anIri",)}
+    assert rows(execute(store, base.format(t="isBlank"))) == {("_:bn1",)}
+    assert rows(execute(store, base.format(t="isLiteral"))) == {
+        ("plain",), ("7.0",)
+    }
+    assert rows(execute(store, base.format(t="isNumeric"))) == {("7.0",)}
+
+
+def test_regex_and_flags(store):
+    q = 'SELECT ?s WHERE { ?s <http://ex/name> ?n FILTER regex(?n, "^Ali") }'
+    assert rows(execute(store, q)) == {("http://ex/a",)}
+    qi = 'SELECT ?s WHERE { ?s <http://ex/name> ?n FILTER regex(?n, "^ali", "i") }'
+    assert rows(execute(store, qi)) == {("http://ex/a",), ("http://ex/c",)}
+
+
+def test_regex_strips_lang_tag(store):
+    # str(?n) of "Bob"@en is 'Bob', not '"Bob"@en'
+    q = 'SELECT ?s WHERE { ?s <http://ex/name> ?n FILTER regex(str(?n), "^Bob$") }'
+    assert rows(execute(store, q)) == {("http://ex/b",)}
+
+
+def test_str_equality(store):
+    q = 'SELECT ?s WHERE { ?s <http://ex/name> ?n FILTER(str(?n) = "Alice") }'
+    assert rows(execute(store, q)) == {("http://ex/a",)}
+    q2 = 'SELECT ?s WHERE { ?s <http://ex/name> ?n FILTER(str(?n) = "Bob") }'
+    assert rows(execute(store, q2)) == {("http://ex/b",)}
+
+
+def test_negated_disjunction_composes(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p FILTER(!(?p < 60 || ?p > 200))
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2",)}
+
+
+# -- property paths ---------------------------------------------------------
+
+
+def test_path_sequence(store):
+    q = "SELECT ?o WHERE { <http://ex/a> <http://ex/likes>/<http://ex/partOf> ?o }"
+    assert rows(execute(store, q)) == {("http://ex/y",)}
+
+
+def test_path_alternative(store):
+    q = "SELECT ?o WHERE { <http://ex/a> <http://ex/knows>|<http://ex/likes> ?o }"
+    assert rows(execute(store, q)) == {("http://ex/b",), ("http://ex/x",)}
+
+
+def test_path_inverse(store):
+    q = "SELECT ?s WHERE { <http://ex/c1> ^<http://ex/capital> ?s }"
+    assert rows(execute(store, q)) == {("http://ex/s1",)}
+
+
+def test_path_seq_with_closure(store):
+    # everyone ≥1 knows-hops from a, then their name
+    q = "SELECT ?n WHERE { <http://ex/a> <http://ex/knows>+/<http://ex/name> ?n }"
+    assert rows(execute(store, q)) == {('"Bob"@en',), ("ALINE",)}
+
+
+def test_path_inside_graph_is_scoped(store):
+    # closure restricted to g1 must NOT reach e (d→e lives in g2 only)
+    q = """
+    SELECT ?o WHERE {
+      GRAPH <http://ex/g1> { <http://ex/a> <http://ex/knows>+ ?o }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/b",), ("http://ex/c",), ("http://ex/d",)
+    }
+    # unscoped, the closure crosses graphs and reaches e
+    q2 = "SELECT ?o WHERE { <http://ex/a> <http://ex/knows>+ ?o }"
+    assert ("http://ex/e",) in rows(execute(store, q2))
+
+
+def test_var_predicate_with_modifier_raises(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?s WHERE { ?s ?p+ ?o }")
+
+
+# -- parser fixes -----------------------------------------------------------
+
+
+def test_pname_trailing_dot(store):
+    # 'ex:yes.' = pname + triple terminator, NOT a local part ending in '.'
+    q = """
+    PREFIX ex: <http://ex/>
+    SELECT ?s WHERE { ?s ex:state ex:yes. }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/s1",), ("http://ex/s2",), ("http://ex/s3",)
+    }
+
+
+def test_blank_node_label_acts_as_variable(store):
+    q = "SELECT ?o WHERE { _:w <http://ex/likes> ?o }"
+    assert rows(execute(store, q)) == {("http://ex/x",)}
+
+
+def test_anonymous_blank_node(store):
+    q = "SELECT ?o WHERE { [] <http://ex/likes> ?o }"
+    assert rows(execute(store, q)) == {("http://ex/x",)}
+
+
+def test_two_union_chains(store):
+    # join of two unions = cross product of branches
+    q = """
+    SELECT ?i ?s WHERE {
+      { ?i <http://ex/price> ?p FILTER(?p < 60) } UNION { ?i <http://ex/item> ?z FILTER(?p2 > 0) }
+      { ?s <http://ex/capital> <http://ex/c1> } UNION { ?s <http://ex/capital> <http://ex/c2> }
+    }
+    """
+    # second branch of chain 1 references ?p2 which is never bound there
+    # → that branch contributes nothing (type error drops its rows)
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "http://ex/s1"),
+        ("http://ex/i1", "http://ex/s2"),
+    }
+
+
+def test_union_branch_local_filters_stay_local(store):
+    q = """
+    SELECT ?i WHERE {
+      { ?i <http://ex/price> ?p FILTER(?p < 60) }
+      UNION
+      { ?i <http://ex/price> ?p FILTER(?p > 120) }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",), ("http://ex/i2",)}
