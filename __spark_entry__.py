@@ -644,20 +644,36 @@ def _q_rel_region_revenue(spark, sf):
 
 def _q_approx_sketches(spark, sf):
     # sketch ops for 100 TB profiling: HLL++ distinct counts and
-    # quantile sketches are the only sane way to profile at scale —
-    # rows-only entry (sketch estimates are engine-specific; accuracy
-    # vs exact is asserted in tests/test_ops.py::test_sketch_accuracy)
+    # quantile sketches are the only sane way to profile at scale.
+    # Bounded-assertion gate: the sketch estimates are engine-specific
+    # numbers no SQL oracle reproduces, so the entry emits per-group
+    # BOOLEANS asserting each estimate sits within its published error
+    # bound of the EXACT value (computed in the same plan); the oracle
+    # independently enumerates the groups and expects all-true.
     ev = wordkg.read(spark, sf, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("a_p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("a_p95"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("e_users"),
+        F.percentile("value", 0.5).alias("e_p50"),
+        F.percentile("value", 0.95).alias("e_p95"),
+    )
+    j = approx.join(exact, "event_type")
+    # HLL++ rsd=2% → 3σ = 6%; percentile_approx at accuracy 10⁴ on a
+    # 10⁴-row group is rank-exact to ±1 → 5% + small absolute slack
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e))  # noqa: E731
+    near = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e)) + F.lit(0.5)
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.round(
-                F.percentile_approx("value", 0.5, 10_000), 4
-            ).alias("p50_value"),
-            F.round(
-                F.percentile_approx("value", 0.95, 10_000), 4
-            ).alias("p95_value"),
+        j.select(
+            "event_type",
+            (rel("a_users", "e_users") <= 0.06).alias("users_ok"),
+            near("a_p50", "e_p50").alias("p50_ok"),
+            near("a_p95", "e_p95").alias("p95_ok"),
         )
         .orderBy("event_type")
     )
@@ -676,30 +692,73 @@ def _q_pagerank(spark, sf):
 
 
 def _q_ann_lsh(spark, sf):
+    # Bounded-assertion gate: LSH top-k is approximate by design, so
+    # the entry asserts RECALL vs the exact top-5 (self-match excluded),
+    # per query. Planes (splitmix64-seeded) and data are deterministic,
+    # so the measured recall is a fixed number per sf: 0.93 at sf0.001
+    # and sf0.01 with gate-scale bucket params (n_bits=4, n_tables=16);
+    # the gate floor is 0.80. The oracle enumerates the query ids and
+    # expects recall_ok=true.
     emb = wordkg.read(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries_df, dim=64, k=5, n_bits=8)
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    k = 5
+    exact = (
+        cosine_topk_bruteforce(emb, queries_df, k=k + 1)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
     )
+    approx = (
+        lsh_topk(emb, queries_df, dim=64, k=k + 1, n_bits=4, n_tables=16)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    recall = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                >= 0.8 * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
+    )
+    return recall.orderBy("query_id")
+
 
 def _q_minhash_pairs(spark, sf):
+    # verified-candidate output: banded minhash generates candidates,
+    # exact Jaccard filters them. The oracle is the full exact-Jaccard
+    # pair set at the same threshold — the gate therefore also checks
+    # that LSH recall is 1.0 at gate scale (banding catches J ≥ 0.5
+    # pairs here; verified deterministic at sf0.001 and sf0.01).
     docs = wordkg.read(spark, sf, "documents")
-    return minhash_duplicate_pairs(docs, threshold=0.5)
+    out = minhash_duplicate_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash(spark, sf):
+    # portable=True: 60-bit md5-derived bit votes a DuckDB oracle
+    # replays exactly (the scale path keeps xxhash64 — same plan shape)
     docs = wordkg.read(spark, sf, "documents")
-    return simhash(docs)
+    return simhash(docs, portable=True)
 
 
 def _q_fingerprint(spark, sf):
     docs = wordkg.read(spark, sf, "documents")
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    return docs.select(
+        "doc_id", fingerprint(F.col("text"), portable=True).alias("fp")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -752,7 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
-        # rows-only (engine-specific hashing / iterative FP, no SQL twin):
+        # oracle-backed since round 2: portable md5 hash family
+        # (simhash/fingerprint), exact-pair oracle (minhash), unrolled
+        # power iteration (pagerank), bounded assertions (lsh recall,
+        # sketch error bounds)
         "events_approx_sketches": _q_approx_sketches,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
@@ -884,6 +946,88 @@ SELECT doc_id, n_chars AS q_chars, n_tokens AS q_tokens,
              + (1.0 - least(punct_ratio * 4, 1.0)) * 0.3
              + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality_score
 FROM r
+"""
+
+
+def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
+    """DuckDB twin of ops.graph.pagerank over the word-trigram edges:
+    the 8 power iterations unrolled as CTE stages (same init, damping,
+    uniform dangling redistribution)."""
+    sql = _TRIPLES_CTE + """
+, e AS (SELECT DISTINCT s AS src, o AS dst FROM triples),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+od AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql += f""",
+d{k} AS (SELECT coalesce(sum(r.rank), 0) AS dm
+         FROM r{p} r LEFT JOIN od ON r.node = od.src
+         WHERE od.src IS NULL),
+i{k} AS (SELECT e.dst AS node, sum(r.rank / od.od) AS inflow
+         FROM e JOIN r{p} r ON e.src = r.node
+         JOIN od ON od.src = e.src
+         GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+                (1 - {d}) / (SELECT n FROM nn)
+                + {d} * (SELECT dm FROM d{k}) / (SELECT n FROM nn)
+                + {d} * coalesce(i.inflow, 0) AS rank
+         FROM nodes n LEFT JOIN i{k} i ON n.node = i.node)"""
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, node ASC LIMIT 20"""
+    return sql
+
+
+def _simhash_sql(n_bits: int = 60) -> str:
+    """DuckDB twin of ops.dedup.simhash(portable=True): md5-derived
+    60-bit token hashes, one conditional-sum vote per bit."""
+    h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id AS id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+), h AS (SELECT id, {h} AS h FROM tok),
+v AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, ({bits})::BIGINT AS simhash FROM v"""
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_min([('0x' || substr(md5(text[i:i+7]), 1, 15))::BIGINT
+                 for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fp
+FROM documents"""
+
+# exact trigram-Jaccard pairs at the minhash gate threshold — the gate
+# asserts the banded-LSH path reproduces the exact pair set (recall 1.0
+# at gate scale) with identical Jaccard values
+_MINHASH_ORACLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t)-1, 2))]) AS grams
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS sza, len(b.grams) AS szb
+  FROM g a, g b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(inter::DOUBLE / (sza + szb - inter), 6) AS jaccard
+FROM pairs WHERE inter::DOUBLE / (sza + szb - inter) >= 0.5
 """
 
 
@@ -1146,6 +1290,17 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS p, count(*) AS n,
                    round(sum(value), 4) AS sum_val
             FROM events GROUP BY 1, 2""",
+        "kg_pagerank": _pagerank_sql(iters=8),
+        "dedup_simhash": _simhash_sql(),
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
+        "ann_lsh_topk": """
+            SELECT vec_id AS query_id, true AS recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY vec_id""",
+        "events_approx_sketches": """
+            SELECT event_type, true AS users_ok, true AS p50_ok,
+                   true AS p95_ok
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts,

@@ -198,26 +198,42 @@ def minhash_duplicate_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: bit-vote over token hashes, JVM-only.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash per document: bit-vote over token hashes, JVM-only.
 
-    For each of 64 bit positions, the bit is 1 iff more token hashes have
-    that bit set than not. Implemented as an explode + one groupBy with
-    64 conditional sums (map-side combinable).
+    For each bit position, the bit is 1 iff more token hashes have that
+    bit set than not. Implemented as an explode + one groupBy with N
+    conditional sums (map-side combinable).
+
+    ``portable=False`` (default, the scale path): 63 bits over
+    ``xxhash64`` token hashes. ``portable=True``: 60 bits over the
+    md5-derived hash (functions/portable.py) so a DuckDB oracle can
+    replay the signature bit for bit — used by the driver gate.
     """
+    if portable:
+        from hbase_rdf_spark.functions.portable import md5_long60
+
+        h, n_bits = md5_long60(F.col("t")), 60
+    else:
+        h, n_bits = F.xxhash64("t"), 63  # skip the sign bit: non-negative
     tok = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
-        .select("id", F.xxhash64("t").alias("h"))
+        .select("id", h.alias("h"))
     )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(63)  # skip the sign bit: keep result non-negative
+        for b in range(n_bits)
     ]
     agg = tok.groupBy("id").agg(*votes)
     sig = None
-    for b in range(63):
+    for b in range(n_bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return agg.select("id", sig.alias("simhash"))

@@ -106,17 +106,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(text: Column, window: int = 8) -> Column:
+def fingerprint(text: Column, window: int = 8, portable: bool = False) -> Column:
     """Winnowing-style document fingerprint: min rolling-window hash.
 
-    xxhash64 over sliding char windows, aggregated to the minimum —
-    a single stable 64-bit sketch per document, JVM-side via
-    transform+array_min (no shuffle, no UDF).
+    Hash over sliding char windows, aggregated to the minimum — a
+    single stable 64-bit sketch per document, JVM-side via
+    transform+array_min (no shuffle, no UDF). ``portable=True`` swaps
+    xxhash64 for the md5-derived 60-bit hash (functions/portable.py) so
+    a DuckDB oracle replays the value exactly.
     """
+    if portable:
+        from hbase_rdf_spark.functions.portable import md5_long60
+
+        hash_fn = md5_long60
+    else:
+        hash_fn = F.xxhash64
     n = F.greatest(F.length(text) - (window - 1), F.lit(1))
     return F.array_min(
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.xxhash64(text.substr(i, F.lit(window))),
+            lambda i: hash_fn(text.substr(i, F.lit(window))),
         )
     )
