@@ -49,8 +49,16 @@ def salted_aggregate(
         salted_aggregate(sh, ["id"], F.collect_set("sh"),
                          "flatten_distinct", "shs")
     """
+    # salt must be DETERMINISTIC per row content, not per physical
+    # placement: monotonically_increasing_id() depends on partition
+    # layout, so a fetch-failure/stage retry could re-salt rows
+    # differently and duplicate or lose partials (the SPARK-23207
+    # round-robin class of bug). Hashing the row's own columns is
+    # retry-stable; fully identical rows share a salt, which only
+    # reduces spreading for pathological all-duplicate groups and never
+    # affects correctness.
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(*key_cols, "_salt").agg(agg_col.alias("_part"))
     grouped = partial.groupBy(*key_cols).agg(

@@ -225,3 +225,25 @@ def test_multimodal_plumbing(spark):
     fr = frames.groupBy("asset_id").count().collect()
     assert len(fr) == 10  # every 3rd asset is a video
     assert all(r["count"] >= 3 for r in fr)
+
+
+def test_embedding_near_dup_size_guard_routes_to_lsh(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(20)]
+    rows.append((100, (base[0] + rng.randn(16) * 0.01).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # a 10-byte budget cannot hold the build side: the exact path must
+    # refuse the driver collect and route to the sign-LSH plan
+    guarded = embedding_near_duplicates(
+        df, threshold=0.95, broadcast_budget_bytes=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (0, 100) in got  # near-parallel planted pair collides whp
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert got <= exact  # LSH route rescores exactly ⇒ no false positives
