@@ -2,9 +2,13 @@
 
 Images / audio / video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling run as
-Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
-STUBBED (no imaging/audio libs in this container — marked below); the
-Spark-side contract that matters at 100 TB is real and tested:
+Arrow-batched ``mapInPandas`` stages. Decode is a PLUGGABLE KERNEL per
+modality: real, dependency-free codecs ship for Netpbm PGM images
+(pure numpy) and PCM WAV audio (stdlib ``wave``); codec-bearing
+formats (JPEG/PNG/MP4 — no imaging/ffmpeg libs in this container) use
+a deterministic hash stub swappable for PIL/cv2/pyav with zero plan
+changes. The Spark-side contract that matters at 100 TB is real and
+tested:
 
 - schema: (asset_id, modality, media: binary, meta: struct)
 - partitioning: assets repartitioned by size-aware buckets so one huge
@@ -33,28 +37,148 @@ FEATURE_SCHEMA = "asset_id bigint, modality string, feature array<float>, n_byte
 FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_hash string"
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real impl: PIL/cv2 decode. Deterministic fake: hash-seeded
-    8x8 luma grid so downstream shapes/values are reproducible."""
-    h = hashlib.sha256(payload).digest()
-    return np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8).astype(np.float32)
+# ---------------------------------------------------------------------------
+# pluggable decode kernels
+# ---------------------------------------------------------------------------
+# The Spark contract (schema, size-balanced partitioning, bounded Arrow
+# batches) is kernel-agnostic: a kernel only maps payload bytes ↔ a 2-D
+# float32 array (rows × cols; audio decodes to 1 × n_samples). Two REAL
+# kernels ship for codec-free formats (Netpbm PGM images, PCM WAV
+# audio); formats needing external codecs (JPEG/PNG/MP4 — no
+# imaging/ffmpeg libs in this container) fall back to the deterministic
+# hash stub, swappable for a PIL/cv2/pyav kernel with zero plan changes.
 
 
-def extract_features(assets: DataFrame, feature_dim: int = 16) -> DataFrame:
+class HashStubKernel:
+    """STUB decode for codec-bearing formats: hash-seeded 8×8 luma grid,
+    deterministic so the dataflow is testable end to end."""
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        h = hashlib.sha256(payload).digest()
+        return (
+            np.frombuffer((h * 2)[:64], dtype=np.uint8)
+            .reshape(8, 8)
+            .astype(np.float32)
+        )
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        m = dict(meta or {})
+        return hashlib.sha256(
+            arr.astype(np.float32).tobytes()
+            + f"{m.get('width')}x{m.get('height')}".encode()
+        ).digest()
+
+
+class PgmKernel:
+    """REAL Netpbm grayscale codec (P5 binary / P2 ASCII) in pure numpy.
+
+    PGM needs no external library: header tokens (magic, width, height,
+    maxval; '#' comments) followed by the raster. Proves the batch
+    contract holds for an actual image decode."""
+
+    @staticmethod
+    def _tokens(payload: bytes, n: int) -> tuple[list[bytes], int]:
+        toks, i = [], 0
+        while len(toks) < n and i < len(payload):
+            c = payload[i : i + 1]
+            if c.isspace():
+                i += 1
+            elif c == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            else:
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(payload[i:j])
+                i = j
+        return toks, i + 1  # single whitespace after maxval precedes raster
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        payload = bytes(payload)
+        toks, off = self._tokens(payload, 4)
+        magic, w, h = toks[0], int(toks[1]), int(toks[2])
+        if magic == b"P5":
+            raster = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
+        elif magic == b"P2":
+            raster = np.array(payload[off - 1 :].split()[: w * h], dtype=np.uint16)
+        else:
+            raise ValueError(f"not a PGM payload (magic {magic!r})")
+        return raster.reshape(h, w).astype(np.float32)
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        h, w = arr.shape
+        header = f"P5 {w} {h} 255\n".encode()
+        return header + arr.clip(0, 255).astype(np.uint8).tobytes()
+
+    @staticmethod
+    def resample(arr: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+        """Nearest-neighbor resample via index mapping (vectorized)."""
+        h, w = arr.shape
+        ri = (np.arange(new_h) * h // new_h).clip(0, h - 1)
+        ci = (np.arange(new_w) * w // new_w).clip(0, w - 1)
+        return arr[np.ix_(ri, ci)]
+
+
+class WavKernel:
+    """REAL PCM WAV decode via the stdlib ``wave`` module: 16-bit mono/
+    stereo frames → 1 × n_samples float32 (uint8-scaled amplitudes, so
+    the shared pooled-feature math applies unchanged)."""
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            raw = wf.readframes(wf.getnframes())
+            width, n_ch = wf.getsampwidth(), wf.getnchannels()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width {width}")
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+        if n_ch > 1:
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+        return np.abs(samples.reshape(1, -1)) / 256.0
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        raise NotImplementedError("audio re-encode not needed by any operator")
+
+
+#: default kernel registry — image/audio REAL where a codec-free format
+#: exists; video stays stubbed (needs ffmpeg/pyav, absent here)
+DEFAULT_KERNELS: dict[str, object] = {
+    "image": HashStubKernel(),
+    "audio": HashStubKernel(),
+    "video": HashStubKernel(),
+}
+
+
+def _pooled_feature(arr: np.ndarray, feature_dim: int) -> list[float]:
+    """Shared post-decode math — identical for every kernel, so a
+    kernel swap changes ONLY the decode step."""
+    v = arr.mean(axis=0)
+    return (np.resize(v, feature_dim) / 255.0).astype(np.float32).tolist()
+
+
+def extract_features(
+    assets: DataFrame,
+    feature_dim: int = 16,
+    kernels: dict[str, object] | None = None,
+) -> DataFrame:
     """binary media → fixed-dim feature vector, Arrow-batched.
 
-    The hot path keeps one Python roundtrip; everything inside the batch
-    is vectorized numpy over the decoded arrays.
+    ``kernels`` maps modality → decode kernel (default: the stub
+    registry; pass e.g. ``{"image": PgmKernel()}`` for real decoding).
+    The hot path keeps one Python roundtrip; everything inside the
+    batch is vectorized numpy over the decoded arrays.
     """
+    ks = {**DEFAULT_KERNELS, **(kernels or {})}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats, sizes = [], []
-            for payload in b["media"]:
-                img = _decode_image(bytes(payload))
-                v = img.mean(axis=0)  # fake pooled feature
-                v = np.resize(v, feature_dim) / 255.0
-                feats.append(v.astype(np.float32).tolist())
+            for payload, mod in zip(b["media"], b["modality"]):
+                arr = ks[mod].decode(bytes(payload))
+                feats.append(_pooled_feature(arr, feature_dim))
                 sizes.append(len(payload))
             yield pd.DataFrame(
                 {
@@ -97,15 +221,21 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image resize plumbing: payload → payload with clamped dimensions.
+def resize_images(
+    assets: DataFrame,
+    max_side: int = 256,
+    kernel: object | None = None,
+) -> DataFrame:
+    """Image resize: payload → payload with clamped dimensions.
 
-    STUB kernel — the deterministic fake re-hashes the payload with the
-    new dimensions (a real impl swaps in PIL's ``thumbnail``/cv2
-    ``resize`` with the identical batch contract). Metadata dims are
-    updated for real, preserving aspect ratio, so downstream
-    partitioning/pruning logic over meta is fully exercised.
+    ``kernel=None`` uses the hash stub (formats whose codecs aren't in
+    this container); ``kernel=PgmKernel()`` performs a REAL
+    decode → nearest-neighbor resample → re-encode under the identical
+    batch contract. Metadata dims are always updated for real,
+    preserving aspect ratio, so downstream partitioning/pruning logic
+    over meta is fully exercised either way.
     """
+    k = kernel or HashStubKernel()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -119,10 +249,16 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
                     scale = max_side / max(w, h)
                     m["width"] = max(1, int(w * scale))
                     m["height"] = max(1, int(h * scale))
-                    # STUB: stand-in for the resampled pixel buffer
-                    payload = hashlib.sha256(
-                        bytes(payload) + f"{m['width']}x{m['height']}".encode()
-                    ).digest()
+                    if isinstance(k, HashStubKernel):
+                        # stand-in for the resampled pixel buffer
+                        payload = hashlib.sha256(
+                            bytes(payload)
+                            + f"{m['width']}x{m['height']}".encode()
+                        ).digest()
+                    else:
+                        arr = k.decode(bytes(payload))
+                        arr = PgmKernel.resample(arr, m["height"], m["width"])
+                        payload = k.encode(arr, m)
                 rows.append(
                     (
                         int(aid), mod, bytearray(payload),

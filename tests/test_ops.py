@@ -247,3 +247,78 @@ def test_embedding_near_dup_size_guard_routes_to_lsh(spark):
         for r in embedding_near_duplicates(df, threshold=0.95).collect()
     }
     assert got <= exact  # LSH route rescores exactly ⇒ no false positives
+
+
+def test_multimodal_kernel_swap_pgm_and_wav(spark):
+    """Kernel-swap proof: the SAME mapInPandas contract runs a real
+    Netpbm decode and a real stdlib-WAV decode; features match a local
+    numpy computation bit for bit and the schema is unchanged."""
+    import io
+    import struct
+    import wave as wavmod
+
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import (
+        PgmKernel,
+        WavKernel,
+        _pooled_feature,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(11)
+    assets, expected = [], {}
+    for i in range(6):
+        w, h = 12 + i, 9 + i
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        payload = f"P5 {w} {h} 255\n".encode() + img.tobytes()
+        assets.append((i, "image", bytearray(payload), (w, h, 0, 0)))
+        expected[i] = _pooled_feature(img.astype(np.float32), 16)
+    for i in range(6, 9):
+        samples = (rng.randn(400) * 3000).astype("<i2")
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(samples.tobytes())
+        assets.append((i, "audio", bytearray(buf.getvalue()), (0, 0, 16000, 0)))
+        arr = np.abs(samples.astype(np.float32).reshape(1, -1)) / 256.0
+        expected[i] = _pooled_feature(arr, 16)
+
+    df = spark.createDataFrame(
+        assets,
+        "asset_id bigint, modality string, media binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    out = extract_features(
+        df, kernels={"image": PgmKernel(), "audio": WavKernel()}
+    ).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["n_bytes"] > 0
+        got = np.array(r["feature"], dtype=np.float32)
+        want = np.array(expected[r["asset_id"]], dtype=np.float32)
+        assert np.allclose(got, want, atol=0), r["asset_id"]
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import PgmKernel, resize_images
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(40, 60)).astype(np.uint8)
+    payload = b"P5 60 40 255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload), (60, 40, 0, 0))],
+        "asset_id bigint, modality string, media binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    out = resize_images(df, max_side=30, kernel=PgmKernel()).collect()[0]
+    assert (out["meta"]["width"], out["meta"]["height"]) == (30, 20)
+    decoded = PgmKernel().decode(bytes(out["media"]))
+    assert decoded.shape == (20, 30)
+    # nearest-neighbor resample is reproducible locally
+    want = PgmKernel.resample(img.astype(np.float32), 20, 30)
+    assert np.array_equal(decoded, want)
