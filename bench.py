@@ -121,7 +121,81 @@ def main() -> None:
     scaling = _latest_scaling_record()
     if scaling:
         out["scaling"] = scaling
+    regressions = _write_query_deltas(qtimes, sf)
+    if regressions is not None:
+        out["regressions_vs_prev_round"] = regressions
     print(json.dumps(out))
+
+
+_DELTA_START = "<!-- bench-delta:start -->"
+_DELTA_END = "<!-- bench-delta:end -->"
+
+
+def _write_query_deltas(qtimes: dict[str, float], sf: float) -> list | None:
+    """Diff per-query timings against the newest driver-recorded
+    BENCH_r*.json and rewrite the delta table in BENCH/BASELINE.md
+    (between markers, so reruns replace rather than append). Returns
+    the list of >1.5× regressions, or None when no prior round exists.
+
+    Caveat printed into the table: the host is shared, identical runs
+    vary ~2× in wall time — a flagged ratio is a PROMPT to re-measure,
+    not proof of a regression.
+    """
+    import glob
+    import re
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(base, "BENCH_r*.json")))
+    if not files:
+        return None
+    prev_file = files[-1]
+    try:
+        rec = json.load(open(prev_file))
+        prev = rec.get("queries")
+        if prev is None:
+            # the driver wraps the bench stdout inside a "tail" string —
+            # recover the embedded JSON line
+            m = re.search(r'\{"metric".*\}', rec.get("tail", ""))
+            prev = json.loads(m.group(0)).get("queries", {}) if m else {}
+    except Exception:
+        return None
+    lines = [
+        _DELTA_START,
+        f"## Per-query delta vs {os.path.basename(prev_file)} (sf{sf})",
+        "",
+        "Shared-host caveat: identical runs vary ~2× in wall time;",
+        "a flagged row means re-measure, not proven regression.",
+        "",
+        "| query | prev s | now s | ratio | flag |",
+        "|---|---|---|---|---|",
+    ]
+    regressions = []
+    for name in sorted(qtimes):
+        t = qtimes[name]
+        p = prev.get(name)
+        if p is None:
+            lines.append(f"| {name} | — | {t:.3f} | — | new |")
+            continue
+        ratio = t / p if p > 0 else float("inf")
+        flag = ">1.5x REGRESSION" if ratio > 1.5 else ""
+        if flag:
+            regressions.append({"query": name, "prev": p, "now": t,
+                                "ratio": round(ratio, 2)})
+        lines.append(
+            f"| {name} | {p:.3f} | {t:.3f} | {ratio:.2f} | {flag} |"
+        )
+    block = "\n".join(lines) + "\n" + _DELTA_END
+    md_path = os.path.join(base, "BENCH", "BASELINE.md")
+    text = open(md_path).read() if os.path.exists(md_path) else ""
+    if _DELTA_START in text and _DELTA_END in text:
+        head, rest = text.split(_DELTA_START, 1)
+        _, tail = rest.split(_DELTA_END, 1)
+        text = head + block + tail
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(md_path, "w") as f:
+        f.write(text)
+    return regressions
 
 
 def _latest_scaling_record() -> dict | None:

@@ -276,14 +276,15 @@ def embedding_near_duplicates(
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
-    ).collect()[0]
-    est_bytes = (stats["n"] or 0) * (stats["dim"] or 0) * 8
+    # cheap probe: dim from one row, row count column-pruned — no full
+    # vector-column scan before the decision
+    head = base.select(F.size("v").alias("d")).head(1)
+    dim = head[0]["d"] if head else 0
+    est_bytes = base.count() * dim * 8
     if est_bytes > broadcast_budget_bytes:
         return embedding_near_duplicates_lsh(
             vectors,
-            dim=int(stats["dim"]),
+            dim=int(dim),
             threshold=threshold,
             id_col=id_col,
             vec_col=vec_col,

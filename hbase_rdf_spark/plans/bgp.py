@@ -490,6 +490,7 @@ def execute_bgp(
     patterns: list[Bgp],
     filters=None,
     optional=None,
+    dedup: bool = False,
 ) -> DataFrame:
     """Evaluate a BGP to a DataFrame of binding structs (one col per var).
 
@@ -506,6 +507,14 @@ def execute_bgp(
     onto the required bindings; with no shared variables the left join
     keeps unmatched left rows (a crossJoin would drop them when the
     block is empty).
+
+    ``dedup=True`` — set-semantics evaluation: each pattern step
+    dedupes before joining. ONLY valid when the caller needs the
+    solution SET (SELECT DISTINCT / ASK — never aggregates, which
+    count multiplicities). Joins of duplicate-free inputs with all
+    columns kept stay duplicate-free, so one distinct per scan replaces
+    a quadratic dup fan-out through dense joins — the multiplicities a
+    quad store accumulates across contexts never multiply.
     """
     from dataclasses import replace
 
@@ -539,6 +548,8 @@ def execute_bgp(
     result: DataFrame | None = None
     for p in reorder(patterns):
         step = _scan_pattern(store, p)
+        if dedup:
+            step = step.dropDuplicates()
         if result is None:
             result = step
         else:
@@ -565,7 +576,8 @@ def execute_bgp(
                     "correlated OPTIONAL filters are not supported"
                 )
         step = execute_bgp(
-            store, blk.patterns, filters=blk.filters, optional=blk.optional
+            store, blk.patterns, filters=blk.filters,
+            optional=blk.optional, dedup=dedup,
         )
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
         if shared:

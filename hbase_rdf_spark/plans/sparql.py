@@ -895,7 +895,7 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
     ).dropDuplicates()
 
 
-def _combo_result(store, q: Query, combo) -> DataFrame:
+def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     """Evaluate one branch combination of the query's UNION chains."""
     pats = list(q.patterns)
     filts = list(q.filters)
@@ -912,8 +912,10 @@ def _combo_result(store, q: Query, combo) -> DataFrame:
         # SPARQL: a filter var unbound in this branch is a type error →
         # every solution of the branch is dropped; keep the schema
         applicable = [f for f in filts if f.vars() <= scope]
-        return execute_bgp(store, pats, filters=applicable, optional=opts).limit(0)
-    return execute_bgp(store, pats, filters=filts, optional=opts)
+        return execute_bgp(
+            store, pats, filters=applicable, optional=opts, dedup=dedup
+        ).limit(0)
+    return execute_bgp(store, pats, filters=filts, optional=opts, dedup=dedup)
 
 
 def execute(store, query: str | Query) -> DataFrame:
@@ -923,15 +925,21 @@ def execute(store, query: str | Query) -> DataFrame:
     if q.form == "describe" and not q.patterns and not q.union_blocks:
         return _describe(store, q, None)
 
+    # set-semantics evaluation is sound exactly when only the solution
+    # SET can be observed: SELECT DISTINCT / ASK without aggregates
+    # (aggregates count multiplicities — must keep bags)
+    dedup = (q.distinct or q.form == "ask") and not q.aggregates
+
     if q.union_blocks:
         combos = list(itertools.product(*q.union_blocks))
-        results = [_combo_result(store, q, combo) for combo in combos]
+        results = [_combo_result(store, q, combo, dedup) for combo in combos]
         result = _reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), results
         )
     else:
         result = execute_bgp(
-            store, q.patterns, filters=list(q.filters), optional=list(q.optional)
+            store, q.patterns, filters=list(q.filters),
+            optional=list(q.optional), dedup=dedup,
         )
 
     if q.lang_filters:  # legacy Query-object API
@@ -985,6 +993,15 @@ def execute(store, query: str | Query) -> DataFrame:
         variables = q.variables or [
             f"?{c}" for c in _projectable(result.columns)
         ]
+        if q.distinct:
+            # dedupe in ID SPACE before materialization: DISTINCT applies
+            # to the projected solution, and shrinking the binding set
+            # first makes the per-var id2term joins proportional to the
+            # distinct count, not the raw join fan-out. The post-
+            # materialize dropDuplicates below still runs — two ids of
+            # different kinds can render to the same lexical string.
+            names = [v[1:] if v.startswith("?") else v for v in variables]
+            result = result.select(*names).dropDuplicates()
         out = materialize(result, store, variables)
     if q.distinct:
         out = out.dropDuplicates()

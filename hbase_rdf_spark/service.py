@@ -1,0 +1,165 @@
+"""HTTP SPARQL endpoint — the reference's query-service surface.
+
+The reference ships a Fuseki assembler config + launcher exposing its
+engine over the SPARQL protocol (reference: fuseki-config-hbase.ttl,
+runHBaseSparqlEngine.sh). This module reproduces that user-facing
+surface with the stdlib only: a ``ThreadingHTTPServer`` front-end over
+``KgEngine.sql``.
+
+Protocol subset (SPARQL 1.1 Protocol):
+
+- ``GET /sparql?query=…``
+- ``POST /sparql`` with ``application/x-www-form-urlencoded``
+  (``query=…``) or a raw ``application/sparql-query`` body
+
+Responses use the SPARQL 1.1 Query Results JSON format
+(``head/vars`` + ``results/bindings``; ASK → ``boolean``). Terms are
+classified from their stored lexical forms: ``_:…`` → bnode,
+``"lex"@lang`` / ``"lex"^^<dt>`` → tagged/typed literal, numeric
+rendering → xsd:double literal, anything else → uri.
+
+Concurrency: each HTTP request runs the query on its own driver
+thread; Spark's scheduler interleaves the jobs (enable the FAIR pool
+for latency fairness under mixed load). ``max_rows`` caps the driver
+collect — the endpoint serves interactive queries, not bulk export
+(use the DataFrame API / parquet sinks for that).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_LANG_RX = re.compile(r'^"(.*)"@([A-Za-z0-9-]+)$', re.S)
+_DT_RX = re.compile(r'^"(.*)"\^\^<([^<>]*)>$', re.S)
+_NUM_RX = re.compile(r"^-?[0-9]+(\.[0-9]+(E-?[0-9]+)?)?$")
+
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _json_term(value) -> dict | None:
+    """Stored lexical form → SPARQL-results-JSON term object."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return {"type": "literal", "value": "true" if value else "false"}
+    s = str(value)
+    if s.startswith("_:"):
+        return {"type": "bnode", "value": s[2:]}
+    m = _LANG_RX.match(s)
+    if m:
+        return {"type": "literal", "value": m.group(1), "xml:lang": m.group(2)}
+    m = _DT_RX.match(s)
+    if m:
+        return {"type": "literal", "value": m.group(1), "datatype": m.group(2)}
+    if _NUM_RX.match(s):
+        return {"type": "literal", "value": s, "datatype": XSD_DOUBLE}
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", s) or "/" in s:
+        return {"type": "uri", "value": s}
+    return {"type": "literal", "value": s}
+
+
+def results_json(df, max_rows: int = 10_000) -> dict:
+    """DataFrame (from KgEngine.sql) → SPARQL 1.1 JSON results dict."""
+    cols = df.columns
+    if cols == ["ask"]:
+        return {"head": {}, "boolean": bool(df.collect()[0]["ask"])}
+    rows = df.limit(max_rows).collect()
+    bindings = []
+    for r in rows:
+        b = {}
+        for c in cols:
+            t = _json_term(r[c])
+            if t is not None:  # unbound (OPTIONAL) vars are omitted
+                b[c] = t
+        bindings.append(b)
+    return {"head": {"vars": cols}, "results": {"bindings": bindings}}
+
+
+class SparqlService:
+    """Threaded HTTP server exposing one engine at ``/sparql``."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 3030,
+                 max_rows: int = 10_000):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.max_rows = max_rows
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling ------------------------------------------------
+    def _handle(self, query: str) -> tuple[int, dict]:
+        try:
+            df = self.engine.sql(query)
+            return 200, results_json(df, self.max_rows)
+        except ValueError as ex:  # SparqlSyntaxError and semantic errors
+            return 400, {"error": str(ex)}
+        except Exception as ex:  # pragma: no cover - defensive
+            return 500, {"error": f"{type(ex).__name__}: {ex}"}
+
+    def _make_handler(self):
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header(
+                    "Content-Type", "application/sparql-results+json"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path != "/sparql":
+                    return self._reply(404, {"error": "use /sparql"})
+                q = parse_qs(u.query).get("query", [None])[0]
+                if not q:
+                    return self._reply(400, {"error": "missing query param"})
+                self._reply(*svc._handle(q))
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/sparql":
+                    return self._reply(404, {"error": "use /sparql"})
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n).decode()
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype == "application/sparql-query":
+                    q = body
+                else:  # form-encoded per SPARQL protocol
+                    q = parse_qs(body).get("query", [None])[0]
+                if not q:
+                    return self._reply(400, {"error": "missing query"})
+                self._reply(*svc._handle(q))
+
+        return Handler
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self) -> int:
+        """Start serving in a daemon thread; returns the bound port
+        (pass port=0 to pick a free one)."""
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), self._make_handler()
+        )
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

@@ -1,0 +1,113 @@
+"""HTTP SPARQL endpoint e2e: protocol forms, result-JSON typing, ASK,
+error handling — the reference's Fuseki-service surface
+(reference: fuseki-config-hbase.ttl, runHBaseSparqlEngine.sh)."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from hbase_rdf_spark.engine import KgEngine
+from hbase_rdf_spark.functions.encoding import build_dictionaries, encode_quads
+from hbase_rdf_spark.service import SparqlService
+from hbase_rdf_spark.sources.ntriples import parse_lines, quads
+
+NQ = [
+    "<http://ex/a> <http://ex/knows> <http://ex/b> .",
+    "<http://ex/b> <http://ex/knows> <http://ex/c> .",
+    '<http://ex/a> <http://ex/name> "Alice"@en .',
+    '<http://ex/a> <http://ex/age> "41"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+]
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("svcstore"))
+    eng = KgEngine(spark, root, num_partitions=2)
+    resolved = quads(parse_lines(
+        spark.createDataFrame([(l,) for l in NQ], "value string")
+    ))
+    t2i, i2t = build_dictionaries(resolved)
+    eng.store.write_dictionaries(t2i, i2t, "svc")
+    eng.store.write_indexes(encode_quads(resolved), "svc")
+    svc = SparqlService(eng, port=0)
+    svc.start()
+    yield svc
+    svc.stop()
+
+
+def _get(svc, query):
+    url = (
+        f"http://127.0.0.1:{svc.port}/sparql?query="
+        + urllib.parse.quote(query)
+    )
+    with urllib.request.urlopen(url) as r:
+        return json.load(r)
+
+
+def test_get_select_json(service):
+    out = _get(service, "SELECT ?o WHERE { <http://ex/a> <http://ex/knows> ?o }")
+    assert out["head"]["vars"] == ["o"]
+    assert out["results"]["bindings"] == [
+        {"o": {"type": "uri", "value": "http://ex/b"}}
+    ]
+
+
+def test_literal_typing(service):
+    out = _get(service, "SELECT ?n WHERE { <http://ex/a> <http://ex/name> ?n }")
+    assert out["results"]["bindings"] == [
+        {"n": {"type": "literal", "value": "Alice", "xml:lang": "en"}}
+    ]
+    out = _get(service, "SELECT ?a WHERE { <http://ex/a> <http://ex/age> ?a }")
+    (b,) = out["results"]["bindings"]
+    assert b["a"]["type"] == "literal" and float(b["a"]["value"]) == 41.0
+
+
+def test_post_forms(service):
+    q = "SELECT ?o WHERE { <http://ex/b> <http://ex/knows> ?o }"
+    url = f"http://127.0.0.1:{service.port}/sparql"
+    # form-encoded
+    req = urllib.request.Request(
+        url,
+        data=urllib.parse.urlencode({"query": q}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        got1 = json.load(r)
+    # raw sparql-query body
+    req = urllib.request.Request(
+        url, data=q.encode(),
+        headers={"Content-Type": "application/sparql-query"},
+    )
+    with urllib.request.urlopen(req) as r:
+        got2 = json.load(r)
+    assert got1 == got2
+    assert got1["results"]["bindings"][0]["o"]["value"] == "http://ex/c"
+
+
+def test_ask(service):
+    out = _get(service, "ASK { <http://ex/a> <http://ex/knows> <http://ex/b> }")
+    assert out == {"head": {}, "boolean": True}
+    out = _get(service, "ASK { <http://ex/a> <http://ex/knows> <http://ex/zzz> }")
+    assert out["boolean"] is False
+
+
+def test_unbound_optional_var_omitted(service):
+    out = _get(service, """
+        SELECT ?o ?n WHERE {
+          <http://ex/b> <http://ex/knows> ?o .
+          OPTIONAL { ?o <http://ex/name> ?n }
+        }""")
+    (b,) = out["results"]["bindings"]
+    assert "o" in b and "n" not in b  # unbound var omitted per spec
+
+
+def test_syntax_error_is_400(service):
+    url = (
+        f"http://127.0.0.1:{service.port}/sparql?query="
+        + urllib.parse.quote("SELECT WHERE {{{")
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(url)
+    assert exc.value.code == 400
