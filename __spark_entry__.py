@@ -425,6 +425,24 @@ def _q_sparql_filter_or(spark, sf):
         }""")
 
 
+def _q_sparql_values(spark, sf):
+    # VALUES inline table joined on a shared var + extending with a new
+    # var (terms absent from the store dictionary still materialize)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?tag WHERE {
+          <spark> <join> ?y .
+          VALUES (?y ?tag) { (<data> "d") (<table> "t") }
+        }""")
+
+
+def _q_sparql_minus(spark, sf):
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          MINUS { ?y <scan> <data> }
+        }""")
+
+
 def _q_path_seq(spark, sf):
     return _sparql(
         spark, sf,
@@ -803,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_group": _q_sparql_optional_group,
         "kg_sparql_notbound": _q_sparql_notbound,
         "kg_sparql_filter_or": _q_sparql_filter_or,
+        "kg_sparql_values": _q_sparql_values,
+        "kg_sparql_minus": _q_sparql_minus,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
@@ -1208,6 +1228,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_filter_or": f"""{_TRIPLES_CTE}
             SELECT DISTINCT s, o FROM triples
             WHERE p = 'scan' AND (s = 'spark' OR o = 'data')""",
+        "kg_sparql_values": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y, v.tag AS tag
+            FROM triples t
+            JOIN (VALUES ('data', 'd'), ('table', 't')) AS v(y, tag)
+              ON t.o = v.y
+            WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_sparql_minus": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND o NOT IN (SELECT s FROM triples
+                            WHERE p = 'scan' AND o = 'data')""",
         "kg_path_seq": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t2.o AS z
             FROM triples t1 JOIN triples t2

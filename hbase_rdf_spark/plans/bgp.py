@@ -616,21 +616,26 @@ def materialize(
     aggregate outputs that are already scalar values.
     """
     id2term = store.id2term()
-    variables = variables or [c for c in result.columns if c not in (keep or [])]
+    variables = variables or [
+        c for c in result.columns
+        if c not in (keep or []) and not c.startswith("__")
+    ]
     out = result
     for v in variables:
         name = v[1:] if v.startswith("?") else v
         d = id2term.select(
             F.col("id").alias(f"__{name}_id"), F.col("label").alias(f"__{name}_label")
         )
+        # fallback chain: dictionary label → sidecar lexical (a VALUES
+        # constant absent from the store dictionary) → numeric rendering
+        fallbacks = [F.col(f"__{name}_label")]
+        if f"__{name}_vlex" in result.columns:
+            fallbacks.append(F.col(f"__{name}_vlex"))
+        fallbacks.append(F.col(name).getField("num").cast("string"))
         out = out.join(
             d, out[name].getField("id") == d[f"__{name}_id"], "left"
         ).withColumn(
-            name + "_term",
-            F.coalesce(
-                F.col(f"__{name}_label"),
-                F.col(name).getField("num").cast("string"),
-            ),
+            name + "_term", F.coalesce(*fallbacks)
         ).drop(f"__{name}_id", f"__{name}_label")
     cols = [
         F.col((v[1:] if v.startswith("?") else v) + "_term").alias(

@@ -34,7 +34,14 @@ Property paths: ``^p`` inverse, ``p1/p2`` sequence, ``p1|p2``
 alternative, and the ``+ * ?`` closures, freely composable with parens
 (reference flattens paths via stock ARQ, HBaseOptimize.java:111).
 Blank nodes in queries (``_:b``, ``[]``) act as non-projectable
-variables, per spec. Unsupported (deliberately): subqueries.
+variables, per spec.
+
+Solution-set clauses: ``VALUES`` (inline table joined on shared vars;
+new vars extend bindings), ``MINUS`` (anti-join on shared vars),
+``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
+emptiness test), ``FILTER(?x [NOT] IN (…))`` (OptimizeIn-style
+equality expansion). Unsupported (deliberately): subqueries, UNDEF in
+VALUES, correlated filters inside MINUS/EXISTS blocks.
 """
 
 from __future__ import annotations
@@ -149,6 +156,15 @@ class GroupBlock:
 
 
 @dataclass
+class ValuesBlock:
+    """VALUES inline data: vars (no '?') × constant rows (terms as
+    parsed by ``term()``; UNDEF unsupported)."""
+
+    vars: list[str] = field(default_factory=list)
+    rows: list[list] = field(default_factory=list)
+
+
+@dataclass
 class Query:
     variables: list[str]  # projected ?vars ('*' expanded at exec)
     form: str = "select"  # select | ask | describe
@@ -161,6 +177,10 @@ class Query:
     union_blocks: list[list[GroupBlock]] = field(default_factory=list)
     filters: list = field(default_factory=list)
     lang_filters: list[LangFilter] = field(default_factory=list)
+    values: list[ValuesBlock] = field(default_factory=list)
+    minus: list[GroupBlock] = field(default_factory=list)
+    # FILTER [NOT] EXISTS { … }: (positive, block) pairs
+    exists: list[tuple[bool, GroupBlock]] = field(default_factory=list)
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     describe_target: object = None  # '?var' or constant term
@@ -447,7 +467,17 @@ class _Parser:
                 )
             elif up == "FILTER":
                 self.next()
-                self._filter(q)
+                self._filter(q, graph)
+            elif up == "VALUES":
+                self.next()
+                q.values.append(self._values_block())
+            elif up == "MINUS":
+                self.next()
+                self.expect("{")
+                sub = Query(variables=[])
+                self._subgroup(sub, graph)
+                self.expect("}")
+                q.minus.append(self._as_branch(sub))
             elif tok == "{":
                 # braced block, possibly a UNION chain
                 self.next()
@@ -491,11 +521,59 @@ class _Parser:
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:
             raise SparqlSyntaxError("nested UNION chains are not supported")
+        if sub.values or sub.minus or sub.exists:
+            raise SparqlSyntaxError(
+                "VALUES/MINUS/EXISTS nested inside a group are not supported"
+            )
         return GroupBlock(
             patterns=sub.patterns,
             filters=sub.filters,
             optional=sub.optional,
         )
+
+    def _values_block(self) -> ValuesBlock:
+        multi = self.peek() == "("
+        vars_: list[str] = []
+        if multi:
+            self.next()
+            while self.peek() != ")":
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("VALUES vars must be variables")
+                vars_.append(v[1:])
+            self.expect(")")
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("VALUES vars must be variables")
+            vars_.append(v[1:])
+        self.expect("{")
+        rows: list[list] = []
+        while self.peek() != "}":
+            if multi:
+                self.expect("(")
+                row = []
+                while self.peek() != ")":
+                    row.append(self._values_term())
+                self.expect(")")
+            else:
+                row = [self._values_term()]
+            if len(row) != len(vars_):
+                raise SparqlSyntaxError(
+                    f"VALUES row arity {len(row)} != {len(vars_)} vars"
+                )
+            rows.append(row)
+        self.expect("}")
+        return ValuesBlock(vars_, rows)
+
+    def _values_term(self):
+        tok = self.peek()
+        if tok is not None and tok.upper() == "UNDEF":
+            raise SparqlSyntaxError("UNDEF in VALUES is not supported")
+        t = self.term()
+        if isinstance(t, str) and t.startswith("?"):
+            raise SparqlSyntaxError("VALUES data must be constants")
+        return t
 
     def _subgroup(self, sub: "Query", graph) -> None:
         self._group(sub, graph)
@@ -503,7 +581,27 @@ class _Parser:
     # -- filters --------------------------------------------------------
     # expr := and_expr ('||' and_expr)* ; and_expr := unary ('&&' unary)*
     # unary := '!' unary | '(' expr ')' | builtin-call | comparison
-    def _filter(self, q: Query) -> None:
+    def _filter(self, q: Query, graph=None) -> None:
+        # FILTER [NOT] EXISTS { … } — correlated existence via
+        # semi/anti join on the shared variables
+        tok = self.peek()
+        up = tok.upper() if tok is not None else ""
+        neg = False
+        if up == "NOT":
+            save = self.i
+            self.next()
+            if (self.peek() or "").upper() == "EXISTS":
+                up, neg = "EXISTS", True
+            else:
+                self.i = save
+        if up == "EXISTS":
+            self.next()
+            self.expect("{")
+            sub = Query(variables=[])
+            self._subgroup(sub, graph)
+            self.expect("}")
+            q.exists.append((not neg, self._as_branch(sub)))
+            return
         if self.peek() == "(":
             self.next()
             e = self._or_expr()
@@ -606,6 +704,26 @@ class _Parser:
             raise SparqlSyntaxError(f"expected a variable, got {v}")
         return v
 
+    def _in_list(self, var: str):
+        """``?x IN (c1, c2, …)`` → Or of equality filters (the
+        reference's OptimizeIn-style expansion)."""
+        self.expect("(")
+        parts = []
+        while True:
+            t = self.term()
+            if isinstance(t, str) and t.startswith("?"):
+                raise SparqlSyntaxError("IN list must contain constants")
+            if isinstance(t, (int, float)):
+                parts.append(Filter(var, "=", float(t)))
+            else:
+                parts.append(_TermFilter(var, "=", t))
+            if self.peek() == ",":
+                self.next()
+                continue
+            break
+        self.expect(")")
+        return parts[0] if len(parts) == 1 else Or(parts)
+
     def _string_arg(self) -> str:
         tok = self.next()
         if tok.startswith('"') or tok.startswith("'"):
@@ -652,6 +770,26 @@ class _Parser:
 
     def _comparison(self):
         lhs, l_off, l_str = self._operand()
+        nxt = self.peek()
+        nup = nxt.upper() if nxt is not None else ""
+        if (
+            nup in ("IN", "NOT")
+            and not l_str
+            and isinstance(lhs, str)
+            and lhs.startswith("?")
+        ):
+            neg = False
+            if nup == "NOT":
+                save = self.i
+                self.next()
+                if (self.peek() or "").upper() == "IN":
+                    neg = True
+                else:
+                    self.i = save
+            if neg or nup == "IN":
+                self.next()  # consume IN
+                e = self._in_list(lhs)
+                return Not(e) if neg else e
         op = self.next()
         if op not in self._FLIP:
             raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
@@ -895,6 +1033,39 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
     ).dropDuplicates()
 
 
+def _values_df(store, vb: ValuesBlock) -> DataFrame:
+    """VALUES rows → a DataFrame of binding structs (one col per var).
+
+    Ids are computed with the SAME in-plan hash as pattern constants
+    (xxhash64(kind, lex)), so the join keys line up with scan output.
+    """
+    from hbase_rdf_spark.plans.bgp import _binding_struct
+
+    flat_rows = []
+    for row in vb.rows:
+        flat: list = []
+        for t in row:
+            if isinstance(t, (int, float)) and not isinstance(t, bool):
+                flat += [None, 2, float(t)]
+            else:
+                lex, kind = t if isinstance(t, tuple) else (t, 0)
+                flat += [lex, kind, None]
+        flat_rows.append(tuple(flat))
+    schema = ", ".join(
+        f"__{v}_lex string, __{v}_kind int, __{v}_num double" for v in vb.vars
+    )
+    df = store.spark.createDataFrame(flat_rows, schema)
+    cols = []
+    for v in vb.vars:
+        k = F.col(f"__{v}_kind")
+        ident = F.when(k != 2, F.xxhash64(k.cast("int"), F.col(f"__{v}_lex")))
+        cols.append(_binding_struct(k, ident, F.col(f"__{v}_num")).alias(v))
+        # VALUES may introduce terms absent from the store dictionary;
+        # carry the lexical form so materialize() can still render them
+        cols.append(F.col(f"__{v}_lex").alias(f"__{v}_vlex"))
+    return df.select(*cols)
+
+
 def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     """Evaluate one branch combination of the query's UNION chains."""
     pats = list(q.patterns)
@@ -942,6 +1113,44 @@ def execute(store, query: str | Query) -> DataFrame:
             optional=list(q.optional), dedup=dedup,
         )
 
+    # VALUES: inline solution table joined on its shared vars (new vars
+    # extend the bindings; no shared vars = cartesian, per spec)
+    for vb in q.values:
+        vdf = _values_df(store, vb)
+        shared = [v for v in vb.vars if v in result.columns]
+        result = (
+            result.join(vdf, on=shared, how="inner")
+            if shared
+            else result.crossJoin(vdf)
+        )
+
+    # MINUS: remove solutions compatible with the block on shared vars
+    # (disjoint domains remove nothing, per spec). NULL shared values
+    # (unbound optional vars) never match — kept.
+    for blk in q.minus:
+        step = execute_bgp(
+            store, blk.patterns, filters=blk.filters,
+            optional=blk.optional, dedup=True,
+        )
+        shared = [c for c in step.columns if c in result.columns]
+        if shared:
+            result = result.join(step, on=shared, how="left_anti")
+
+    # FILTER [NOT] EXISTS: correlated existence via semi/anti join;
+    # uncorrelated blocks collapse to a global emptiness test
+    for positive, blk in q.exists:
+        step = execute_bgp(
+            store, blk.patterns, filters=blk.filters,
+            optional=blk.optional, dedup=True,
+        )
+        shared = [c for c in step.columns if c in result.columns]
+        if shared:
+            how = "left_semi" if positive else "left_anti"
+            result = result.join(step, on=shared, how=how)
+        else:
+            if positive != (not step.isEmpty()):
+                result = result.limit(0)
+
     if q.lang_filters:  # legacy Query-object API
         result = _apply_lang_filters(result, store, q.lang_filters)
 
@@ -954,8 +1163,9 @@ def execute(store, query: str | Query) -> DataFrame:
         return _construct(store, q, result)
 
     def _projectable(cols):
-        # blank-node vars (__bn_*) are never projectable, per spec
-        return [c for c in cols if not c.startswith("__bn_")]
+        # blank-node vars (__bn_*) and internal sidecar columns
+        # (__*_vlex) are never projectable
+        return [c for c in cols if not c.startswith("__")]
 
     if q.aggregates:
         gvars = [v[1:] for v in q.group_by]
@@ -1001,7 +1211,12 @@ def execute(store, query: str | Query) -> DataFrame:
             # materialize dropDuplicates below still runs — two ids of
             # different kinds can render to the same lexical string.
             names = [v[1:] if v.startswith("?") else v for v in variables]
-            result = result.select(*names).dropDuplicates()
+            keep_cols = names + [
+                c for c in result.columns
+                if c.startswith("__") and c.endswith("_vlex")
+                and c[2:-5] in names
+            ]
+            result = result.select(*keep_cols).dropDuplicates()
         out = materialize(result, store, variables)
     if q.distinct:
         out = out.dropDuplicates()

@@ -287,3 +287,119 @@ def test_union_branch_local_filters_stay_local(store):
     }
     """
     assert rows(execute(store, q)) == {("http://ex/i1",), ("http://ex/i2",)}
+
+
+# -- VALUES / MINUS / EXISTS / IN --------------------------------------------
+
+
+def test_values_single_var(store):
+    q = """
+    SELECT ?i ?p WHERE {
+      VALUES ?i { <http://ex/i1> <http://ex/i3> }
+      ?i <http://ex/item> ?y .
+      OPTIONAL { ?i <http://ex/price> ?p }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "50.0"),
+        ("http://ex/i3", None),
+    }
+
+
+def test_values_multi_var_extends_bindings(store):
+    q = """
+    SELECT ?i ?tag WHERE {
+      ?i <http://ex/price> ?p .
+      VALUES (?i ?tag) {
+        (<http://ex/i1> "cheap")
+        (<http://ex/i2> "dear")
+      }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "cheap"),
+        ("http://ex/i2", "dear"),
+    }
+
+
+def test_values_numeric_join(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      VALUES ?p { 50 }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",)}
+
+
+def test_minus(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      MINUS { ?i <http://ex/price> ?p }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i3",)}
+
+
+def test_not_exists(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER NOT EXISTS { ?i <http://ex/price> ?p }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i3",)}
+
+
+def test_exists(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER EXISTS { ?i <http://ex/price> ?p }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",), ("http://ex/i2",)}
+
+
+def test_exists_uncorrelated(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER EXISTS { <http://ex/a> <http://ex/knows> ?w }
+    }
+    """
+    assert len(rows(execute(store, q))) == 3
+    q2 = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER EXISTS { <http://ex/nope> <http://ex/knows> ?w }
+    }
+    """
+    assert rows(execute(store, q2)) == set()
+
+
+def test_filter_in_and_not_in(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER(?i IN (<http://ex/i1>, <http://ex/i2>))
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",), ("http://ex/i2",)}
+    q2 = """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      FILTER(?i NOT IN (<http://ex/i1>, <http://ex/i2>))
+    }
+    """
+    assert rows(execute(store, q2)) == {("http://ex/i3",)}
+
+
+def test_filter_in_numeric(store):
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p FILTER(?p IN (50, 999))
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1",)}
