@@ -380,6 +380,24 @@ def _word_store(spark, sf):
         F.col("o").alias("obj"),
         F.lit(0).alias("obj_kind"),
     )
+    # numeric side-channel for the BIND/numeric SPARQL gates: one
+    # <toklen> triple per distinct node (its character length as an
+    # inline numeric literal, kind 2). The predicate is outside
+    # PRED_VOCAB, so every word-only gate query is unaffected.
+    toklen = (
+        tri.select(F.col("s").alias("subj"))
+        .unionByName(tri.select(F.col("o").alias("subj")))
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "subj",
+            F.lit("toklen").alias("pred"),
+            F.length("subj").cast("string").alias("obj"),
+            F.lit(2).alias("obj_kind"),
+        )
+    )
+    resolved = resolved.unionByName(toklen)
     st = TripleStore(
         spark, tempfile.mkdtemp(prefix="wordstore_"), num_partitions=4
     )
@@ -440,6 +458,20 @@ def _q_sparql_minus(spark, sf):
         SELECT DISTINCT ?y WHERE {
           <spark> <join> ?y .
           MINUS { ?y <scan> <data> }
+        }""")
+
+
+def _q_sparql_bind(spark, sf):
+    # BIND: numeric arithmetic over an inline numeric literal, plus a
+    # dictionary-absent constant term; the FILTER over the BIND var is
+    # deferred until after the assignment
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?dlen ?src WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          BIND(?n * 2 + 1 AS ?dlen)
+          BIND(<tag:wordkg> AS ?src)
+          FILTER(?dlen > 7)
         }""")
 
 
@@ -823,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter_or": _q_sparql_filter_or,
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_minus": _q_sparql_minus,
+        "kg_sparql_bind": _q_sparql_bind,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
@@ -1239,6 +1272,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE s = 'spark' AND p = 'join'
               AND o NOT IN (SELECT s FROM triples
                             WHERE p = 'scan' AND o = 'data')""",
+        "kg_sparql_bind": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y,
+                   CAST(CAST(length(o) * 2 + 1 AS DOUBLE) AS VARCHAR) AS dlen,
+                   'tag:wordkg' AS src
+            FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND length(o) * 2 + 1 > 7""",
         "kg_path_seq": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t2.o AS z
             FROM triples t1 JOIN triples t2

@@ -40,15 +40,20 @@ Solution-set clauses: ``VALUES`` (inline table joined on shared vars;
 new vars extend bindings), ``MINUS`` (anti-join on shared vars),
 ``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
 emptiness test), ``FILTER(?x [NOT] IN (…))`` (OptimizeIn-style
-equality expansion). Unsupported (deliberately): subqueries, UNDEF in
-VALUES, correlated filters inside MINUS/EXISTS blocks.
+equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
+copies, and numeric arithmetic ``+ - * /`` over vars/numbers; a NULL
+operand or division by zero leaves the var unbound, per the SPARQL
+error→unbound rule; FILTERs over BIND vars are deferred until after
+the assignment). Unsupported (deliberately): subqueries, UNDEF in
+VALUES, correlated filters inside MINUS/EXISTS blocks, BIND vars
+reused in graph patterns (requires in-group evaluation order).
 """
 
 from __future__ import annotations
 
 import itertools
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 from functools import reduce as _reduce
 
 from pyspark.sql import DataFrame, functions as F
@@ -165,6 +170,18 @@ class ValuesBlock:
 
 
 @dataclass
+class BindAssign:
+    """``BIND(expr AS ?var)``: var (no '?') ← a value expression tree.
+
+    expr nodes: ``('var', '?x')`` | ``('num', 3.5)`` | ``('const',
+    term)`` | ``('arith', op, left, right)`` with op in ``+ - * /``.
+    """
+
+    var: str
+    expr: tuple
+
+
+@dataclass
 class Query:
     variables: list[str]  # projected ?vars ('*' expanded at exec)
     form: str = "select"  # select | ask | describe
@@ -178,6 +195,7 @@ class Query:
     filters: list = field(default_factory=list)
     lang_filters: list[LangFilter] = field(default_factory=list)
     values: list[ValuesBlock] = field(default_factory=list)
+    binds: list[BindAssign] = field(default_factory=list)
     minus: list[GroupBlock] = field(default_factory=list)
     # FILTER [NOT] EXISTS { … }: (positive, block) pairs
     exists: list[tuple[bool, GroupBlock]] = field(default_factory=list)
@@ -368,6 +386,8 @@ class _Parser:
             tmpl = Query(variables=[])
             self._group(tmpl, None)
             self.expect("}")
+            if tmpl.binds:
+                raise SparqlSyntaxError("BIND in a CONSTRUCT template is invalid")
             q.construct_template = tmpl.patterns
         else:
             raise SparqlSyntaxError(f"unsupported query form {head}")
@@ -448,6 +468,7 @@ class _Parser:
                 q.optional.extend(sub.optional)
                 q.filters.extend(sub.filters)
                 q.lang_filters.extend(sub.lang_filters)
+                q.binds.extend(sub.binds)  # BIND is graph-agnostic
             elif up == "OPTIONAL":
                 self.next()
                 self.expect("{")
@@ -456,6 +477,8 @@ class _Parser:
                 self.expect("}")
                 if sub.union_blocks:
                     raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
+                if sub.binds:
+                    raise SparqlSyntaxError("BIND inside OPTIONAL is not supported")
                 # the whole group left-joins as a unit, its FILTERs
                 # applied inside the block (SPARQL LeftJoin semantics)
                 q.optional.append(
@@ -471,6 +494,16 @@ class _Parser:
             elif up == "VALUES":
                 self.next()
                 q.values.append(self._values_block())
+            elif up == "BIND":
+                self.next()
+                self.expect("(")
+                expr = self._bind_expr()
+                self.expect("AS")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError("BIND alias must be a variable")
+                self.expect(")")
+                q.binds.append(BindAssign(v[1:], expr))
             elif up == "MINUS":
                 self.next()
                 self.expect("{")
@@ -521,9 +554,9 @@ class _Parser:
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:
             raise SparqlSyntaxError("nested UNION chains are not supported")
-        if sub.values or sub.minus or sub.exists:
+        if sub.values or sub.minus or sub.exists or sub.binds:
             raise SparqlSyntaxError(
-                "VALUES/MINUS/EXISTS nested inside a group are not supported"
+                "VALUES/MINUS/EXISTS/BIND nested inside a group are not supported"
             )
         return GroupBlock(
             patterns=sub.patterns,
@@ -577,6 +610,36 @@ class _Parser:
 
     def _subgroup(self, sub: "Query", graph) -> None:
         self._group(sub, graph)
+
+    # -- BIND value expressions -----------------------------------------
+    # additive := mult (('+'|'-') mult)* ; mult := atom (('*'|'/') atom)*
+    # atom := '(' additive ')' | ?var | number | constant term
+    def _bind_expr(self) -> tuple:
+        node = self._bind_mult()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            node = ("arith", op, node, self._bind_mult())
+        return node
+
+    def _bind_mult(self) -> tuple:
+        node = self._bind_atom()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            node = ("arith", op, node, self._bind_atom())
+        return node
+
+    def _bind_atom(self) -> tuple:
+        if self.peek() == "(":
+            self.next()
+            e = self._bind_expr()
+            self.expect(")")
+            return e
+        t = self.term()
+        if isinstance(t, str) and t.startswith("?"):
+            return ("var", t)
+        if isinstance(t, (int, float)) and not isinstance(t, bool):
+            return ("num", float(t))
+        return ("const", t)
 
     # -- filters --------------------------------------------------------
     # expr := and_expr ('||' and_expr)* ; and_expr := unary ('&&' unary)*
@@ -1066,6 +1129,113 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     return df.select(*cols)
 
 
+def _bind_num_col(expr: tuple):
+    """Numeric value column of a BIND arithmetic tree (NULL = error →
+    unbound, incl. division by zero under ANSI-off semantics)."""
+    tag = expr[0]
+    if tag == "var":
+        return F.col(expr[1][1:]).getField("num")
+    if tag == "num":
+        return F.lit(expr[1])
+    if tag == "const":
+        raise SparqlSyntaxError(
+            "non-numeric constant inside BIND arithmetic"
+        )
+    _, op, left, right = expr
+    lc, rc = _bind_num_col(left), _bind_num_col(right)
+    if op == "/":
+        # SPARQL division-by-zero is an error → unbound (Spark's int/
+        # float division already yields NULL with ANSI off, but be
+        # explicit so the semantics don't depend on session config)
+        return F.when(rc != 0, lc / rc)
+    return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
+
+
+def _apply_binds(result: DataFrame, binds: list[BindAssign]) -> DataFrame:
+    """Extend solutions with BIND assignments (applied after the
+    group's patterns — parse-time guards ensure no pattern consumes a
+    BIND var, so this is equivalent to in-place evaluation).
+
+    Representation matches ``_values_df``: constants get the same
+    in-plan xxhash64 id as pattern constants; terms possibly absent
+    from the dictionary carry a ``__{v}_vlex`` sidecar so
+    ``materialize`` can render them; computed numbers are kind-2
+    structs with a NULL id. A NULL arithmetic result nulls the whole
+    struct (unbound), matching OPTIONAL's null-extension."""
+    from hbase_rdf_spark.plans.bgp import _binding_struct
+
+    for b in binds:
+        expr = b.expr
+        if expr[0] == "var":
+            src = expr[1][1:]
+            result = result.withColumn(b.var, F.col(src))
+            if f"__{src}_vlex" in result.columns:
+                result = result.withColumn(
+                    f"__{b.var}_vlex", F.col(f"__{src}_vlex")
+                )
+        elif expr[0] == "num":
+            result = result.withColumn(
+                b.var,
+                _binding_struct(F.lit(2), F.lit(None), F.lit(expr[1])),
+            )
+        elif expr[0] == "const":
+            t = expr[1]
+            lex, kind = t if isinstance(t, tuple) else (t, 0)
+            result = result.withColumn(
+                b.var,
+                _binding_struct(
+                    F.lit(kind),
+                    F.xxhash64(F.lit(kind).cast("int"), F.lit(lex)),
+                    F.lit(None),
+                ),
+            ).withColumn(f"__{b.var}_vlex", F.lit(lex))
+        else:
+            num = _bind_num_col(expr)
+            result = result.withColumn(
+                b.var,
+                F.when(
+                    num.isNotNull(),
+                    _binding_struct(F.lit(2), F.lit(None), num),
+                ),
+            )
+    return result
+
+
+def _bind_scope_check(q: Query) -> None:
+    """Parse-level guards that make post-hoc BIND evaluation exact."""
+    scope = pattern_vars(q.patterns)
+    for blk in q.optional:
+        scope |= _block_vars(blk)
+    for chain in q.union_blocks:
+        for br in chain:
+            scope |= pattern_vars(br.patterns)
+            for blk in br.optional:
+                scope |= _block_vars(blk)
+    for vb in q.values:
+        scope |= set(vb.vars)
+    for b in q.binds:
+        if b.var in scope:
+            raise SparqlSyntaxError(
+                f"BIND ?{b.var} would rebind a variable already in scope "
+                "(BIND vars reused in graph patterns are not supported)"
+            )
+        used = _bind_expr_vars(b.expr)
+        if not used <= scope:
+            missing = ", ".join(f"?{v}" for v in sorted(used - scope))
+            raise SparqlSyntaxError(
+                f"BIND expression uses out-of-scope variable(s) {missing}"
+            )
+        scope.add(b.var)  # later BINDs may chain on earlier ones
+
+
+def _bind_expr_vars(expr: tuple) -> set[str]:
+    if expr[0] == "var":
+        return {expr[1][1:]}
+    if expr[0] == "arith":
+        return _bind_expr_vars(expr[2]) | _bind_expr_vars(expr[3])
+    return set()
+
+
 def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     """Evaluate one branch combination of the query's UNION chains."""
     pats = list(q.patterns)
@@ -1101,6 +1271,22 @@ def execute(store, query: str | Query) -> DataFrame:
     # (aggregates count multiplicities — must keep bags)
     dedup = (q.distinct or q.form == "ask") and not q.aggregates
 
+    deferred: list = []
+    if q.binds:
+        _bind_scope_check(q)
+        bind_targets = {b.var for b in q.binds}
+        deferred = [f for f in q.filters if f.vars() & bind_targets]
+        if deferred:
+            for f in deferred:
+                if f.label_vars():
+                    raise SparqlSyntaxError(
+                        "label-space filters (regex/str/lang/isIRI) over "
+                        "BIND variables are not supported"
+                    )
+            q = _dc_replace(
+                q, filters=[f for f in q.filters if f not in deferred]
+            )
+
     if q.union_blocks:
         combos = list(itertools.product(*q.union_blocks))
         results = [_combo_result(store, q, combo, dedup) for combo in combos]
@@ -1123,6 +1309,14 @@ def execute(store, query: str | Query) -> DataFrame:
             if shared
             else result.crossJoin(vdf)
         )
+
+    # BIND: extend each solution (post-pattern evaluation is exact —
+    # _bind_scope_check guarantees no pattern consumes a BIND var);
+    # filters over BIND vars apply immediately after
+    if q.binds:
+        result = _apply_binds(result, q.binds)
+        for f in deferred:
+            result = result.filter(f.cond())
 
     # MINUS: remove solutions compatible with the block on shared vars
     # (disjoint domains remove nothing, per spec). NULL shared values

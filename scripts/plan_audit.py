@@ -122,6 +122,61 @@ def main() -> None:
                            "HashAggregate", "Scan parquet")),
     ))
 
+    # --- round-2 surfaces -------------------------------------------------
+    p6 = eng.sql(
+        "SELECT ?x ?y ?c WHERE { ?x <rel:works_at> ?y . "
+        "OPTIONAL { ?x <rel:lives_in> ?c . ?c <rel:works_at> ?w } }"
+    )
+    sections.append((
+        "Grouped OPTIONAL (SPARQL LeftJoin-as-unit)",
+        "The OPTIONAL block's two patterns inner-join FIRST (its own "
+        "hash join), and the completed block left-joins onto the "
+        "required bindings as a unit — a partial in-block match binds "
+        "nothing. One LeftOuter join per block, not per pattern.",
+        trim(plan_of(p6), ("Join", "BroadcastHashJoin", "SortMergeJoin",
+                           "PushedFilters", "Scan parquet")),
+    ))
+
+    p7 = eng.sql(
+        "SELECT DISTINCT ?x WHERE { ?x <rel:works_at> ?y . "
+        "FILTER NOT EXISTS { ?x <rel:lives_in> ?c } }"
+    )
+    sections.append((
+        "FILTER NOT EXISTS — anti join",
+        "Negated existence lowers to LeftAnti on the shared variable; "
+        "set-semantics pushdown (SELECT DISTINCT) dedupes each pattern "
+        "scan before the join so context multiplicities never multiply "
+        "through it.",
+        trim(plan_of(p7), ("Join", "LeftAnti", "HashAggregate",
+                           "PushedFilters", "Scan parquet", "Exchange")),
+    ))
+
+    p8 = eng.sql(
+        'SELECT ?x ?tag WHERE { ?x <rel:works_at> ?y . '
+        'VALUES (?y ?tag) { (<ent:org/acme_corp> "a") (<ent:org/globex> "g") } }'
+    )
+    sections.append((
+        "VALUES inline table",
+        "The inline solution table is a tiny LocalTableScan whose ids "
+        "are computed with the same in-plan xxhash64 as pattern "
+        "constants; it broadcast-joins against the bindings on the "
+        "shared variable.",
+        trim(plan_of(p8), ("Join", "LocalTableScan", "BroadcastExchange",
+                           "PushedFilters", "Scan parquet")),
+    ))
+
+    p9 = eng.sql(
+        "SELECT ?z WHERE { ?s <rel:works_at>/<rel:lives_in> ?z }"
+    )
+    sections.append((
+        "Property-path sequence (p1/p2)",
+        "A path sequence is one pair-set join (l.b = r.a) between two "
+        "pushed-down predicate scans — no per-binding rescan, no "
+        "closure machinery unless a +/*/? modifier asks for it.",
+        trim(plan_of(p9), ("Join", "BroadcastHashJoin", "SortMergeJoin",
+                           "PushedFilters", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

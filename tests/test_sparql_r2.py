@@ -403,3 +403,131 @@ def test_filter_in_numeric(store):
     }
     """
     assert rows(execute(store, q)) == {("http://ex/i1",)}
+
+
+# -- BIND --------------------------------------------------------------------
+
+
+def test_bind_arithmetic(store):
+    q = """
+    SELECT ?i ?double WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(?p * 2 AS ?double)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "100.0"),
+        ("http://ex/i2", "300.0"),
+    }
+
+
+def test_bind_precedence_and_parens(store):
+    q = """
+    SELECT ?i ?v WHERE {
+      ?i <http://ex/price> ?p .
+      BIND((?p + 10) * 2 - ?p / 1 AS ?v)
+    }
+    """
+    # (50+10)*2-50 = 70 ; (150+10)*2-150 = 170
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "70.0"),
+        ("http://ex/i2", "170.0"),
+    }
+
+
+def test_bind_constant_term(store):
+    q = """
+    SELECT DISTINCT ?t WHERE {
+      ?i <http://ex/item> ?y .
+      BIND(<http://ex/sourceA> AS ?t)
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/sourceA",)}
+
+
+def test_bind_string_constant(store):
+    q = """
+    SELECT DISTINCT ?lbl WHERE {
+      ?i <http://ex/item> ?y .
+      BIND("batch-7" AS ?lbl)
+    }
+    """
+    assert rows(execute(store, q)) == {("batch-7",)}
+
+
+def test_bind_var_copy_then_filter(store):
+    # the FILTER references a BIND var → deferred until after the BIND
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(?p AS ?q)
+      FILTER(?q > 100)
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2",)}
+
+
+def test_bind_chained(store):
+    q = """
+    SELECT ?i ?b WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(?p + 1 AS ?a)
+      BIND(?a * 2 AS ?b)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "102.0"),
+        ("http://ex/i2", "302.0"),
+    }
+
+
+def test_bind_division_by_zero_unbinds(store):
+    q = """
+    SELECT ?i ?z WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(?p / 0 AS ?z)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", None),
+        ("http://ex/i2", None),
+    }
+    # and bound() sees the error→unbound result
+    q2 = q.replace("}\n    ", "} ").replace(
+        "BIND(?p / 0 AS ?z)", "BIND(?p / 0 AS ?z) FILTER(bound(?z))"
+    )
+    assert rows(execute(store, q2)) == set()
+
+
+def test_bind_rebind_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="rebind"):
+        execute(store, """
+        SELECT ?i WHERE { ?i <http://ex/price> ?p . BIND(1 AS ?p) }
+        """)
+
+
+def test_bind_out_of_scope_var_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="out-of-scope"):
+        execute(store, """
+        SELECT ?i WHERE { ?i <http://ex/price> ?p . BIND(?nope + 1 AS ?x) }
+        """)
+
+
+def test_bind_inside_optional_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
+        execute(store, """
+        SELECT ?i WHERE {
+          ?i <http://ex/item> ?y .
+          OPTIONAL { ?i <http://ex/price> ?p . BIND(?p AS ?q) }
+        }
+        """)
+
+
+def test_bind_aggregate_over_bind_var(store):
+    q = """
+    SELECT (SUM(?tax) AS ?total) WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(?p / 10 AS ?tax)
+    }
+    """
+    assert rows(execute(store, q)) == {(20.0,)}
