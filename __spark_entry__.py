@@ -461,6 +461,26 @@ def _q_sparql_minus(spark, sf):
         }""")
 
 
+def _q_sparql_not_exists(spark, sf):
+    # negated correlated existence → LeftAnti on the shared variable
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          FILTER NOT EXISTS { ?y <merge> <data> }
+        }""")
+
+
+def _q_sparql_subquery(spark, sf):
+    # nested { SELECT … GROUP BY } evaluated in id space, joined to the
+    # outer pattern on the shared variable (per-node fan-out count)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n WHERE {
+          <spark> <join> ?y .
+          { SELECT ?y (COUNT(DISTINCT ?z) AS ?n)
+            WHERE { ?y <merge> ?z } GROUP BY ?y }
+        }""")
+
+
 def _q_sparql_bind(spark, sf):
     # BIND: numeric arithmetic over an inline numeric literal, plus a
     # dictionary-absent constant term; the FILTER over the BIND var is
@@ -856,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_bind": _q_sparql_bind,
+        "kg_sparql_not_exists": _q_sparql_not_exists,
+        "kg_sparql_subquery": _q_sparql_subquery,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
@@ -1272,6 +1294,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE s = 'spark' AND p = 'join'
               AND o NOT IN (SELECT s FROM triples
                             WHERE p = 'scan' AND o = 'data')""",
+        "kg_sparql_not_exists": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND o NOT IN (SELECT s FROM triples
+                            WHERE p = 'merge' AND o = 'data')""",
+        "kg_sparql_subquery": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y,
+                   CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n
+            FROM triples t
+            JOIN (SELECT s, count(DISTINCT o) AS n FROM triples
+                  WHERE p = 'merge' GROUP BY s) m
+              ON t.o = m.s
+            WHERE t.s = 'spark' AND t.p = 'join'""",
         "kg_sparql_bind": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y,
                    CAST(CAST(length(o) * 2 + 1 AS DOUBLE) AS VARCHAR) AS dlen,

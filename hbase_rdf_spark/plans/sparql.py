@@ -44,9 +44,18 @@ equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
 copies, and numeric arithmetic ``+ - * /`` over vars/numbers; a NULL
 operand or division by zero leaves the var unbound, per the SPARQL
 error→unbound rule; FILTERs over BIND vars are deferred until after
-the assignment). Unsupported (deliberately): subqueries, UNDEF in
-VALUES, correlated filters inside MINUS/EXISTS blocks, BIND vars
-reused in graph patterns (requires in-group evaluation order).
+the assignment).
+
+Subqueries: nested ``{ SELECT … }`` blocks evaluate bottom-up in ID
+SPACE and join the enclosing group on shared variables — the standard
+analytic shape (per-group aggregate joined back to detail rows).
+Surface: BGP/FILTER/OPTIONAL + numeric aggregates with GROUP
+BY/HAVING and DISTINCT; deeper nesting, ORDER/LIMIT inside the
+subquery, and subqueries inside OPTIONAL/GRAPH/UNION raise.
+
+Unsupported (deliberately): UNDEF in VALUES, correlated filters
+inside MINUS/EXISTS blocks, BIND vars reused in graph patterns
+(requires in-group evaluation order).
 """
 
 from __future__ import annotations
@@ -196,6 +205,9 @@ class Query:
     lang_filters: list[LangFilter] = field(default_factory=list)
     values: list[ValuesBlock] = field(default_factory=list)
     binds: list[BindAssign] = field(default_factory=list)
+    # nested { SELECT … } blocks: evaluated bottom-up in id space and
+    # joined to the enclosing group on shared variables
+    subqueries: list["Query"] = field(default_factory=list)
     minus: list[GroupBlock] = field(default_factory=list)
     # FILTER [NOT] EXISTS { … }: (positive, block) pairs
     exists: list[tuple[bool, GroupBlock]] = field(default_factory=list)
@@ -469,6 +481,10 @@ class _Parser:
                 q.filters.extend(sub.filters)
                 q.lang_filters.extend(sub.lang_filters)
                 q.binds.extend(sub.binds)  # BIND is graph-agnostic
+                if sub.subqueries:
+                    raise SparqlSyntaxError(
+                        "a subquery inside GRAPH is not supported"
+                    )
             elif up == "OPTIONAL":
                 self.next()
                 self.expect("{")
@@ -479,6 +495,10 @@ class _Parser:
                     raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
                 if sub.binds:
                     raise SparqlSyntaxError("BIND inside OPTIONAL is not supported")
+                if sub.subqueries:
+                    raise SparqlSyntaxError(
+                        "a subquery inside OPTIONAL is not supported"
+                    )
                 # the whole group left-joins as a unit, its FILTERs
                 # applied inside the block (SPARQL LeftJoin semantics)
                 q.optional.append(
@@ -512,8 +532,24 @@ class _Parser:
                 self.expect("}")
                 q.minus.append(self._as_branch(sub))
             elif tok == "{":
-                # braced block, possibly a UNION chain
+                # braced block: a subquery, or a group / UNION chain
                 self.next()
+                if (self.peek() or "").upper() == "SELECT":
+                    self.next()
+                    sq = Query(variables=[])
+                    self._select_clause(sq)
+                    self.expect("WHERE")
+                    self.expect("{")
+                    self._group(sq, graph)
+                    self.expect("}")
+                    self._modifiers(sq)
+                    self.expect("}")
+                    if (self.peek() or "").upper() == "UNION":
+                        raise SparqlSyntaxError(
+                            "a subquery as a UNION branch is not supported"
+                        )
+                    q.subqueries.append(sq)
+                    continue
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
@@ -554,9 +590,10 @@ class _Parser:
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:
             raise SparqlSyntaxError("nested UNION chains are not supported")
-        if sub.values or sub.minus or sub.exists or sub.binds:
+        if sub.values or sub.minus or sub.exists or sub.binds or sub.subqueries:
             raise SparqlSyntaxError(
-                "VALUES/MINUS/EXISTS/BIND nested inside a group are not supported"
+                "VALUES/MINUS/EXISTS/BIND/subqueries nested inside a group "
+                "are not supported"
             )
         return GroupBlock(
             patterns=sub.patterns,
@@ -1201,6 +1238,79 @@ def _apply_binds(result: DataFrame, binds: list[BindAssign]) -> DataFrame:
     return result
 
 
+_CMP = {
+    "<": lambda c, n: c < n, "<=": lambda c, n: c <= n,
+    ">": lambda c, n: c > n, ">=": lambda c, n: c >= n,
+    "=": lambda c, n: c == n, "!=": lambda c, n: c != n,
+}
+
+
+def _subquery_out_names(sub: Query) -> list[str]:
+    """Projected column names (no '?') of a subquery."""
+    if sub.aggregates:
+        return [v[1:] for v in sub.group_by] + [
+            a.alias[1:] for a in sub.aggregates
+        ]
+    if sub.variables:
+        return [v[1:] for v in sub.variables]
+    raise SparqlSyntaxError("SELECT * subqueries are not supported")
+
+
+def _execute_subquery(store, sub: Query) -> DataFrame:
+    """Nested { SELECT … }: evaluated bottom-up, entirely in ID SPACE
+    (binding-struct columns), so the enclosing group joins it like any
+    other pattern source — no premature materialization. Aggregate
+    outputs become kind-2 numeric structs (they render via the numeric
+    fallback, e.g. COUNT → \"3.0\").
+
+    v1 surface: BGP + FILTER + OPTIONAL, [DISTINCT], numeric aggregates
+    with GROUP BY/HAVING. Solution-set clauses, label-space aggregates
+    and ORDER/LIMIT inside a subquery raise.
+    """
+    if (sub.union_blocks or sub.values or sub.minus or sub.exists
+            or sub.binds or sub.subqueries):
+        raise SparqlSyntaxError(
+            "subqueries support only BGP/FILTER/OPTIONAL + aggregates"
+        )
+    if sub.order_by or sub.limit is not None or sub.offset is not None:
+        raise SparqlSyntaxError(
+            "ORDER/LIMIT/OFFSET inside a subquery is not supported"
+        )
+    from hbase_rdf_spark.plans.bgp import _binding_struct
+
+    res = execute_bgp(
+        store, sub.patterns, filters=list(sub.filters),
+        optional=list(sub.optional),
+        dedup=sub.distinct and not sub.aggregates,
+    )
+    if sub.aggregates:
+        for a in sub.aggregates:
+            if a.func in ("GROUP_CONCAT", "SAMPLE"):
+                raise SparqlSyntaxError(
+                    "label-space aggregates inside a subquery are not "
+                    "supported"
+                )
+        gvars = [v[1:] for v in sub.group_by]
+        aggs = [_agg_expr(a) for a in sub.aggregates]
+        res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
+        if sub.having:
+            v, op, num = sub.having
+            res = res.filter(_CMP[op](F.col(v[1:]), num))
+        for a in sub.aggregates:
+            name = a.alias[1:]
+            res = res.withColumn(
+                name,
+                _binding_struct(
+                    F.lit(2), F.lit(None), F.col(name).cast("double")
+                ),
+            )
+    out = _subquery_out_names(sub)
+    res = res.select(*out)
+    if sub.distinct and not sub.aggregates:
+        res = res.dropDuplicates()
+    return res
+
+
 def _bind_scope_check(q: Query) -> None:
     """Parse-level guards that make post-hoc BIND evaluation exact."""
     scope = pattern_vars(q.patterns)
@@ -1213,6 +1323,8 @@ def _bind_scope_check(q: Query) -> None:
                 scope |= _block_vars(blk)
     for vb in q.values:
         scope |= set(vb.vars)
+    for sub in q.subqueries:
+        scope |= set(_subquery_out_names(sub))
     for b in q.binds:
         if b.var in scope:
             raise SparqlSyntaxError(
@@ -1271,17 +1383,23 @@ def execute(store, query: str | Query) -> DataFrame:
     # (aggregates count multiplicities — must keep bags)
     dedup = (q.distinct or q.form == "ask") and not q.aggregates
 
+    # filters over vars produced AFTER the pattern joins (BIND targets,
+    # subquery projections) are deferred until those vars exist
     deferred: list = []
+    post_vars: set = set()
+    for sub in q.subqueries:
+        post_vars |= set(_subquery_out_names(sub))
     if q.binds:
         _bind_scope_check(q)
-        bind_targets = {b.var for b in q.binds}
-        deferred = [f for f in q.filters if f.vars() & bind_targets]
+        post_vars |= {b.var for b in q.binds}
+    if post_vars:
+        deferred = [f for f in q.filters if f.vars() & post_vars]
         if deferred:
             for f in deferred:
                 if f.label_vars():
                     raise SparqlSyntaxError(
                         "label-space filters (regex/str/lang/isIRI) over "
-                        "BIND variables are not supported"
+                        "BIND/subquery variables are not supported"
                     )
             q = _dc_replace(
                 q, filters=[f for f in q.filters if f not in deferred]
@@ -1293,10 +1411,32 @@ def execute(store, query: str | Query) -> DataFrame:
         result = _reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), results
         )
+    elif not q.patterns and not q.optional and q.subqueries:
+        # outer group is ONLY subqueries: seed from the first, join the
+        # rest; any non-deferred filter has nothing to bind against
+        if q.filters or q.lang_filters:
+            raise SparqlSyntaxError(
+                "FILTER over variables not bound by any pattern"
+            )
+        result = None
     else:
         result = execute_bgp(
             store, q.patterns, filters=list(q.filters),
             optional=list(q.optional), dedup=dedup,
+        )
+
+    # subqueries: bottom-up id-space evaluation, joined on shared vars
+    # (none shared = cartesian, per SPARQL join semantics)
+    for sub in q.subqueries:
+        sdf = _execute_subquery(store, sub)
+        if result is None:
+            result = sdf
+            continue
+        shared = [c for c in sdf.columns if c in result.columns]
+        result = (
+            result.join(sdf, on=shared, how="inner")
+            if shared
+            else result.crossJoin(sdf)
         )
 
     # VALUES: inline solution table joined on its shared vars (new vars
@@ -1312,11 +1452,11 @@ def execute(store, query: str | Query) -> DataFrame:
 
     # BIND: extend each solution (post-pattern evaluation is exact —
     # _bind_scope_check guarantees no pattern consumes a BIND var);
-    # filters over BIND vars apply immediately after
+    # deferred filters apply once BIND/subquery vars exist
     if q.binds:
         result = _apply_binds(result, q.binds)
-        for f in deferred:
-            result = result.filter(f.cond())
+    for f in deferred:
+        result = result.filter(f.cond())
 
     # MINUS: remove solutions compatible with the block on shared vars
     # (disjoint domains remove nothing, per spec). NULL shared values

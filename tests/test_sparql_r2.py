@@ -531,3 +531,99 @@ def test_bind_aggregate_over_bind_var(store):
     }
     """
     assert rows(execute(store, q)) == {(20.0,)}
+
+
+# -- subqueries --------------------------------------------------------------
+
+
+def test_subquery_grouped_count_joins_outer(store):
+    # per-?y count from the subquery joins the outer pattern on ?y
+    q = """
+    SELECT ?i ?n WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      { SELECT ?i (COUNT(?p) AS ?n) WHERE { ?i <http://ex/price> ?p }
+        GROUP BY ?i }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "1.0"),
+        ("http://ex/i2", "1.0"),
+    }
+
+
+def test_subquery_scalar_cross_join(store):
+    # no shared vars → cartesian with the 1-row aggregate, per spec
+    q = """
+    SELECT DISTINCT ?i ?total WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      { SELECT (SUM(?p) AS ?total) WHERE { ?x <http://ex/price> ?p } }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "200.0"),
+        ("http://ex/i2", "200.0"),
+        ("http://ex/i3", "200.0"),
+    }
+
+
+def test_subquery_having_and_deferred_filter(store):
+    # m has 4 val triples; subquery HAVING keeps it, outer FILTER over
+    # the subquery var is deferred until after the join
+    q = """
+    SELECT ?s ?n WHERE {
+      ?s <http://ex/val> ?v0 .
+      { SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <http://ex/val> ?v }
+        GROUP BY ?s HAVING(?n >= 2) }
+      FILTER(?n < 100)
+    }
+    """
+    # outer pattern matches m 4x (bag), each joined to the count row
+    got = execute(store, q).collect()
+    assert {(r.s, r.n) for r in got} == {("http://ex/m", "4.0")}
+    assert len(got) == 4
+
+
+def test_subquery_distinct_projection(store):
+    q = """
+    SELECT ?w WHERE {
+      { SELECT DISTINCT ?w WHERE { ?a <http://ex/knows> ?w } }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/b",), ("http://ex/c",), ("http://ex/d",),
+        ("http://ex/e",),
+    }
+
+
+def test_subquery_bind_over_subquery_var(store):
+    q = """
+    SELECT DISTINCT ?i ?twice WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      { SELECT ?i (SUM(?p) AS ?sp) WHERE { ?i <http://ex/price> ?p }
+        GROUP BY ?i }
+      BIND(?sp * 2 AS ?twice)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "100.0"),
+        ("http://ex/i2", "300.0"),
+    }
+
+
+def test_subquery_order_by_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="ORDER"):
+        execute(store, """
+        SELECT ?i WHERE {
+          { SELECT ?i WHERE { ?i <http://ex/price> ?p } ORDER BY ?i LIMIT 1 }
+        }
+        """)
+
+
+def test_subquery_inside_optional_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
+        execute(store, """
+        SELECT ?i WHERE {
+          ?i <http://ex/item> <http://ex/yes> .
+          OPTIONAL { { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
+        }
+        """)
