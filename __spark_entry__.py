@@ -470,6 +470,15 @@ def _q_sparql_not_exists(spark, sf):
         }""")
 
 
+def _q_sparql_bind_str(spark, sf):
+    # BIND string builtins: STR → CONCAT → UCASE chain, label-space
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?tag WHERE {
+          <spark> <join> ?y .
+          BIND(UCASE(CONCAT(STR(?y), "-x")) AS ?tag)
+        }""")
+
+
 def _q_sparql_subquery(spark, sf):
     # nested { SELECT … GROUP BY } evaluated in id space, joined to the
     # outer pattern on the shared variable (per-node fan-out count)
@@ -878,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_not_exists": _q_sparql_not_exists,
         "kg_sparql_subquery": _q_sparql_subquery,
+        "kg_sparql_bind_str": _q_sparql_bind_str,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
@@ -1299,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE s = 'spark' AND p = 'join'
               AND o NOT IN (SELECT s FROM triples
                             WHERE p = 'merge' AND o = 'data')""",
+        "kg_sparql_bind_str": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y, UPPER(o || '-x') AS tag
+            FROM triples WHERE s = 'spark' AND p = 'join'""",
         "kg_sparql_subquery": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t.o AS y,
                    CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n

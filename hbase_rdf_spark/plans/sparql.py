@@ -41,10 +41,13 @@ new vars extend bindings), ``MINUS`` (anti-join on shared vars),
 ``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
 emptiness test), ``FILTER(?x [NOT] IN (…))`` (OptimizeIn-style
 equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
-copies, and numeric arithmetic ``+ - * /`` over vars/numbers; a NULL
-operand or division by zero leaves the var unbound, per the SPARQL
-error→unbound rule; FILTERs over BIND vars are deferred until after
-the assignment).
+copies, numeric arithmetic ``+ - * /`` over vars/numbers, and the
+string builtins ``STR/CONCAT/UCASE/LCASE/STRLEN`` — label-space, one
+id2term join per referenced var, producing plain-literal bindings
+with the in-plan hash id + lexical sidecar; a NULL operand or
+division by zero leaves the var unbound, per the SPARQL error→unbound
+rule; FILTERs over BIND vars are deferred until after the
+assignment).
 
 Subqueries: nested ``{ SELECT … }`` blocks evaluate bottom-up in ID
 SPACE and join the enclosing group on shared variables — the standard
@@ -671,6 +674,24 @@ class _Parser:
             e = self._bind_expr()
             self.expect(")")
             return e
+        low = (self.peek() or "").lower()
+        if (
+            low in ("str", "concat", "ucase", "lcase", "strlen")
+            and self.i + 1 < len(self.t)
+            and self.t[self.i + 1] == "("
+        ):
+            self.next()
+            self.expect("(")
+            if low == "concat":
+                args = [self._bind_expr()]
+                while self.peek() == ",":
+                    self.next()
+                    args.append(self._bind_expr())
+                self.expect(")")
+                return ("concat", args)
+            e = self._bind_expr()
+            self.expect(")")
+            return (low, e)
         t = self.term()
         if isinstance(t, str) and t.startswith("?"):
             return ("var", t)
@@ -1166,6 +1187,9 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     return df.select(*cols)
 
 
+_STR_FUNCS = ("str", "concat", "ucase", "lcase")
+
+
 def _bind_num_col(expr: tuple):
     """Numeric value column of a BIND arithmetic tree (NULL = error →
     unbound, incl. division by zero under ANSI-off semantics)."""
@@ -1174,9 +1198,11 @@ def _bind_num_col(expr: tuple):
         return F.col(expr[1][1:]).getField("num")
     if tag == "num":
         return F.lit(expr[1])
-    if tag == "const":
+    if tag == "strlen":
+        return F.length(_bind_str_col(expr[1])).cast("double")
+    if tag == "const" or tag in _STR_FUNCS:
         raise SparqlSyntaxError(
-            "non-numeric constant inside BIND arithmetic"
+            "string-valued expression inside BIND arithmetic"
         )
     _, op, left, right = expr
     lc, rc = _bind_num_col(left), _bind_num_col(right)
@@ -1188,7 +1214,61 @@ def _bind_num_col(expr: tuple):
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
 
 
-def _apply_binds(result: DataFrame, binds: list[BindAssign]) -> DataFrame:
+def _bind_str_col(expr: tuple):
+    """String value column of a BIND string tree. Variables read their
+    attached ``__{v}_flbl`` label (tag/datatype wrappers stripped, per
+    SPARQL ``str()``) with the numeric fallback; see ``_apply_binds``
+    for the attach step."""
+    from hbase_rdf_spark.plans.filters import str_value
+
+    tag = expr[0]
+    if tag == "var":
+        return str_value(expr[1][1:])
+    if tag == "num":
+        return F.lit(expr[1]).cast("string")
+    if tag == "const":
+        t = expr[1]
+        lex, _kind = t if isinstance(t, tuple) else (t, 0)
+        return F.lit(lex)
+    if tag == "str":
+        return _bind_str_col(expr[1])
+    if tag == "concat":
+        return F.concat(*[_bind_str_col(a) for a in expr[1]])
+    if tag == "ucase":
+        return F.upper(_bind_str_col(expr[1]))
+    if tag == "lcase":
+        return F.lower(_bind_str_col(expr[1]))
+    # arith / strlen in string position: render the number
+    return _bind_num_col(expr).cast("string")
+
+
+def _bind_label_vars(expr: tuple) -> set[str]:
+    """Vars (no '?') whose LABEL a string-context subtree reads."""
+    tag = expr[0]
+    if tag in ("num", "const"):
+        return set()
+    if tag == "var":
+        return set()  # only counts when reached through a string node
+    if tag == "arith":
+        return _bind_label_vars(expr[2]) | _bind_label_vars(expr[3])
+    if tag == "concat":
+        out: set[str] = set()
+        for a in expr[1]:
+            out |= _str_ctx_vars(a)
+        return out
+    # str / ucase / lcase / strlen — child is in string context
+    return _str_ctx_vars(expr[1])
+
+
+def _str_ctx_vars(expr: tuple) -> set[str]:
+    if expr[0] == "var":
+        return {expr[1][1:]}
+    return _bind_label_vars(expr)
+
+
+def _apply_binds(
+    result: DataFrame, store, binds: list[BindAssign]
+) -> DataFrame:
     """Extend solutions with BIND assignments (applied after the
     group's patterns — parse-time guards ensure no pattern consumes a
     BIND var, so this is equivalent to in-place evaluation).
@@ -1199,10 +1279,43 @@ def _apply_binds(result: DataFrame, binds: list[BindAssign]) -> DataFrame:
     ``materialize`` can render them; computed numbers are kind-2
     structs with a NULL id. A NULL arithmetic result nulls the whole
     struct (unbound), matching OPTIONAL's null-extension."""
-    from hbase_rdf_spark.plans.bgp import _binding_struct
+    from hbase_rdf_spark.plans.bgp import (
+        _attach_filter_labels,
+        _binding_struct,
+    )
 
     for b in binds:
         expr = b.expr
+        lvars = sorted(_bind_label_vars(expr))
+        attached = []
+        for v in lvars:
+            if f"__{v}_flbl" in result.columns:
+                continue
+            if f"__{v}_vlex" in result.columns:
+                # VALUES/BIND-produced var, possibly dictionary-absent:
+                # its sidecar lexical IS the label
+                result = result.withColumn(
+                    f"__{v}_flbl", F.col(f"__{v}_vlex")
+                )
+            else:
+                result = _attach_filter_labels(store, result, [v])
+            attached.append(f"__{v}_flbl")
+        if expr[0] in _STR_FUNCS:
+            lex = _bind_str_col(expr)
+            result = result.withColumn(
+                b.var,
+                F.when(
+                    lex.isNotNull(),
+                    _binding_struct(
+                        F.lit(1),
+                        F.xxhash64(F.lit(1).cast("int"), lex),
+                        F.lit(None),
+                    ),
+                ),
+            ).withColumn(f"__{b.var}_vlex", lex)
+            if attached:
+                result = result.drop(*attached)
+            continue
         if expr[0] == "var":
             src = expr[1][1:]
             result = result.withColumn(b.var, F.col(src))
@@ -1235,6 +1348,8 @@ def _apply_binds(result: DataFrame, binds: list[BindAssign]) -> DataFrame:
                     _binding_struct(F.lit(2), F.lit(None), num),
                 ),
             )
+        if attached:  # strlen-in-arithmetic labels, no longer needed
+            result = result.drop(*attached)
     return result
 
 
@@ -1341,10 +1456,18 @@ def _bind_scope_check(q: Query) -> None:
 
 
 def _bind_expr_vars(expr: tuple) -> set[str]:
-    if expr[0] == "var":
+    tag = expr[0]
+    if tag == "var":
         return {expr[1][1:]}
-    if expr[0] == "arith":
+    if tag == "arith":
         return _bind_expr_vars(expr[2]) | _bind_expr_vars(expr[3])
+    if tag == "concat":
+        out: set[str] = set()
+        for a in expr[1]:
+            out |= _bind_expr_vars(a)
+        return out
+    if tag in ("str", "ucase", "lcase", "strlen"):
+        return _bind_expr_vars(expr[1])
     return set()
 
 
@@ -1454,7 +1577,7 @@ def execute(store, query: str | Query) -> DataFrame:
     # _bind_scope_check guarantees no pattern consumes a BIND var);
     # deferred filters apply once BIND/subquery vars exist
     if q.binds:
-        result = _apply_binds(result, q.binds)
+        result = _apply_binds(result, store, q.binds)
     for f in deferred:
         result = result.filter(f.cond())
 

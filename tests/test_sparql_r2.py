@@ -627,3 +627,82 @@ def test_subquery_inside_optional_raises(store):
           OPTIONAL { { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
         }
         """)
+
+
+# -- BIND string functions ---------------------------------------------------
+
+
+def test_bind_concat_str_of_iri(store):
+    q = """
+    SELECT ?i ?tag WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(CONCAT(STR(?i), "#priced") AS ?tag)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "http://ex/i1#priced"),
+        ("http://ex/i2", "http://ex/i2#priced"),
+    }
+
+
+def test_bind_ucase_lcase(store):
+    q = """
+    SELECT ?s ?u ?l WHERE {
+      ?s <http://ex/name> ?n . FILTER(str(?n) = "Alice")
+      BIND(UCASE(?n) AS ?u)
+      BIND(LCASE(?n) AS ?l)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/a", "ALICE", "alice"),
+    }
+
+
+def test_bind_str_strips_lang_tag(store):
+    q = """
+    SELECT ?s ?plain WHERE {
+      ?s <http://ex/name> ?n . FILTER(langMatches(lang(?n), "en"))
+      BIND(STR(?n) AS ?plain)
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/b", "Bob")}
+
+
+def test_bind_strlen_numeric_context(store):
+    # STRLEN feeds arithmetic; result is numeric and filterable
+    q = """
+    SELECT ?s ?n2 WHERE {
+      ?s <http://ex/name> ?n .
+      BIND(STRLEN(?n) * 10 AS ?n2)
+      FILTER(?n2 >= 50)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/a", "50.0"),   # Alice → 5
+        ("http://ex/c", "50.0"),   # ALINE → 5
+    }
+
+
+def test_bind_concat_numeric_var_renders(store):
+    q = """
+    SELECT ?i ?lbl WHERE {
+      ?i <http://ex/price> ?p .
+      BIND(CONCAT("p=", ?p) AS ?lbl)
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "p=50.0"),
+        ("http://ex/i2", "p=150.0"),
+    }
+
+
+def test_bind_string_chain_on_bind_var(store):
+    # second BIND reads the FIRST bind's sidecar lexical, no dictionary
+    q = """
+    SELECT DISTINCT ?b WHERE {
+      ?i <http://ex/item> ?y .
+      BIND("abc" AS ?a)
+      BIND(UCASE(?a) AS ?b)
+    }
+    """
+    assert rows(execute(store, q)) == {("ABC",)}
