@@ -91,7 +91,9 @@ class TripleStore:
             return self.n
         by_size = -(-rows // ROWS_PER_PARTITION)
         cores = self.spark.sparkContext.defaultParallelism
-        by_cores = min(cores, max(1, rows // self.MIN_ROWS_PER_PARTITION))
+        # 2 tasks/core: a single wave makes the slowest sort+encode task
+        # the stage wall time; two waves absorb stragglers
+        by_cores = min(2 * cores, max(1, rows // self.MIN_ROWS_PER_PARTITION))
         return max(1, min(100_000, max(by_size, by_cores)))
 
     # -- write ----------------------------------------------------------

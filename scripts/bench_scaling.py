@@ -1,9 +1,19 @@
 """Two-cluster-size scaling benchmark (north_rule criterion).
 
-Sandbox proxy for N vs 4N executors: the identical spark-submit job at
-``local[N]`` and ``local[4N]`` over the same input; efficiency =
-throughput(4N) / (4 × throughput(N)). Results are appended to
+Sandbox proxy for N vs 4N EXECUTORS: the identical spark-submit job on
+``local-cluster[E,2,4096]`` with E and 4E executor processes —
+each executor its own JVM with the same 2 cores / same heap / same GC,
+exactly like adding worker nodes; efficiency =
+throughput(4E) / (4 × throughput(E)). Results append to
 ``BENCH/BASELINE.md``.
+
+Why not ``local[N]`` vs ``local[4N]``: local mode caps TASK SLOTS
+only. GC, shuffle writers, parquet compression, netty and py4j spill
+onto idle host cores, so the small leg silently borrows 2-4 extra
+cores of a single shared JVM and the measured ratio tracks that
+subsidy, not the code (observed 0.48-0.70 on a quiet host with
+code-identical legs). Separate executor JVMs remove the shared-heap
+confound: per-executor aux threads are the SAME on both legs.
 
 Methodology notes (recorded with every run):
 
@@ -11,14 +21,11 @@ Methodology notes (recorded with every run):
   runs reaches 2x. Each leg therefore reports the best of
   ``RUNS_PER_LEG`` timed runs (after a JIT warmup), and the raw
   parallel-CPU capacity of the host is probed alongside so the
-  efficiency number can be read against what the hardware can give
-  (e.g. 32 logical CPUs that sustain only ~12-16 procs of throughput
-  cap ANY 8→32 efficiency at ~0.4-0.5 regardless of the code).
-- Default legs are 8 and 32 (the driver's convention). Pass explicit
-  legs to measure within physical capacity: ``bench_scaling.py 60000 4
-  16``.
+  efficiency number can be read against what the hardware can give.
+- Legs are given in TOTAL CORES (2 cores/executor): ``bench_scaling.py
+  300000 2 8`` runs 1 executor vs 4 executors.
 
-Usage: python scripts/bench_scaling.py [n_convs] [n_small] [n_big]
+Usage: python scripts/bench_scaling.py [n_convs] [cores_small] [cores_big]
 """
 
 from __future__ import annotations
@@ -66,14 +73,23 @@ def make_pyfiles_zip() -> str:
     return path
 
 
+CORES_PER_EXEC = 2
+EXEC_MEM_MB = 4096
+
+
 def run_leg(cores: int, n_convs: int, pyz: str) -> dict:
+    # E separate executor JVMs × 2 cores each — adding executors is the
+    # thing the north rule scales, and per-executor aux threads
+    # (GC/shuffle/parquet/netty) stay constant across legs.
+    n_execs = max(1, cores // CORES_PER_EXEC)
     cmd = [
         "spark-submit",
-        "--master", f"local[{cores}]",
-        "--driver-memory", "16g",
+        "--master", f"local-cluster[{n_execs},{CORES_PER_EXEC},{EXEC_MEM_MB}]",
+        "--driver-memory", "8g",
+        "--conf", "spark.executor.memory=3g",
         "--py-files", pyz,
         os.path.join(REPO, "scripts", "scaling_runner.py"),
-        str(cores), str(n_convs),
+        str(n_execs * CORES_PER_EXEC), str(n_convs),
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=3000
@@ -97,10 +113,12 @@ def main() -> None:
     r_big = run_leg(n_big, n_convs, pyz)
     eff = r_big["tps"] / (factor * r_small["tps"])
     hw_ceiling = round(cap_big / cap_small / factor, 3)
+    e_small = max(1, n_small // CORES_PER_EXEC)
+    e_big = max(1, n_big // CORES_PER_EXEC)
     result = {
         "n_convs": n_convs,
-        f"local{n_small}": r_small,
-        f"local{n_big}": r_big,
+        f"execs{e_small}": r_small,
+        f"execs{e_big}": r_big,
         "scaling_efficiency": round(eff, 3),
         "cpu_capacity": {f"procs{n_small}": cap_small, f"procs{n_big}": cap_big,
                          "hw_efficiency_ceiling": hw_ceiling},
@@ -110,12 +128,13 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(
-            f"\n## Scaling run (n_convs={n_convs}, {r_small['triples']} triples)\n\n"
-            f"| parallelism | wall s | triples/s |\n|---|---|---|\n"
-            f"| local[{n_small}]  | {r_small['seconds']} | {r_small['tps']} |\n"
-            f"| local[{n_big}] | {r_big['seconds']} | {r_big['tps']} |\n\n"
-            f"**Scaling efficiency** = tps({n_big}) / ({factor:g} x tps({n_small})) = "
-            f"**{eff:.3f}** (target >= 0.8, north_rule)\n\n"
+            f"\n## Scaling run (n_convs={n_convs}, {r_small['triples']} triples,"
+            f" local-cluster {CORES_PER_EXEC} cores/executor)\n\n"
+            f"| cluster size | wall s | triples/s |\n|---|---|---|\n"
+            f"| {e_small} executor(s) ({n_small} cores) | {r_small['seconds']} | {r_small['tps']} |\n"
+            f"| {e_big} executor(s) ({n_big} cores) | {r_big['seconds']} | {r_big['tps']} |\n\n"
+            f"**Scaling efficiency** = tps({e_big} execs) / ({factor:g} x "
+            f"tps({e_small} execs)) = **{eff:.3f}** (target >= 0.8, north_rule)\n\n"
             f"Host capacity probe: {n_small} parallel CPU burns reach "
             f"{cap_small}x speedup, {n_big} reach {cap_big}x → the hardware "
             f"itself caps {n_small}→{n_big} efficiency at ~{hw_ceiling}.\n"

@@ -24,12 +24,20 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     # spark-submit provides the master; only shape the SQL confs here
+    # Cluster-proportional knobs — exactly what a real N-executor
+    # deployment scales with N: shuffle partitions at ~4x cores (2+
+    # waves absorb stragglers; 1 task/core makes the slowest task the
+    # stage wall time), AQE coalescing that respects parallelism
+    # (parallelismFirst=false would coalesce a ~200 MB shuffle to 3-4
+    # partitions and idle half the big leg), and read splits small
+    # enough that the input scan fans out to every core.
     spark = (
         SparkSession.builder.appName(f"kg-scaling-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.shuffle.partitions", str(max(4 * cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -51,7 +59,12 @@ def main() -> None:
         # corpus to parquet first (untimed): the pipeline under test READS
         # transcripts from columnar storage, per the input contract —
         # generator cost must not pollute the throughput metric
-        transcripts_df(spark, n_convs, seed=42).write.mode("overwrite").parquet(data)
+        # write enough files that the timed read fans out to all cores
+        # (a 100 TB corpus has thousands of files; a few hundred MB in
+        # 4 files would serialize the scan on the big leg)
+        transcripts_df(spark, n_convs, seed=42).repartition(
+            max(4 * cores, 8)
+        ).write.mode("overwrite").parquet(data)
         transcripts = spark.read.parquet(data)
 
         build_kg(spark, transcripts_df(spark, 300, seed=1), gaz, warm,
