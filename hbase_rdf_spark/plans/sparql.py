@@ -36,8 +36,10 @@ alternative, and the ``+ * ?`` closures, freely composable with parens
 Blank nodes in queries (``_:b``, ``[]``) act as non-projectable
 variables, per spec.
 
-Solution-set clauses: ``VALUES`` (inline table joined on shared vars;
-new vars extend bindings), ``MINUS`` (anti-join on shared vars),
+Solution-set clauses: ``VALUES`` (inline table joined on shared vars
+via SPARQL compatibility — ``UNDEF`` cells and OPTIONAL-null bindings
+match anything and the merge keeps the bound side; new vars extend
+bindings), ``MINUS`` (anti-join on shared vars),
 ``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
 emptiness test), ``FILTER(?x [NOT] IN (…))`` (OptimizeIn-style
 equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
@@ -52,13 +54,17 @@ assignment).
 Subqueries: nested ``{ SELECT … }`` blocks evaluate bottom-up in ID
 SPACE and join the enclosing group on shared variables — the standard
 analytic shape (per-group aggregate joined back to detail rows).
-Surface: BGP/FILTER/OPTIONAL + numeric aggregates with GROUP
-BY/HAVING and DISTINCT; deeper nesting, ORDER/LIMIT inside the
-subquery, and subqueries inside OPTIONAL/GRAPH/UNION raise.
+Surface: BGP/FILTER/OPTIONAL + aggregates (incl. the label-space
+GROUP_CONCAT/SAMPLE, which export kind-1 structs with a lexical
+sidecar) with GROUP BY/HAVING and DISTINCT, plus ORDER BY …
+LIMIT/OFFSET top-k slices (numeric sort keys — aggregate aliases or
+vars with numeric bindings; Catalyst lowers sort+limit to
+TakeOrderedAndProject, no full sort); deeper nesting and subqueries
+inside OPTIONAL/GRAPH/UNION raise.
 
-Unsupported (deliberately): UNDEF in VALUES, correlated filters
-inside MINUS/EXISTS blocks, BIND vars reused in graph patterns
-(requires in-group evaluation order).
+Unsupported (deliberately): correlated filters inside MINUS/EXISTS
+blocks, BIND vars reused in graph patterns (requires in-group
+evaluation order), label-space ORDER keys inside subqueries.
 """
 
 from __future__ import annotations
@@ -172,10 +178,23 @@ class GroupBlock:
     optional: list[OptionalBlock] = field(default_factory=list)
 
 
+class _Undef:
+    """Sentinel for an ``UNDEF`` cell in a VALUES row (singleton)."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return "UNDEF"
+
+
+UNDEF = _Undef()
+
+
 @dataclass
 class ValuesBlock:
     """VALUES inline data: vars (no '?') × constant rows (terms as
-    parsed by ``term()``; UNDEF unsupported)."""
+    parsed by ``term()``; ``UNDEF`` cells hold the :data:`UNDEF`
+    sentinel and translate to unbound (NULL) binding structs)."""
 
     vars: list[str] = field(default_factory=list)
     rows: list[list] = field(default_factory=list)
@@ -642,7 +661,8 @@ class _Parser:
     def _values_term(self):
         tok = self.peek()
         if tok is not None and tok.upper() == "UNDEF":
-            raise SparqlSyntaxError("UNDEF in VALUES is not supported")
+            self.next()
+            return UNDEF
         t = self.term()
         if isinstance(t, str) and t.startswith("?"):
             raise SparqlSyntaxError("VALUES data must be constants")
@@ -1166,7 +1186,9 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     for row in vb.rows:
         flat: list = []
         for t in row:
-            if isinstance(t, (int, float)) and not isinstance(t, bool):
+            if t is UNDEF:
+                flat += [None, None, None]
+            elif isinstance(t, (int, float)) and not isinstance(t, bool):
                 flat += [None, 2, float(t)]
             else:
                 lex, kind = t if isinstance(t, tuple) else (t, 0)
@@ -1180,7 +1202,12 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     for v in vb.vars:
         k = F.col(f"__{v}_kind")
         ident = F.when(k != 2, F.xxhash64(k.cast("int"), F.col(f"__{v}_lex")))
-        cols.append(_binding_struct(k, ident, F.col(f"__{v}_num")).alias(v))
+        # an UNDEF cell (NULL kind) is an unbound var: the whole struct
+        # is NULL, matching how OPTIONAL leaves vars unbound
+        cols.append(
+            F.when(k.isNotNull(), _binding_struct(k, ident, F.col(f"__{v}_num")))
+            .alias(v)
+        )
         # VALUES may introduce terms absent from the store dictionary;
         # carry the lexical form so materialize() can still render them
         cols.append(F.col(f"__{v}_lex").alias(f"__{v}_vlex"))
@@ -1378,18 +1405,27 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
     outputs become kind-2 numeric structs (they render via the numeric
     fallback, e.g. COUNT → \"3.0\").
 
-    v1 surface: BGP + FILTER + OPTIONAL, [DISTINCT], numeric aggregates
-    with GROUP BY/HAVING. Solution-set clauses, label-space aggregates
-    and ORDER/LIMIT inside a subquery raise.
+    Surface: BGP + FILTER + OPTIONAL, [DISTINCT], aggregates (incl.
+    label-space GROUP_CONCAT/SAMPLE → kind-1 structs with a lexical
+    sidecar) with GROUP BY/HAVING, and ORDER BY … LIMIT/OFFSET top-k
+    slices. Sort keys are evaluated numerically — an aggregate alias
+    sorts on its raw scalar, a pattern/group var on its binding's
+    ``num`` field (non-numeric terms sort as NULL; label-space
+    ordering inside a subquery is a documented non-goal). Catalyst
+    lowers the sort+limit to ``TakeOrderedAndProject`` — a per-
+    partition top-k plus a driver merge of k-row heads, no full sort
+    at any scale.
     """
     if (sub.union_blocks or sub.values or sub.minus or sub.exists
             or sub.binds or sub.subqueries):
         raise SparqlSyntaxError(
             "subqueries support only BGP/FILTER/OPTIONAL + aggregates"
         )
-    if sub.order_by or sub.limit is not None or sub.offset is not None:
+    if sub.order_by and sub.limit is None and sub.offset is None:
+        # ORDER without a slice is algebraically unobservable through
+        # the enclosing join — reject rather than silently ignore
         raise SparqlSyntaxError(
-            "ORDER/LIMIT/OFFSET inside a subquery is not supported"
+            "ORDER BY inside a subquery requires LIMIT/OFFSET"
         )
     from hbase_rdf_spark.plans.bgp import _binding_struct
 
@@ -1398,21 +1434,65 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         optional=list(sub.optional),
         dedup=sub.distinct and not sub.aggregates,
     )
+    label_aggs: list[str] = []
     if sub.aggregates:
-        for a in sub.aggregates:
-            if a.func in ("GROUP_CONCAT", "SAMPLE"):
-                raise SparqlSyntaxError(
-                    "label-space aggregates inside a subquery are not "
-                    "supported"
-                )
+        label_vars = sorted({
+            a.var[1:] for a in sub.aggregates
+            if a.func in ("GROUP_CONCAT", "SAMPLE") and a.var
+        })
+        if label_vars:
+            res = _attach_labels(res, store, label_vars)
+        label_aggs = [
+            a.alias[1:] for a in sub.aggregates
+            if a.func in ("GROUP_CONCAT", "SAMPLE")
+        ]
         gvars = [v[1:] for v in sub.group_by]
         aggs = [_agg_expr(a) for a in sub.aggregates]
         res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
         if sub.having:
             v, op, num = sub.having
             res = res.filter(_CMP[op](F.col(v[1:]), num))
-        for a in sub.aggregates:
-            name = a.alias[1:]
+    if sub.order_by:
+        agg_aliases = {a.alias[1:] for a in sub.aggregates}
+
+        def _key(name: str):
+            # aggregate outputs are raw scalars at this point; binding
+            # structs expose their numeric value
+            if name in agg_aliases:
+                return F.col(name)
+            return F.col(name).getField("num")
+
+        res = res.orderBy(
+            *[
+                _key(v[1:]).asc() if asc else _key(v[1:]).desc()
+                for v, asc in sub.order_by
+            ]
+        )
+    if sub.offset:
+        res = res.offset(sub.offset)
+    if sub.limit is not None:
+        res = res.limit(sub.limit)
+    for a in sub.aggregates:
+        name = a.alias[1:]
+        if name in label_aggs:
+            # string scalar → kind-1 plain literal with the in-plan
+            # hash id + lexical sidecar (same shape as BIND strings)
+            res = res.withColumn(
+                f"__{name}_vlex", F.col(name)
+            ).withColumn(
+                name,
+                F.when(
+                    F.col(f"__{name}_vlex").isNotNull(),
+                    _binding_struct(
+                        F.lit(1),
+                        F.xxhash64(
+                            F.lit(1).cast("int"), F.col(f"__{name}_vlex")
+                        ),
+                        F.lit(None),
+                    ),
+                ),
+            )
+        else:
             res = res.withColumn(
                 name,
                 _binding_struct(
@@ -1420,7 +1500,8 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
                 ),
             )
     out = _subquery_out_names(sub)
-    res = res.select(*out)
+    side = [f"__{n}_vlex" for n in out if f"__{n}_vlex" in res.columns]
+    res = res.select(*out, *side)
     if sub.distinct and not sub.aggregates:
         res = res.dropDuplicates()
     return res
@@ -1563,15 +1644,41 @@ def execute(store, query: str | Query) -> DataFrame:
         )
 
     # VALUES: inline solution table joined on its shared vars (new vars
-    # extend the bindings; no shared vars = cartesian, per spec)
+    # extend the bindings; no shared vars = cartesian, per spec). The
+    # join is SPARQL compatibility, not equality: a shared var matches
+    # when EITHER side is unbound (UNDEF cell / OPTIONAL null) or both
+    # agree, and the merged solution takes the bound side. The VALUES
+    # table is a handful of inline rows, so the non-equi condition
+    # costs one broadcast nested-loop pass — no scale concern.
     for vb in q.values:
         vdf = _values_df(store, vb)
         shared = [v for v in vb.vars if v in result.columns]
-        result = (
-            result.join(vdf, on=shared, how="inner")
-            if shared
-            else result.crossJoin(vdf)
-        )
+        if not shared:
+            result = result.crossJoin(F.broadcast(vdf))
+            continue
+        for v in shared:
+            vdf = vdf.withColumnRenamed(v, f"__{v}_vv").withColumnRenamed(
+                f"__{v}_vlex", f"__{v}_vvlex"
+            )
+        cond = F.lit(True)
+        for v in shared:
+            vv = F.col(f"__{v}_vv")
+            cond = cond & (vv.isNull() | F.col(v).isNull() | (F.col(v) == vv))
+        result = result.join(F.broadcast(vdf), cond, "inner")
+        for v in shared:
+            result = result.withColumn(
+                v, F.coalesce(F.col(v), F.col(f"__{v}_vv"))
+            ).drop(f"__{v}_vv")
+            # merge the lexical sidecars: after the compatibility
+            # filter, bound sides agree, so a plain coalesce always
+            # carries the winner's lexical form
+            if f"__{v}_vlex" in result.columns:
+                result = result.withColumn(
+                    f"__{v}_vlex",
+                    F.coalesce(F.col(f"__{v}_vlex"), F.col(f"__{v}_vvlex")),
+                ).drop(f"__{v}_vvlex")
+            else:
+                result = result.withColumnRenamed(f"__{v}_vvlex", f"__{v}_vlex")
 
     # BIND: extend each solution (post-pattern evaluation is exact —
     # _bind_scope_check guarantees no pattern consumes a BIND var);

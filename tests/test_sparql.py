@@ -374,6 +374,6 @@ def test_parse_errors():
     with pytest.raises(Exception):
         parse("SELECT ?x WHERE { ?x }")
     with pytest.raises(Exception):
-        parse("SELECT ?x WHERE { { SELECT ?x WHERE { ?x ?p ?o } } }")  # subqueries
+        parse("SELECT ?x WHERE { ?x ?p ?o VALUES ?y { ?z } }")  # var in VALUES
     with pytest.raises(Exception):
         parse("PREFIX ex <http://ex/> SELECT ?x WHERE { ?x ex:p ?y }")

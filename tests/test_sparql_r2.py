@@ -332,6 +332,58 @@ def test_values_numeric_join(store):
     assert rows(execute(store, q)) == {("http://ex/i1",)}
 
 
+def test_values_undef_matches_anything(store):
+    # UNDEF in a shared column imposes no constraint on that var:
+    # (i1, "cheap") pins i1; (UNDEF, "any") matches every item
+    q = """
+    SELECT ?i ?tag WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      VALUES (?i ?tag) {
+        (<http://ex/i1> "cheap")
+        (UNDEF "any")
+      }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "cheap"),
+        ("http://ex/i1", "any"),
+        ("http://ex/i2", "any"),
+        ("http://ex/i3", "any"),
+    }
+
+
+def test_values_undef_fills_optional_null(store):
+    # an OPTIONAL-unbound var is compatible with a bound VALUES cell,
+    # and the merged solution takes the bound side (i3 has no price)
+    q = """
+    SELECT ?i ?p WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/price> ?p }
+      VALUES ?p { 999 50 }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "50.0"),
+        ("http://ex/i3", "999.0"),
+        ("http://ex/i3", "50.0"),
+    }
+
+
+def test_values_undef_stays_unbound(store):
+    # an all-UNDEF row contributes an unconstrained solution; the var
+    # stays unbound where the pattern side has no binding either
+    q = """
+    SELECT ?i ?tag WHERE {
+      ?i <http://ex/price> ?p . FILTER(?p > 100)
+      VALUES ?tag { UNDEF "x" }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i2", None),
+        ("http://ex/i2", "x"),
+    }
+
+
 def test_minus(store):
     q = """
     SELECT ?i WHERE {
@@ -610,13 +662,66 @@ def test_subquery_bind_over_subquery_var(store):
     }
 
 
-def test_subquery_order_by_raises(store):
+def test_subquery_order_without_limit_raises(store):
+    # ORDER with no slice is unobservable through the enclosing join —
+    # rejected rather than silently ignored
     with pytest.raises(SparqlSyntaxError, match="ORDER"):
         execute(store, """
         SELECT ?i WHERE {
-          { SELECT ?i WHERE { ?i <http://ex/price> ?p } ORDER BY ?i LIMIT 1 }
+          { SELECT ?i WHERE { ?i <http://ex/price> ?p } ORDER BY ?p }
         }
         """)
+
+
+def test_subquery_order_limit_topk(store):
+    # top-1 item by price: ORDER BY a numeric var DESC + LIMIT
+    q = """
+    SELECT ?i ?p WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      { SELECT ?i ?p WHERE { ?i <http://ex/price> ?p }
+        ORDER BY DESC(?p) LIMIT 1 }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2", "150.0")}
+
+
+def test_subquery_order_limit_offset_agg_alias(store):
+    # slice on an aggregate alias: 2nd-largest per-subject val count
+    q = """
+    SELECT ?s ?n WHERE {
+      { SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <http://ex/val> ?v }
+        GROUP BY ?s ORDER BY DESC(?n) LIMIT 1 OFFSET 0 }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/m", "4.0")}
+
+
+def test_subquery_group_concat(store):
+    # label-space aggregate inside a subquery: members sort, result
+    # renders through the lexical sidecar (not in the dictionary)
+    q = """
+    SELECT ?i ?all WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      { SELECT ?i (GROUP_CONCAT(?p) AS ?all)
+        WHERE { ?i <http://ex/price> ?p } GROUP BY ?i }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1", "50.0"),
+        ("http://ex/i2", "150.0"),
+    }
+
+
+def test_subquery_sample(store):
+    q = """
+    SELECT ?s ?one WHERE {
+      { SELECT ?s (SAMPLE(?w) AS ?one)
+        WHERE { ?s <http://ex/knows> ?w } GROUP BY ?s }
+      ?s <http://ex/likes> ?x .
+    }
+    """
+    # SAMPLE is deterministic (minimum label); a = min(b)
+    assert rows(execute(store, q)) == {("http://ex/a", "http://ex/b")}
 
 
 def test_subquery_inside_optional_raises(store):
