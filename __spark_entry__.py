@@ -490,6 +490,44 @@ def _q_sparql_subquery(spark, sf):
         }""")
 
 
+def _q_sparql_not_exists_corr(spark, sf):
+    # CORRELATED NOT EXISTS (substitution semantics): the block filter
+    # compares its own ?m against the OUTER ?n — argmax-by-anti-join
+    # over the numeric <toklen> side-channel. Ties all survive, so the
+    # result is deterministic as a set.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          FILTER NOT EXISTS {
+            <spark> <join> ?z . ?z <toklen> ?m . FILTER(?m > ?n)
+          }
+        }""")
+
+
+def _q_sparql_values_undef(spark, sf):
+    # UNDEF cell in VALUES: imposes no constraint on the shared var —
+    # compatibility join, not equality (row 2 tags every join object)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?tag WHERE {
+          <spark> <join> ?y .
+          VALUES (?y ?tag) { (<data> "d") (UNDEF "all") }
+        }""")
+
+
+def _q_sparql_subquery_topk(spark, sf):
+    # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
+    # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
+    # k=3 sits on a strict count gap at sf0.001 and sf0.01, so the
+    # selected SET is deterministic despite ties above the cut.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n ?l WHERE {
+          ?y <toklen> ?l .
+          { SELECT ?y (COUNT(?z) AS ?n) WHERE { ?y <merge> ?z }
+            GROUP BY ?y ORDER BY DESC(?n) LIMIT 3 }
+        }""")
+
+
 def _q_sparql_bind(spark, sf):
     # BIND: numeric arithmetic over an inline numeric literal, plus a
     # dictionary-absent constant term; the FILTER over the BIND var is
@@ -886,7 +924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_not_exists": _q_sparql_not_exists,
+        "kg_sparql_not_exists_corr": _q_sparql_not_exists_corr,
+        "kg_sparql_values_undef": _q_sparql_values_undef,
         "kg_sparql_subquery": _q_sparql_subquery,
+        "kg_sparql_subquery_topk": _q_sparql_subquery_topk,
         "kg_sparql_bind_str": _q_sparql_bind_str,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
@@ -1309,6 +1350,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE s = 'spark' AND p = 'join'
               AND o NOT IN (SELECT s FROM triples
                             WHERE p = 'merge' AND o = 'data')""",
+        "kg_sparql_not_exists_corr": f"""{_TRIPLES_CTE},
+            base AS (SELECT DISTINCT o AS y FROM triples
+                     WHERE s = 'spark' AND p = 'join')
+            SELECT DISTINCT y,
+                   CAST(CAST(length(y) AS DOUBLE) AS VARCHAR) AS n
+            FROM base
+            WHERE length(y) = (SELECT max(length(y)) FROM base)""",
+        "kg_sparql_values_undef": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y, v.tag AS tag
+            FROM triples t
+            JOIN (VALUES ('data', 'd'), (NULL, 'all')) AS v(y, tag)
+              ON v.y IS NULL OR t.o = v.y
+            WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_sparql_subquery_topk": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT m.s AS y,
+                   CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n,
+                   CAST(CAST(length(m.s) AS DOUBLE) AS VARCHAR) AS l
+            FROM (SELECT s, count(o) AS n FROM triples
+                  WHERE p = 'merge' GROUP BY s
+                  ORDER BY n DESC LIMIT 3) m""",
         "kg_sparql_bind_str": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y, UPPER(o || '-x') AS tag
             FROM triples WHERE s = 'spark' AND p = 'join'""",

@@ -39,9 +39,13 @@ variables, per spec.
 Solution-set clauses: ``VALUES`` (inline table joined on shared vars
 via SPARQL compatibility — ``UNDEF`` cells and OPTIONAL-null bindings
 match anything and the merge keeps the bound side; new vars extend
-bindings), ``MINUS`` (anti-join on shared vars),
+bindings), ``MINUS`` (anti-join on shared vars; block filters over
+outer-scope vars evaluate those vars as UNBOUND, per the spec's
+no-substitution rule — NULL struct columns + three-valued logic),
 ``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
-emptiness test), ``FILTER(?x [NOT] IN (…))`` (OptimizeIn-style
+emptiness test; correlated block filters join-condition-evaluate
+under substitution semantics, id/num space only), ``FILTER(?x [NOT]
+IN (…))`` (OptimizeIn-style
 equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
 copies, numeric arithmetic ``+ - * /`` over vars/numbers, and the
 string builtins ``STR/CONCAT/UCASE/LCASE/STRLEN`` — label-space, one
@@ -62,8 +66,8 @@ vars with numeric bindings; Catalyst lowers sort+limit to
 TakeOrderedAndProject, no full sort); deeper nesting and subqueries
 inside OPTIONAL/GRAPH/UNION raise.
 
-Unsupported (deliberately): correlated filters inside MINUS/EXISTS
-blocks, BIND vars reused in graph patterns (requires in-group
+Unsupported (deliberately): correlated label-space filters inside
+EXISTS blocks, BIND vars reused in graph patterns (requires in-group
 evaluation order), label-space ORDER keys inside subqueries.
 """
 
@@ -85,6 +89,7 @@ from hbase_rdf_spark.plans.bgp import (
     execute_bgp,
     materialize,
     pattern_vars,
+    _apply_filter,
     _block_vars,
 )
 from hbase_rdf_spark.plans.filters import (
@@ -1031,6 +1036,20 @@ def parse(query: str) -> Query:
 _LANG_RX = r'^".*"@([A-Za-z0-9-]+)$'
 
 
+def _split_block_filters(blk: GroupBlock):
+    """Partition a MINUS/EXISTS block's filters into (local, foreign):
+    local filters reference only vars the block's own patterns bind
+    (they evaluate inside ``execute_bgp``); foreign ones also touch
+    vars from the enclosing scope and need block-specific handling —
+    substitution (EXISTS) or unbound-NULL evaluation (MINUS)."""
+    bound = pattern_vars(blk.patterns)
+    for ob in blk.optional:
+        bound |= _block_vars(ob)
+    local = [f for f in blk.filters if f.vars() <= bound]
+    foreign = [f for f in blk.filters if not f.vars() <= bound]
+    return local, foreign
+
+
 def _apply_lang_filters(result: DataFrame, store, lang_filters) -> DataFrame:
     """Legacy LangFilter application (parser-built queries use the
     LangMatch FilterExpr instead, evaluated inside execute_bgp)."""
@@ -1692,24 +1711,75 @@ def execute(store, query: str | Query) -> DataFrame:
     # (disjoint domains remove nothing, per spec). NULL shared values
     # (unbound optional vars) never match — kept.
     for blk in q.minus:
+        local, foreign = _split_block_filters(blk)
         step = execute_bgp(
-            store, blk.patterns, filters=blk.filters,
+            store, blk.patterns, filters=local,
             optional=blk.optional, dedup=True,
         )
+        # spec: MINUS evaluates its pattern WITHOUT substitution, so a
+        # filter var bound only outside the block is simply UNBOUND
+        # inside it. Materializing those vars as NULL struct columns
+        # makes SQL three-valued logic reproduce the spec exactly:
+        # comparisons → NULL → row dropped (type error → false), while
+        # !bound(?outer) is genuinely true.
+        if foreign:
+            nulled: list[str] = []
+            for f in foreign:
+                for v in sorted(f.vars() - set(step.columns)):
+                    step = step.withColumn(
+                        v, F.lit(None).cast(
+                            "struct<kind:tinyint,id:bigint,num:double>"
+                        )
+                    )
+                    nulled.append(v)
+                step = _apply_filter(store, step, f)
+            step = step.drop(*nulled)
         shared = [c for c in step.columns if c in result.columns]
         if shared:
             result = result.join(step, on=shared, how="left_anti")
 
     # FILTER [NOT] EXISTS: correlated existence via semi/anti join;
-    # uncorrelated blocks collapse to a global emptiness test
+    # uncorrelated blocks collapse to a global emptiness test. EXISTS
+    # uses SUBSTITUTION semantics (unlike MINUS): a block filter may
+    # reference outer vars, and it then becomes part of the join
+    # condition — shared-var equality plus the filter predicates, with
+    # the block's copies of shared vars renamed out of the way so each
+    # unqualified column name resolves to exactly one side.
     for positive, blk in q.exists:
+        local, correlated = _split_block_filters(blk)
         step = execute_bgp(
-            store, blk.patterns, filters=blk.filters,
+            store, blk.patterns, filters=local,
             optional=blk.optional, dedup=True,
         )
         shared = [c for c in step.columns if c in result.columns]
-        if shared:
-            how = "left_semi" if positive else "left_anti"
+        how = "left_semi" if positive else "left_anti"
+        if correlated:
+            for f in correlated:
+                if f.label_vars():
+                    raise SparqlSyntaxError(
+                        "correlated label-space filters (regex/str()/"
+                        "lang/isIRI/isBlank) inside EXISTS are not "
+                        "supported — apply them outside the block"
+                    )
+                missing = f.vars() - set(step.columns) - set(result.columns)
+                if missing:
+                    raise SparqlSyntaxError(
+                        "EXISTS filter references variables bound "
+                        f"nowhere: {sorted(missing)}"
+                    )
+            for v in shared:
+                step = step.withColumnRenamed(v, f"__ex_{v}")
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & (F.col(v) == F.col(f"__ex_{v}"))
+            for f in correlated:
+                cond = cond & f.cond()
+            # non-equi conjuncts force a nested-loop strategy; the
+            # equality conjuncts still hash-partition both sides when
+            # shared vars exist, and the block side is dedup'd — the
+            # same shape Catalyst gives a correlated SQL EXISTS
+            result = result.join(step, cond, how)
+        elif shared:
             result = result.join(step, on=shared, how=how)
         else:
             if positive != (not step.isEmpty()):

@@ -431,6 +431,102 @@ def test_exists_uncorrelated(store):
     assert rows(execute(store, q2)) == set()
 
 
+def test_exists_correlated_var_cmp(store):
+    # EXISTS substitution semantics: the block filter compares a block
+    # var against an OUTER var — "items with a strictly cheaper item"
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      FILTER EXISTS { ?j <http://ex/price> ?q . FILTER(?q < ?p) }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2",)}
+
+
+def test_not_exists_correlated_is_argmax(store):
+    # the classic argmax-by-anti-join: no item is more expensive
+    q = """
+    SELECT ?i ?p WHERE {
+      ?i <http://ex/price> ?p .
+      FILTER NOT EXISTS { ?j <http://ex/price> ?q . FILTER(?q > ?p) }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2", "150.0")}
+
+
+def test_exists_correlated_with_shared_var(store):
+    # shared var (?s) joins by equality; the correlated conjunct reads
+    # the outer-only ?p — only rows with p > 100 see a matching block
+    q = """
+    SELECT ?s ?p WHERE {
+      ?s <http://ex/price> ?p .
+      FILTER NOT EXISTS { ?s <http://ex/item> ?y . FILTER(?p > 100) }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1", "50.0")}
+
+
+def test_exists_correlated_no_shared_vars(store):
+    # zero shared pattern vars: pure filter correlation still works
+    # (m's numeric val 7 is below every price)
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      FILTER EXISTS { ?m <http://ex/val> ?v . FILTER(?v < ?p) }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1",), ("http://ex/i2",),
+    }
+
+
+def test_exists_correlated_label_space_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="label-space"):
+        execute(store, """
+        SELECT ?i WHERE {
+          ?i <http://ex/price> ?p .
+          FILTER EXISTS { ?j <http://ex/item> ?y . FILTER regex(?p, "5") }
+        }
+        """)
+
+
+def test_exists_filter_unknown_var_raises(store):
+    with pytest.raises(SparqlSyntaxError, match="nowhere"):
+        execute(store, """
+        SELECT ?i WHERE {
+          ?i <http://ex/price> ?p .
+          FILTER EXISTS { ?j <http://ex/item> ?y . FILTER(?zzz > 1) }
+        }
+        """)
+
+
+def test_minus_foreign_var_filter_is_unbound(store):
+    # spec: MINUS does NOT substitute — ?p is unbound inside the block,
+    # the comparison errors to false, the block is empty, nothing is
+    # removed (the famous MINUS/NOT-EXISTS divergence)
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      MINUS { ?i <http://ex/item> ?y . FILTER(?p > 0) }
+    }
+    """
+    assert rows(execute(store, q)) == {
+        ("http://ex/i1",), ("http://ex/i2",),
+    }
+
+
+def test_minus_foreign_not_bound_filter_matches(store):
+    # ...but !bound(?p) over the unbound outer var is TRUE inside the
+    # block, so the block keeps its rows and the anti-join removes all
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      MINUS { ?i <http://ex/item> ?y . FILTER(!bound(?p)) }
+    }
+    """
+    assert rows(execute(store, q)) == set()
+
+
 def test_filter_in_and_not_in(store):
     q = """
     SELECT ?i WHERE {
