@@ -94,6 +94,15 @@ class PgmKernel:
                 i = j
         return toks, i + 1  # single whitespace after maxval precedes raster
 
+    @staticmethod
+    def _ascii_raster(payload: bytes, off: int, n: int) -> np.ndarray:
+        """P2/P3 sample values: whitespace-separated ints, with '#'
+        comments (running to end of line) stripped first."""
+        import re
+
+        body = re.sub(rb"#[^\n]*", b"", payload[off - 1 :])
+        return np.array(body.split()[:n], dtype=np.uint16)
+
     def decode(self, payload: bytes, meta=None) -> np.ndarray:
         payload = bytes(payload)
         toks, off = self._tokens(payload, 4)
@@ -101,7 +110,7 @@ class PgmKernel:
         if magic == b"P5":
             raster = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=off)
         elif magic == b"P2":
-            raster = np.array(payload[off - 1 :].split()[: w * h], dtype=np.uint16)
+            raster = self._ascii_raster(payload, off, w * h)
         else:
             raise ValueError(f"not a PGM payload (magic {magic!r})")
         return raster.reshape(h, w).astype(np.float32)
@@ -118,6 +127,40 @@ class PgmKernel:
         ri = (np.arange(new_h) * h // new_h).clip(0, h - 1)
         ci = (np.arange(new_w) * w // new_w).clip(0, w - 1)
         return arr[np.ix_(ri, ci)]
+
+
+class PpmKernel(PgmKernel):
+    """REAL Netpbm COLOR codec (P6 binary / P3 ASCII) in pure numpy.
+
+    RGB rasters decode to the shared 2-D float32 contract via ITU-R
+    BT.601 luma (0.299 R + 0.587 G + 0.114 B), so every downstream
+    stage (pooled features, nearest-neighbor resample) applies
+    unchanged; encode replicates gray back to three channels. Header
+    parsing (tokens, comments) is inherited from :class:`PgmKernel`.
+    """
+
+    _LUMA = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        payload = bytes(payload)
+        toks, off = self._tokens(payload, 4)
+        magic, w, h = toks[0], int(toks[1]), int(toks[2])
+        if magic == b"P6":
+            raster = np.frombuffer(
+                payload, dtype=np.uint8, count=w * h * 3, offset=off
+            )
+        elif magic == b"P3":
+            raster = self._ascii_raster(payload, off, w * h * 3)
+        else:
+            raise ValueError(f"not a PPM payload (magic {magic!r})")
+        rgb = raster.reshape(h, w, 3).astype(np.float32)
+        return rgb @ self._LUMA
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        h, w = arr.shape
+        header = f"P6 {w} {h} 255\n".encode()
+        gray = arr.clip(0, 255).astype(np.uint8)
+        return header + np.repeat(gray[..., None], 3, axis=2).tobytes()
 
 
 class WavKernel:

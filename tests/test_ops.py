@@ -302,6 +302,49 @@ def test_multimodal_kernel_swap_pgm_and_wav(spark):
         assert np.allclose(got, want, atol=0), r["asset_id"]
 
 
+def test_ppm_color_kernel_roundtrip_and_features(spark):
+    """PpmKernel: real P6/P3 color decode → BT.601 luma 2-D contract;
+    the pooled-feature stage consumes it bit for bit like grayscale."""
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import (
+        PpmKernel,
+        _pooled_feature,
+        extract_features,
+    )
+
+    k = PpmKernel()
+    rng = np.random.RandomState(7)
+    luma = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    assets, expected = [], {}
+    for i in range(4):
+        w, h = 10 + i, 8 + i
+        rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payload = f"P6 {w} {h} 255\n".encode() + rgb.tobytes()
+        assets.append((i, "image", bytearray(payload), (w, h, 0, 0)))
+        expected[i] = _pooled_feature(rgb.astype(np.float32) @ luma, 16)
+    # P3 ASCII variant with a comment after the header
+    p3 = b"P3 2 2 255 # rgb\n255 0 0  0 255 0\n0 0 255  255 255 255"
+    d = k.decode(p3)
+    assert d.shape == (2, 2)
+    assert abs(d[1, 1] - 255.0) < 0.01  # white → full luma
+    # encode replicates gray to 3 channels; decode returns it exactly
+    gray = np.arange(6, dtype=np.float32).reshape(2, 3) * 40
+    assert np.allclose(k.decode(k.encode(gray)), gray, atol=0.51)
+
+    df = spark.createDataFrame(
+        assets,
+        "asset_id bigint, modality string, media binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    out = extract_features(df, kernels={"image": k}).collect()
+    assert len(out) == 4
+    for r in out:
+        got = np.array(r["feature"], dtype=np.float32)
+        want = np.array(expected[r["asset_id"]], dtype=np.float32)
+        assert np.allclose(got, want, atol=1e-5), r["asset_id"]
+
+
 def test_multimodal_real_resize_roundtrip(spark):
     import numpy as np
 
