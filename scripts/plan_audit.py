@@ -177,6 +177,67 @@ def main() -> None:
                            "PushedFilters", "Scan parquet")),
     ))
 
+    p10 = eng.sql(
+        "SELECT ?x ?a WHERE { ?x <rel:age> ?a . "
+        "FILTER NOT EXISTS { ?y <rel:age> ?b . FILTER(?b > ?a) } }"
+    )
+    sections.append((
+        "Correlated FILTER NOT EXISTS — non-equi anti join",
+        "The block filter references the OUTER ?a, so the correlated "
+        "conjunct moves into the anti-join condition (substitution "
+        "semantics). With no shared equality keys Catalyst picks a "
+        "BroadcastNestedLoopJoin over the dedup'd block side — the "
+        "same shape SQL planners give a correlated EXISTS subquery; "
+        "equality conjuncts, when present, keep it hash-partitioned.",
+        trim(plan_of(p10), ("Join", "LeftAnti", "BroadcastNestedLoop",
+                            "HashAggregate", "Scan parquet")),
+    ))
+
+    p11 = eng.sql(
+        'SELECT ?x ?tag WHERE { ?x <rel:works_at> ?y . '
+        'VALUES (?y ?tag) { (<ent:org/acme_corp> "a") (UNDEF "all") } }'
+    )
+    sections.append((
+        "VALUES with UNDEF — compatibility join",
+        "An UNDEF cell matches anything, so the join predicate becomes "
+        "(v IS NULL OR bindings.v = v) — a non-equi condition over the "
+        "handful of inline rows. The inline table stays a broadcast "
+        "LocalTableScan; one nested-loop pass over it costs the same "
+        "as the equality case at any scale.",
+        trim(plan_of(p11), ("Join", "LocalTableScan", "BroadcastExchange",
+                            "BroadcastNestedLoop", "Scan parquet")),
+    ))
+
+    p12 = eng.sql(
+        "SELECT ?x ?n WHERE { ?x <rel:age> ?a . "
+        "{ SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x <rel:works_at> ?y } "
+        "GROUP BY ?x ORDER BY DESC(?n) LIMIT 3 } }"
+    )
+    sections.append((
+        "Subquery ORDER BY … LIMIT — TakeOrderedAndProject",
+        "The sort+limit inside the subquery lowers to "
+        "TakeOrderedAndProject: each partition keeps its top-k rows "
+        "and the driver merges k-row heads — no full sort, no extra "
+        "exchange beyond the aggregation's own shuffle, at any scale.",
+        trim(plan_of(p12), ("TakeOrderedAndProject", "HashAggregate",
+                            "Join", "Exchange", "Scan parquet")),
+    ))
+
+    p13 = eng.sql(
+        "SELECT ?x ?d WHERE { ?x <rel:age> ?a . BIND(?a * 2 + 1 AS ?d) "
+        "FILTER(?d > 60) }"
+    )
+    sections.append((
+        "BIND + deferred FILTER — projection only",
+        "BIND extends each solution inside the existing projection "
+        "(no exchange, no extra stage); the FILTER over the BIND var "
+        "is applied after the assignment and Catalyst still folds the "
+        "arithmetic into the same whole-stage-codegen span as the "
+        "scan.",
+        trim(plan_of(p13), ("Project", "Filter", "PushedFilters",
+                            "Exchange", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
