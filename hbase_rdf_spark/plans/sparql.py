@@ -22,6 +22,10 @@ join (ARQ OpConditional), UNION → unionByName (multiple independent
 chains distribute over the required patterns), ORDER+LIMIT →
 TakeOrderedAndProject (the reference's TopN transform,
 reference: nl/vu/jena/sparql/engine/optimizer/HBaseOptimize.java:103-104).
+ORDER BY is type-aware per the spec's total order — sort keys derive
+from the binding structs (unbound < entities/IRIs < literals; numeric
+literals by VALUE, not by their rendered string), with lexical ties
+broken on the materialized form; see ``_add_order_sidecars``.
 
 FILTER surface (J12): numeric/var-vs-var comparisons, term
 (in)equality, ``&&``/``||``/``!``, ``bound()``,
@@ -1036,6 +1040,39 @@ def parse(query: str) -> Query:
 _LANG_RX = r'^".*"@([A-Za-z0-9-]+)$'
 
 
+def _add_order_sidecars(df: DataFrame, order_by) -> tuple[DataFrame, set[str]]:
+    """Attach ``__ord_{v}_k`` / ``__ord_{v}_n`` sort-key columns for each
+    ORDER BY var still in binding-struct form.
+
+    SPARQL's total order is type-aware — lexicographic sort over the
+    materialized strings would rank "150.0" before "50.0". The sidecars
+    reproduce the spec order where it is defined and a deterministic
+    extension where it is not: unbound (-1) < entities/IRIs (0) <
+    literals (1); numeric literals compare by value and sort before
+    string literals (num NULL); remaining ties break on the
+    materialized lexical form. Blank-node-vs-IRI rank and language tags
+    are not distinguished (documented non-goal).
+    """
+    added: set[str] = set()
+    structy = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() == "struct"
+    }
+    for v, _asc in order_by:
+        name = v[1:]
+        if name not in structy or name in added:
+            continue
+        b = F.col(name)
+        df = df.withColumn(
+            f"__ord_{name}_k",
+            F.when(b.isNull(), F.lit(-1))
+            .when(b.getField("kind") == 0, F.lit(0))
+            .otherwise(F.lit(1)),
+        ).withColumn(f"__ord_{name}_n", b.getField("num"))
+        added.add(name)
+    return df, added
+
+
 def _split_block_filters(blk: GroupBlock):
     """Partition a MINUS/EXISTS block's filters into (local, foreign):
     local filters reference only vars the block's own patterns bind
@@ -1822,17 +1859,24 @@ def execute(store, query: str | Query) -> DataFrame:
                     ">=": col >= num, "=": col == num, "!=": col != num,
                 }[op]
             )
+        grouped, ordered_vars = _add_order_sidecars(grouped, q.order_by)
         # materialize group vars; aggregate columns pass through verbatim
         out = materialize(
             grouped, store, [f"?{g}" for g in gvars],
-            keep=[a.alias[1:] for a in q.aggregates],
+            keep=[a.alias[1:] for a in q.aggregates]
+            + sorted(
+                f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
+            ),
         )
         projected = [
             v[1:] for v in (
                 q.variables or [f"?{c}" for c in _projectable(out.columns)]
             )
         ]
-        out = out.select(*projected)
+        out = out.select(
+            *projected,
+            *[c for c in out.columns if c.startswith("__ord_")],
+        )
     else:
         variables = q.variables or [
             f"?{c}" for c in _projectable(result.columns)
@@ -1851,16 +1895,37 @@ def execute(store, query: str | Query) -> DataFrame:
                 and c[2:-5] in names
             ]
             result = result.select(*keep_cols).dropDuplicates()
-        out = materialize(result, store, variables)
-    if q.distinct:
-        out = out.dropDuplicates()
-    if q.order_by:
-        out = out.orderBy(
-            *[
-                F.col(v[1:]).asc() if asc else F.col(v[1:]).desc()
-                for v, asc in q.order_by
-            ]
+        result, ordered_vars = _add_order_sidecars(result, q.order_by)
+        out = materialize(
+            result, store, variables,
+            keep=sorted(
+                f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
+            ),
         )
+    if q.distinct:
+        out = out.dropDuplicates(
+            [c for c in out.columns if not c.startswith("__ord_")]
+        )
+    if q.order_by:
+        # type-aware keys where the sidecars exist (pattern vars);
+        # aggregate aliases are raw numeric scalars and sort natively
+        keys = []
+        for v, asc in q.order_by:
+            name = v[1:]
+            if f"__ord_{name}_k" in out.columns:
+                num = F.col(f"__ord_{name}_n")
+                keys += [
+                    F.col(f"__ord_{name}_k").asc() if asc
+                    else F.col(f"__ord_{name}_k").desc(),
+                    # numerics by value; string literals (NULL num)
+                    # after them ascending, before them descending
+                    num.asc_nulls_last() if asc else num.desc_nulls_first(),
+                    F.col(name).asc() if asc else F.col(name).desc(),
+                ]
+            else:
+                keys.append(F.col(name).asc() if asc else F.col(name).desc())
+        out = out.orderBy(*keys)
+    out = out.drop(*[c for c in out.columns if c.startswith("__ord_")])
     if q.offset:
         out = out.offset(q.offset)
     if q.limit is not None:

@@ -384,6 +384,40 @@ def test_values_undef_stays_unbound(store):
     }
 
 
+def test_order_by_numeric_is_type_aware(store):
+    # lexicographic sort would put "150.0" before "50.0"; the sidecar
+    # keys sort numerics by VALUE (the LIMIT makes it observable)
+    q = """
+    SELECT ?i ?p WHERE { ?i <http://ex/price> ?p } ORDER BY ?p LIMIT 1
+    """
+    assert rows(execute(store, q)) == {("http://ex/i1", "50.0")}
+    q2 = """
+    SELECT ?i ?p WHERE { ?i <http://ex/price> ?p }
+    ORDER BY DESC(?p) LIMIT 1
+    """
+    assert rows(execute(store, q2)) == {("http://ex/i2", "150.0")}
+
+
+def test_order_by_unbound_sorts_first(store):
+    # spec total order: unbound < bound; i3 has no price
+    q = """
+    SELECT ?i ?p WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/price> ?p }
+    } ORDER BY ?p LIMIT 1
+    """
+    assert rows(execute(store, q)) == {("http://ex/i3", None)}
+
+
+def test_order_by_aggregate_alias_numeric(store):
+    # aggregate outputs are raw scalars — native numeric sort
+    q = """
+    SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <http://ex/val> ?v }
+    GROUP BY ?s ORDER BY DESC(?n) LIMIT 1
+    """
+    assert rows(execute(store, q)) == {("http://ex/m", 4)}
+
+
 def test_minus(store):
     q = """
     SELECT ?i WHERE {
