@@ -479,6 +479,51 @@ def _q_sparql_bind_str(spark, sf):
         }""")
 
 
+def _q_sparql_strfuncs(spark, sf):
+    # SPARQL 1.1 string predicates in FILTER: STRSTARTS/CONTAINS/STRLEN
+    # composed under || and && — all label-space, one id2term join
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          FILTER(STRSTARTS(?y, "s") || (CONTAINS(?y, "a") && STRLEN(?y) >= 5))
+        }""")
+
+
+def _q_sparql_bind_funcs(spark, sf):
+    # BIND function library: SUBSTR / regex REPLACE (string space) and
+    # ABS (numeric space) with a deferred FILTER over the BIND var
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?pre ?r ?d WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          BIND(SUBSTR(?y, 1, 3) AS ?pre)
+          BIND(REPLACE(?y, "[aeiou]", "_") AS ?r)
+          BIND(ABS(?n - 4) AS ?d)
+          FILTER(?d <= 2)
+        }""")
+
+
+def _q_sparql_coalesce_if(spark, sf):
+    # term-valued COALESCE over an OPTIONAL var (type-preserving: the
+    # bound branch materializes via the dictionary, the fallback via
+    # its sidecar) + IF over a numeric condition
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?grp ?mate WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          OPTIONAL { ?y <merge> ?z . FILTER(STRSTARTS(?z, "d")) }
+          BIND(IF(?n >= 5, "long", "short") AS ?grp)
+          BIND(COALESCE(?z, <none>) AS ?mate)
+        }""")
+
+
+def _q_path_neg(spark, sf):
+    # negated property set: one scan, member ids excluded in-plan
+    # (pushed-down inequality conjuncts — no join, SPARQL 1.1 §9.1)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?o WHERE { <spark> !(<join>|<toklen>) ?o }""")
+
+
 def _q_sparql_subquery(spark, sf):
     # nested { SELECT … GROUP BY } evaluated in id space, joined to the
     # outer pattern on the shared variable (per-node fan-out count)
@@ -929,6 +974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_subquery_topk": _q_sparql_subquery_topk,
         "kg_sparql_bind_str": _q_sparql_bind_str,
+        "kg_sparql_strfuncs": _q_sparql_strfuncs,
+        "kg_sparql_bind_funcs": _q_sparql_bind_funcs,
+        "kg_sparql_coalesce_if": _q_sparql_coalesce_if,
+        "kg_path_neg": _q_path_neg,
         "kg_path_seq": _q_path_seq,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
@@ -1373,6 +1422,28 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_bind_str": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y, UPPER(o || '-x') AS tag
             FROM triples WHERE s = 'spark' AND p = 'join'""",
+        "kg_sparql_strfuncs": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND (o LIKE 's%' OR (o LIKE '%a%' AND length(o) >= 5))""",
+        "kg_sparql_bind_funcs": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y, substr(o, 1, 3) AS pre,
+                   regexp_replace(o, '[aeiou]', '_', 'g') AS r,
+                   CAST(CAST(abs(length(o) - 4) AS DOUBLE) AS VARCHAR) AS d
+            FROM triples
+            WHERE s = 'spark' AND p = 'join' AND abs(length(o) - 4) <= 2""",
+        "kg_sparql_coalesce_if": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y,
+                   CASE WHEN length(t.o) >= 5 THEN 'long'
+                        ELSE 'short' END AS grp,
+                   COALESCE(m.o, 'none') AS mate
+            FROM triples t
+            LEFT JOIN triples m
+              ON m.s = t.o AND m.p = 'merge' AND m.o LIKE 'd%'
+            WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_path_neg": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o FROM triples
+            WHERE s = 'spark' AND p <> 'join'""",
         "kg_sparql_subquery": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t.o AS y,
                    CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n

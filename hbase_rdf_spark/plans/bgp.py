@@ -239,6 +239,30 @@ def _atom_pairs(store, iri: str, g: str | None) -> DataFrame:
     )
 
 
+def _neg_pairs(store, members: tuple, g: str | None) -> DataFrame:
+    """Negated property set ``!(p1|p2|…)``: one scan with the member
+    ids excluded. The inequality conjuncts constant-fold (plan-time
+    xxhash64 of each IRI) and push into the parquet scan — work is
+    ∝ non-member edges, never a join (SPARQL 1.1 §9.1 NPS)."""
+    from functools import reduce
+
+    from hbase_rdf_spark.plans.patterns import encode_term
+
+    e = scan(store, TriplePattern(c=g))
+    cond = reduce(
+        lambda a, b: a & b,
+        (F.col("p") != encode_term(m.iri) for m in members),
+    )
+    return e.filter(cond).select(
+        F.col("s").alias("a"),
+        F.lit(0).cast("tinyint").alias("a_kind"),
+        F.lit(None).cast("double").alias("a_num"),
+        F.col("o").alias("b"),
+        F.col("o_kind").alias("b_kind"),
+        F.col("o_num").alias("b_num"),
+    )
+
+
 def _graph_nodes(store, g: str | None) -> DataFrame:
     """All terms occurring in the graph as identity pairs (a=b) — the
     zero-length path endpoints for * and ? modifiers."""
@@ -307,6 +331,8 @@ def _pairs(store, path: Path, g: str | None) -> DataFrame:
     """Evaluate a path expression to its (a, b) pair set."""
     if path.op == "atom":
         return _atom_pairs(store, path.iri, g)
+    if path.op == "neg":
+        return _neg_pairs(store, path.children, g)
     if path.op == "inv":
         inner = _pairs(store, path.children[0], g)
         return inner.select(

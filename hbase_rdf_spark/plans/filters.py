@@ -192,6 +192,137 @@ class StrCmp(FilterExpr):
 
 
 @dataclass
+class StrPred(FilterExpr):
+    """``STRSTARTS/STRENDS/CONTAINS(?v, "text")`` over str(?v) — label
+    space (SPARQL 1.1 §17.4.3; the reference evaluates these through
+    stock ARQ expression trees)."""
+
+    var: str
+    pred: str  # 'strstarts' | 'strends' | 'contains'
+    text: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        s = str_value(self.var[1:])
+        if self.pred == "strstarts":
+            return s.startswith(self.text)
+        if self.pred == "strends":
+            return s.endswith(self.text)
+        return s.contains(self.text)
+
+
+_NUM_CMP = {
+    "<": lambda c, n: c < n, "<=": lambda c, n: c <= n,
+    ">": lambda c, n: c > n, ">=": lambda c, n: c >= n,
+    "=": lambda c, n: c == n, "!=": lambda c, n: c != n,
+}
+
+
+@dataclass
+class StrLenCmp(FilterExpr):
+    """``STRLEN(?v) op n`` — label space, character count of str(?v)."""
+
+    var: str
+    op: str
+    value: float
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        n = F.length(str_value(self.var[1:])).cast("double")
+        return _NUM_CMP[self.op](n, self.value)
+
+
+@dataclass
+class LangEq(FilterExpr):
+    """``lang(?v) = "tag"`` (or !=) — exact tag comparison (use
+    langMatches for range semantics). Untagged literals have lang ""."""
+
+    var: str
+    op: str  # '=' | '!='
+    tag: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        name = self.var[1:]
+        lbl = _flbl(name)
+        # lang() is only defined on literals (kind 1/2) — on an
+        # IRI/blank it is a type error → NULL → row dropped, matching
+        # the spec's error-is-false FILTER rule
+        kind = F.col(name).getField("kind")
+        lang = F.when(
+            kind.isin(1, 2),
+            F.when(
+                lbl.rlike(_LANG_RX), F.regexp_extract(lbl, _LANG_RX, 1)
+            ).otherwise(F.lit("")),
+        )
+        eq = F.lower(lang) == self.tag.lower()
+        return eq if self.op == "=" else ~eq
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_DT_RX = r'^".*"\^\^<([^<>]*)>$'
+
+
+@dataclass
+class DatatypeEq(FilterExpr):
+    """``datatype(?v) = <iri>`` (or !=) — label space.
+
+    String literals report their stored ``^^<dt>`` wrapper, else
+    ``rdf:langString`` (tagged) or ``xsd:string``. Inline numerics
+    (kind 2) erased their source datatype at encode time
+    (functions/encoding.py) — they report ``xsd:integer`` when the
+    value is integral, else ``xsd:double`` (documented approximation).
+    On an IRI/blank, datatype() is a type error → row dropped."""
+
+    var: str
+    op: str  # '=' | '!='
+    iri: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        name = self.var[1:]
+        lbl = _flbl(name)
+        kind = F.col(name).getField("kind")
+        num = F.col(name).getField("num")
+        dt = (
+            F.when(
+                kind == 1,
+                F.when(lbl.rlike(_DT_RX), F.regexp_extract(lbl, _DT_RX, 1))
+                .when(lbl.rlike(_LANG_RX), F.lit(_RDF_LANGSTRING))
+                .otherwise(F.lit(_XSD + "string")),
+            )
+            .when(
+                kind == 2,
+                F.when(num == F.floor(num), F.lit(_XSD + "integer"))
+                .otherwise(F.lit(_XSD + "double")),
+            )
+        )
+        eq = dt == self.iri
+        return eq if self.op == "=" else ~eq
+
+
+@dataclass
 class LangMatch(FilterExpr):
     """``langMatches(lang(?v), "range")`` — the stored '"lex"@lang' form
     carries the tag; '*' matches any tagged literal."""

@@ -99,11 +99,15 @@ from hbase_rdf_spark.plans.bgp import (
 from hbase_rdf_spark.plans.filters import (
     And,
     Bound,
+    DatatypeEq,
+    LangEq,
     LangMatch,
     Not,
     Or,
     Regex,
     StrCmp,
+    StrLenCmp,
+    StrPred,
     TypeTest,
 )
 
@@ -391,6 +395,9 @@ class _Parser:
         return prim
 
     def _path_primary(self):
+        if self.peek() == "!":
+            self.next()
+            return self._neg_prop_set()
         if self.peek() == "(":
             self.next()
             p = self._path_alt()
@@ -400,6 +407,35 @@ class _Parser:
         if isinstance(t, str):
             return t  # '?var' or IRI
         raise SparqlSyntaxError(f"invalid path element {t!r}")
+
+    def _neg_prop_set(self) -> Path:
+        """Negated property set ``!iri`` / ``!(iri1|iri2|…)`` — forward
+        members only (SPARQL 1.1 §9.1; inverse members ``!^p`` split
+        the set into a forward and a reverse scan — unsupported here)."""
+
+        def member() -> str:
+            if self.peek() == "^":
+                raise SparqlSyntaxError(
+                    "inverse members in a negated property set are not "
+                    "supported"
+                )
+            t = self._pred_term()
+            if not isinstance(t, str) or t.startswith("?"):
+                raise SparqlSyntaxError(
+                    "negated property set members must be IRIs"
+                )
+            return t
+
+        if self.peek() == "(":
+            self.next()
+            iris = [member()]
+            while self.peek() == "|":
+                self.next()
+                iris.append(member())
+            self.expect(")")
+        else:
+            iris = [member()]
+        return Path("neg", tuple(Path("atom", iri=i) for i in iris))
 
     # -- query ----------------------------------------------------------
     def parse(self) -> Query:
@@ -705,19 +741,63 @@ class _Parser:
             return e
         low = (self.peek() or "").lower()
         if (
-            low in ("str", "concat", "ucase", "lcase", "strlen")
+            low in (
+                "str", "concat", "ucase", "lcase", "strlen",
+                "substr", "replace", "strbefore", "strafter",
+                "abs", "ceil", "floor", "round", "coalesce", "if",
+            )
             and self.i + 1 < len(self.t)
             and self.t[self.i + 1] == "("
         ):
             self.next()
             self.expect("(")
-            if low == "concat":
+            if low in ("concat", "coalesce"):
                 args = [self._bind_expr()]
                 while self.peek() == ",":
                     self.next()
                     args.append(self._bind_expr())
                 self.expect(")")
-                return ("concat", args)
+                return (low, args)
+            if low == "substr":
+                s = self._bind_expr()
+                self.expect(",")
+                start = self._bind_expr()
+                length = None
+                if self.peek() == ",":
+                    self.next()
+                    length = self._bind_expr()
+                self.expect(")")
+                return ("substr", s, start, length)
+            if low == "replace":
+                s = self._bind_expr()
+                self.expect(",")
+                pat = self._string_arg()
+                self.expect(",")
+                repl = self._string_arg()
+                flags = ""
+                if self.peek() == ",":
+                    self.next()
+                    flags = self._string_arg()
+                self.expect(")")
+                return ("replace", s, pat, repl, flags)
+            if low in ("strbefore", "strafter"):
+                s = self._bind_expr()
+                self.expect(",")
+                t = self._string_arg()
+                self.expect(")")
+                return (low, s, t)
+            if low in ("abs", "ceil", "floor", "round"):
+                e = self._bind_expr()
+                self.expect(")")
+                return ("nfunc", low, e)
+            if low == "if":
+                cond = self._or_expr()
+                self.expect(",")
+                then = self._bind_expr()
+                self.expect(",")
+                other = self._bind_expr()
+                self.expect(")")
+                return ("if", cond, then, other)
             e = self._bind_expr()
             self.expect(")")
             return (low, e)
@@ -814,6 +894,14 @@ class _Parser:
                 flags = self._string_arg()
             self.expect(")")
             return Regex(v, pat, flags)
+        if low in ("strstarts", "strends", "contains"):
+            self.next()
+            self.expect("(")
+            v = self._str_or_var()
+            self.expect(",")
+            txt = self._string_arg()
+            self.expect(")")
+            return StrPred(v, low, txt)
         if low == "langmatches":
             self.next()
             self.expect("(")
@@ -919,6 +1007,37 @@ class _Parser:
     _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
 
     def _comparison(self):
+        # scalar-function LHS forms: STRLEN(?v) op n, lang(?v) = "tag",
+        # datatype(?v) = <iri> (SPARQL 1.1 §17.4; the reference gets
+        # these from stock ARQ — sail/HBaseQueryVisitor.java:289-313)
+        low = (self.peek() or "").lower()
+        if (
+            low in ("strlen", "lang", "datatype")
+            and self.i + 1 < len(self.t)
+            and self.t[self.i + 1] == "("
+        ):
+            self.next()
+            self.expect("(")
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError(f"{low}() takes a variable")
+            self.expect(")")
+            op = self.next()
+            if op not in self._FLIP:
+                raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
+            if low == "strlen":
+                rhs = self.term()
+                if not isinstance(rhs, (int, float)):
+                    raise SparqlSyntaxError("STRLEN comparison needs a number")
+                return StrLenCmp(v, op, float(rhs))
+            if op not in ("=", "!="):
+                raise SparqlSyntaxError(f"{low}() supports = / != only")
+            if low == "lang":
+                return LangEq(v, op, self._string_arg())
+            rhs = self.term()
+            if not isinstance(rhs, str) or rhs.startswith("?"):
+                raise SparqlSyntaxError("datatype() comparison needs an IRI")
+            return DatatypeEq(v, op, rhs)
         lhs, l_off, l_str = self._operand()
         nxt = self.peek()
         nup = nxt.upper() if nxt is not None else ""
@@ -1270,7 +1389,10 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     return df.select(*cols)
 
 
-_STR_FUNCS = ("str", "concat", "ucase", "lcase")
+_STR_FUNCS = (
+    "str", "concat", "ucase", "lcase",
+    "substr", "replace", "strbefore", "strafter",
+)
 
 
 def _bind_num_col(expr: tuple):
@@ -1283,6 +1405,24 @@ def _bind_num_col(expr: tuple):
         return F.lit(expr[1])
     if tag == "strlen":
         return F.length(_bind_str_col(expr[1])).cast("double")
+    if tag == "nfunc":
+        c = _bind_num_col(expr[2])
+        if expr[1] == "abs":
+            return F.abs(c)
+        if expr[1] == "ceil":
+            return F.ceil(c).cast("double")
+        if expr[1] == "floor":
+            return F.floor(c).cast("double")
+        # SPARQL/xpath ROUND: half rounds toward positive infinity
+        return F.floor(c + F.lit(0.5)).cast("double")
+    if tag == "coalesce":
+        return F.coalesce(*[_bind_num_col(a) for a in expr[1]])
+    if tag == "if":
+        c = expr[1].cond()
+        return (
+            F.when(c, _bind_num_col(expr[2]))
+            .when(~c, _bind_num_col(expr[3]))
+        )
     if tag == "const" or tag in _STR_FUNCS:
         raise SparqlSyntaxError(
             "string-valued expression inside BIND arithmetic"
@@ -1321,12 +1461,48 @@ def _bind_str_col(expr: tuple):
         return F.upper(_bind_str_col(expr[1]))
     if tag == "lcase":
         return F.lower(_bind_str_col(expr[1]))
-    # arith / strlen in string position: render the number
+    if tag == "substr":
+        s = _bind_str_col(expr[1])
+        start = _bind_num_col(expr[2]).cast("int")
+        if expr[3] is None:
+            return F.substring(s, start, F.length(s))
+        return F.substring(s, start, _bind_num_col(expr[3]).cast("int"))
+    if tag == "replace":
+        _, s_e, pat, repl, flags = expr
+        if "i" in flags:
+            pat = "(?i)" + pat
+        return F.regexp_replace(_bind_str_col(s_e), F.lit(pat), F.lit(repl))
+    if tag in ("strbefore", "strafter"):
+        s = _bind_str_col(expr[1])
+        t = expr[2]
+        found = F.instr(s, F.lit(t))
+        if tag == "strbefore":
+            # STRBEFORE(s, "") = "" ; not found → "" (SPARQL §17.4.3.8)
+            if t == "":
+                return F.lit("")
+            return F.when(found > 0, F.substring(s, F.lit(1), found - 1)) \
+                .otherwise(F.lit(""))
+        # STRAFTER(s, "") = s ; not found → ""
+        if t == "":
+            return s
+        return F.when(
+            found > 0, F.substring(s, found + len(t), F.length(s))
+        ).otherwise(F.lit(""))
+    if tag == "coalesce":
+        return F.coalesce(*[_bind_str_col(a) for a in expr[1]])
+    if tag == "if":
+        c = expr[1].cond()
+        return (
+            F.when(c, _bind_str_col(expr[2]))
+            .when(~c, _bind_str_col(expr[3]))
+        )
+    # arith / strlen / nfunc in string position: render the number
     return _bind_num_col(expr).cast("string")
 
 
 def _bind_label_vars(expr: tuple) -> set[str]:
-    """Vars (no '?') whose LABEL a string-context subtree reads."""
+    """Vars (no '?') whose LABEL the expression reads — through a
+    string-context subtree or an IF condition's label-space filter."""
     tag = expr[0]
     if tag in ("num", "const"):
         return set()
@@ -1334,11 +1510,33 @@ def _bind_label_vars(expr: tuple) -> set[str]:
         return set()  # only counts when reached through a string node
     if tag == "arith":
         return _bind_label_vars(expr[2]) | _bind_label_vars(expr[3])
+    if tag == "nfunc":
+        return _bind_label_vars(expr[2])
     if tag == "concat":
         out: set[str] = set()
         for a in expr[1]:
             out |= _str_ctx_vars(a)
         return out
+    if tag == "coalesce":
+        # args are term-valued at the top level and string/num-valued in
+        # typed context; label needs surface only via string children
+        out = set()
+        for a in expr[1]:
+            out |= _bind_label_vars(a)
+        return out
+    if tag == "if":
+        return (
+            set(expr[1].label_vars())
+            | _bind_label_vars(expr[2])
+            | _bind_label_vars(expr[3])
+        )
+    if tag == "substr":
+        out = _str_ctx_vars(expr[1]) | _bind_label_vars(expr[2])
+        if expr[3] is not None:
+            out |= _bind_label_vars(expr[3])
+        return out
+    if tag in ("replace", "strbefore", "strafter"):
+        return _str_ctx_vars(expr[1])
     # str / ucase / lcase / strlen — child is in string context
     return _str_ctx_vars(expr[1])
 
@@ -1346,7 +1544,120 @@ def _bind_label_vars(expr: tuple) -> set[str]:
 def _str_ctx_vars(expr: tuple) -> set[str]:
     if expr[0] == "var":
         return {expr[1][1:]}
+    if expr[0] == "coalesce":
+        out: set[str] = set()
+        for a in expr[1]:
+            out |= _str_ctx_vars(a)
+        return out
+    if expr[0] == "if":
+        return (
+            set(expr[1].label_vars())
+            | _str_ctx_vars(expr[2])
+            | _str_ctx_vars(expr[3])
+        )
     return _bind_label_vars(expr)
+
+
+def _attach_any_labels(result: DataFrame, store, names: list[str]):
+    """Attach ``__{v}_flbl`` label columns for label-space filter
+    evaluation, preferring a BIND/VALUES ``__{v}_vlex`` sidecar (the
+    term may be dictionary-absent) over the id2term join. Returns
+    (df, attached-column-names)."""
+    from hbase_rdf_spark.plans.bgp import _attach_filter_labels
+
+    attached = []
+    for v in names:
+        if f"__{v}_flbl" in result.columns:
+            continue
+        if f"__{v}_vlex" in result.columns:
+            result = result.withColumn(f"__{v}_flbl", F.col(f"__{v}_vlex"))
+        else:
+            result = _attach_filter_labels(store, result, [v])
+        attached.append(f"__{v}_flbl")
+    return result, attached
+
+
+def _apply_deferred_filter(result: DataFrame, store, f) -> DataFrame:
+    """Apply a FILTER deferred past BIND/subquery var creation —
+    label-space expressions need their ``__{v}_flbl`` columns attached
+    first (a BIND var's lexical lives in its vlex sidecar)."""
+    lv = sorted(f.label_vars())
+    if not lv:
+        return result.filter(f.cond())
+    result, attached = _attach_any_labels(result, store, lv)
+    return result.filter(f.cond()).drop(*attached)
+
+
+def _bind_term_value(expr: tuple, columns: list[str]):
+    """Evaluate an expression to an RDF *term* — (struct, vlex) column
+    pair — preserving the original term type where the expression is
+    type-transparent (COALESCE/IF pass their argument through unchanged,
+    per SPARQL 1.1 §17.4.1.3: the value, not its string form).
+
+    ``columns`` is the solution's current column list (for var
+    sidecar lookup)."""
+    from hbase_rdf_spark.plans.bgp import _binding_struct
+
+    tag = expr[0]
+    if tag == "var":
+        v = expr[1][1:]
+        vlex = (
+            F.col(f"__{v}_vlex")
+            if f"__{v}_vlex" in columns
+            else F.lit(None).cast("string")
+        )
+        return F.col(v), vlex
+    if tag == "num":
+        return (
+            _binding_struct(F.lit(2), F.lit(None), F.lit(expr[1])),
+            F.lit(None).cast("string"),
+        )
+    if tag == "const":
+        t = expr[1]
+        lex, kind = t if isinstance(t, tuple) else (t, 0)
+        return (
+            _binding_struct(
+                F.lit(kind),
+                F.xxhash64(F.lit(kind).cast("int"), F.lit(lex)),
+                F.lit(None),
+            ),
+            F.lit(lex),
+        )
+    if tag == "coalesce":
+        pairs = [_bind_term_value(a, columns) for a in expr[1]]
+        struct = F.coalesce(*[s for s, _ in pairs])
+        vlex = F.lit(None).cast("string")
+        for s, v in reversed(pairs):
+            vlex = F.when(s.isNotNull(), v).otherwise(vlex)
+        return struct, vlex
+    if tag == "if":
+        c = expr[1].cond()
+        ts, tv = _bind_term_value(expr[2], columns)
+        es, ev = _bind_term_value(expr[3], columns)
+        # SPARQL: an error-valued condition is an error → unbound
+        return (
+            F.when(c, ts).when(~c, es),
+            F.when(c, tv).when(~c, ev),
+        )
+    if tag in _STR_FUNCS:
+        lex = _bind_str_col(expr)
+        return (
+            F.when(
+                lex.isNotNull(),
+                _binding_struct(
+                    F.lit(1),
+                    F.xxhash64(F.lit(1).cast("int"), lex),
+                    F.lit(None),
+                ),
+            ),
+            lex,
+        )
+    # arith / strlen / nfunc → numeric term
+    num = _bind_num_col(expr)
+    return (
+        F.when(num.isNotNull(), _binding_struct(F.lit(2), F.lit(None), num)),
+        F.lit(None).cast("string"),
+    )
 
 
 def _apply_binds(
@@ -1362,27 +1673,14 @@ def _apply_binds(
     ``materialize`` can render them; computed numbers are kind-2
     structs with a NULL id. A NULL arithmetic result nulls the whole
     struct (unbound), matching OPTIONAL's null-extension."""
-    from hbase_rdf_spark.plans.bgp import (
-        _attach_filter_labels,
-        _binding_struct,
-    )
+    from hbase_rdf_spark.plans.bgp import _binding_struct
 
     for b in binds:
         expr = b.expr
         lvars = sorted(_bind_label_vars(expr))
-        attached = []
-        for v in lvars:
-            if f"__{v}_flbl" in result.columns:
-                continue
-            if f"__{v}_vlex" in result.columns:
-                # VALUES/BIND-produced var, possibly dictionary-absent:
-                # its sidecar lexical IS the label
-                result = result.withColumn(
-                    f"__{v}_flbl", F.col(f"__{v}_vlex")
-                )
-            else:
-                result = _attach_filter_labels(store, result, [v])
-            attached.append(f"__{v}_flbl")
+        # a VALUES/BIND-produced var may be dictionary-absent: its vlex
+        # sidecar IS the label (_attach_any_labels prefers it)
+        result, attached = _attach_any_labels(result, store, lvars)
         if expr[0] in _STR_FUNCS:
             lex = _bind_str_col(expr)
             result = result.withColumn(
@@ -1399,7 +1697,14 @@ def _apply_binds(
             if attached:
                 result = result.drop(*attached)
             continue
-        if expr[0] == "var":
+        if expr[0] in ("coalesce", "if"):
+            # term-valued: COALESCE/IF return their argument's VALUE
+            # (type-preserving), not its string form
+            struct, vlex = _bind_term_value(expr, result.columns)
+            result = result.withColumn(b.var, struct).withColumn(
+                f"__{b.var}_vlex", vlex
+            )
+        elif expr[0] == "var":
             src = expr[1][1:]
             result = result.withColumn(b.var, F.col(src))
             if f"__{src}_vlex" in result.columns:
@@ -1598,12 +1903,27 @@ def _bind_expr_vars(expr: tuple) -> set[str]:
         return {expr[1][1:]}
     if tag == "arith":
         return _bind_expr_vars(expr[2]) | _bind_expr_vars(expr[3])
-    if tag == "concat":
+    if tag in ("concat", "coalesce"):
         out: set[str] = set()
         for a in expr[1]:
             out |= _bind_expr_vars(a)
         return out
-    if tag in ("str", "ucase", "lcase", "strlen"):
+    if tag == "substr":
+        out = _bind_expr_vars(expr[1]) | _bind_expr_vars(expr[2])
+        if expr[3] is not None:
+            out |= _bind_expr_vars(expr[3])
+        return out
+    if tag == "nfunc":
+        return _bind_expr_vars(expr[2])
+    if tag == "if":
+        # FilterExpr.vars() yields bare names (no '?') already
+        return (
+            set(expr[1].vars())
+            | _bind_expr_vars(expr[2])
+            | _bind_expr_vars(expr[3])
+        )
+    if tag in ("str", "ucase", "lcase", "strlen",
+               "replace", "strbefore", "strafter"):
         return _bind_expr_vars(expr[1])
     return set()
 
@@ -1653,14 +1973,11 @@ def execute(store, query: str | Query) -> DataFrame:
         _bind_scope_check(q)
         post_vars |= {b.var for b in q.binds}
     if post_vars:
+        # label-space deferred filters read the BIND var's vlex sidecar
+        # (or an id2term join for id-space subquery vars) — see
+        # _apply_deferred_filter
         deferred = [f for f in q.filters if f.vars() & post_vars]
         if deferred:
-            for f in deferred:
-                if f.label_vars():
-                    raise SparqlSyntaxError(
-                        "label-space filters (regex/str/lang/isIRI) over "
-                        "BIND/subquery variables are not supported"
-                    )
             q = _dc_replace(
                 q, filters=[f for f in q.filters if f not in deferred]
             )
@@ -1742,7 +2059,7 @@ def execute(store, query: str | Query) -> DataFrame:
     if q.binds:
         result = _apply_binds(result, store, q.binds)
     for f in deferred:
-        result = result.filter(f.cond())
+        result = _apply_deferred_filter(result, store, f)
 
     # MINUS: remove solutions compatible with the block on shared vars
     # (disjoint domains remove nothing, per spec). NULL shared values

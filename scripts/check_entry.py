@@ -2,7 +2,8 @@
 
 Runs every ``queries()`` entry at the given SF dir and compares
 row-count + sorted-column value content against ``oracle_sql()`` in
-DuckDB. Usage:  python scripts/check_entry.py [sf_dir]
+DuckDB. Usage:  python scripts/check_entry.py [sf_dir] [name1,name2,…]
+(the optional second arg restricts the run to the named entries)
 """
 
 from __future__ import annotations
@@ -47,6 +48,13 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown entries: {sorted(missing)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:

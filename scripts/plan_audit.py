@@ -238,6 +238,34 @@ def main() -> None:
                             "Exchange", "Scan parquet")),
     ))
 
+    p14 = eng.sql(
+        "SELECT ?o WHERE { ?s !(<rel:works_at>|<rel:age>) ?o }"
+    )
+    sections.append((
+        "Negated property set !(p1|p2) — excluded ids push into the scan",
+        "The member IRIs hash at plan time (constant-folded xxhash64), "
+        "so the NPS is ONE scan whose Not(EqualTo(p, id)) conjuncts "
+        "reach parquet as PushedFilters — work ∝ non-member edges, "
+        "never a join or a closure.",
+        trim(plan_of(p14), ("PushedFilters", "Filter", "Scan parquet",
+                            "WholeStageCodegen")),
+    ))
+
+    p15 = eng.sql(
+        'SELECT ?x WHERE { ?x <rel:works_at> ?y . '
+        'FILTER(STRSTARTS(STR(?y), "ent:org")) }'
+    )
+    sections.append((
+        "Label-space string FILTER (STRSTARTS) — one dictionary join",
+        "String predicates evaluate on a __flbl label column attached "
+        "by a single id2term join per filtered variable; the "
+        "StartsWith itself is a codegen string intrinsic (no Python "
+        "UDF). The id2term side is a pushed-down parquet scan that "
+        "broadcasts when small.",
+        trim(plan_of(p15), ("Join", "StartsWith", "Filter",
+                            "PushedFilters", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
