@@ -36,12 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hbase_rdf_spark.ops import wordkg
 from hbase_rdf_spark.ops.dedup import (
+    dedup_keep_list,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_duplicate_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
+from hbase_rdf_spark.ops.sampling import sample_fraction, stratified_sample
 from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce, lsh_topk
 from hbase_rdf_spark.ops.text import (
     bpe_token_count,
@@ -909,6 +911,39 @@ def _q_minhash_pairs(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf):
+    # composite corpus-dedup decision table: minhash-LSH verified pairs
+    # (recall 1.0 vs exact Jaccard at gate scale — see
+    # dedup_minhash_pairs) -> connected components over the pair graph
+    # -> longest-text survivor per cluster. The full keep/drop table a
+    # training-data pipeline feeds its filter stage.
+    docs = wordkg.read(spark, sf, "documents")
+    pairs = minhash_duplicate_pairs(docs, threshold=0.5)
+    return dedup_keep_list(docs, pairs)
+
+
+def _q_sample_stratified(spark, sf):
+    # deterministic per-stratum top-k by keyed md5 (portable hash
+    # family): the exact sample a rerun at any cluster size reproduces.
+    # rank<=k lowers to WindowGroupLimit (map-side top-k per stratum).
+    docs = wordkg.read(spark, sf, "documents")
+    out = stratified_sample(
+        docs, ["lang", "source"], k=5, seed="s0", portable=True
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def _q_sample_fraction(spark, sf):
+    # keyed-hash threshold sample: map-only, partitioning-independent,
+    # nested across fractions (checked in tests/test_ops.py)
+    docs = wordkg.read(spark, sf, "documents")
+    return sample_fraction(
+        docs, 0.3, seed="s0", portable=True
+    ).select("doc_id", "lang", "source")
+
+
 def _q_simhash(spark, sf):
     # portable=True: 60-bit md5-derived bit votes a DuckDB oracle
     # replays exactly (the scale path keeps xxhash64 — same plan shape)
@@ -994,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "sample_stratified": _q_sample_stratified,
+        "sample_fraction": _q_sample_fraction,
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
     }
@@ -1204,6 +1242,48 @@ WITH toks AS (
 SELECT id_a, id_b, round(inter::DOUBLE / (sza + szb - inter), 6) AS jaccard
 FROM pairs WHERE inter::DOUBLE / (sza + szb - inter) >= 0.5
 """
+
+# near-dup clusters: exact trigram-Jaccard edges at the minhash gate
+# threshold, transitive min-label closure (recursive CTE), then the
+# longest-text survivor per cluster — the SQL twin of
+# dedup.duplicate_clusters + dedup.dedup_keep_list.
+_DEDUP_CLUSTERS_ORACLE_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t)-1, 2))]) AS grams
+  FROM toks
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a, g b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE
+        / (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pr
+  UNION ALL
+  SELECT id_b, id_a FROM pr
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+), lab AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), scored AS (
+  SELECT l.doc_id, l.cluster_id, length(d.text) AS len
+  FROM lab l JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY len DESC, doc_id) = 1) AS keep
+FROM scored
+"""
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1545,6 +1625,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "text_fingerprint": _FINGERPRINT_SQL,
         "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
+        "sample_stratified": """
+            SELECT doc_id, lang, source, sample_rank FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(concat_ws(chr(31), 's0',
+                                              doc_id::VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 5""",
+        "sample_fraction": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(concat_ws(chr(31), 's0', doc_id::VARCHAR)),
+                         1, 15) < '4ccccccccccccc0'""",
         "ann_lsh_topk": """
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY vec_id""",

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from hbase_rdf_spark.operators import linking as _lsh
+from hbase_rdf_spark.operators.cc import connected_components
 from hbase_rdf_spark.ops.text import tokens
 
 
@@ -404,4 +405,100 @@ def simhash_candidate_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: every document mapped to its component.
+
+    ``pairs`` is any verified near-dup edge set — (id_a, id_b, …) from
+    ``minhash_duplicate_pairs`` / ``ngram_jaccard_pairs`` /
+    ``simhash_candidate_pairs`` / ``embedding_near_duplicates_lsh``.
+    Returns (id_col, cluster_id): ``cluster_id`` is the MINIMUM document
+    id in the pair-graph connected component; documents with no near-dup
+    edge are their own singleton cluster. This is the grouping step the
+    reference's dictionary/canonicalization stage performs for RDF terms
+    (SPOHash dedup, HBasePredicateDictionary.java:71-96), lifted to
+    document granularity for training-corpus dedup.
+
+    Scale shape: string ids are hashed to 8-byte xxhash64 node ids for
+    the large-star/small-star CC rounds (operators/cc.py — bounded
+    iterations, no collect_list, salted agg); the component label is
+    then translated back to "min doc id" with one combinable groupBy and
+    one 8-byte-key join, so the OUTPUT is independent of the internal
+    hash. The doc table itself joins only on ids — text never shuffles.
+    A 64-bit id collision would merge two clusters spuriously
+    (P ≈ n²/2⁶⁵ — negligible below ~10⁹ docs; swap in a 128-bit
+    concat-hash if that bound ever matters).
+    """
+    # the caller's pair set is usually an expensive lazy DAG (LSH
+    # banding + exact verification); it feeds THREE consumers below
+    # (both endpoints of ids, edges) — cut it once, eagerly, or the
+    # candidate generation re-runs per consumer (same re-compute trap
+    # as ngram_jaccard_pairs, measured 2.4× on the gate query)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias("doc"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc")))
+        .distinct()
+        .withColumn("nid", F.xxhash64("doc"))
+    )
+    edges = pairs.select(
+        F.xxhash64("id_a").alias("src"), F.xxhash64("id_b").alias("dst")
+    )
+    comp = connected_components(edges)  # (node: long, component: long)
+    # labelled is re-read by the canon agg AND the member join; it is
+    # bounded by the number of NON-singleton docs (≪ |corpus|), so an
+    # eager cut is cheap and halves the join work
+    labelled = ids.join(comp, ids["nid"] == comp["node"]).select(
+        "doc", "component"
+    ).localCheckpoint(eager=True)
+    canon = labelled.groupBy("component").agg(
+        F.min("doc").alias("cluster_id")
+    )
+    member = labelled.join(canon, "component").select("doc", "cluster_id")
+    return df.select(F.col(id_col)).join(
+        member, df[id_col] == member["doc"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full dedup DECISION TABLE: (id, cluster_id, cluster_size, keep).
+
+    Exactly one document per near-dup cluster gets ``keep = true`` — the
+    longest text, ties broken by smallest id (the deterministic survivor
+    policy of C4/RefinedWeb-style corpus dedup; the policy is one struct
+    expression below, swap it for a quality score as needed).
+
+    Survivor selection is a combinable groupBy (min over a
+    (-length, id) struct — partial aggregation runs map-side), then one
+    join back on cluster_id; no window over the cluster partition, so a
+    viral boilerplate cluster with 10⁶ members never serializes through
+    a single task's sort (AQE splits the skewed join key).
+    """
+    clusters = duplicate_clusters(df, pairs, id_col)
+    scored = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_len")
+    ).join(clusters, id_col)
+    best = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("_len")).alias("nl"), F.col(id_col).alias("d"))
+        ).alias("_best"),
+    )
+    return scored.join(best, "cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("cluster_size"),
+        (F.col(id_col) == F.col("_best.d")).alias("keep"),
     )

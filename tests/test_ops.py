@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from hbase_rdf_spark.ops.dedup import (
     dedup_exact,
+    dedup_keep_list,
+    duplicate_clusters,
     embedding_near_duplicates,
     embedding_near_duplicates_lsh,
     exact_duplicates,
@@ -52,6 +54,51 @@ def test_minhash_near_dup(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
     assert not any(5 in p for p in got)
+
+
+def test_duplicate_clusters_transitive_and_singletons(spark, docs):
+    # chain 10—20—30 must merge into ONE cluster even though (10, 30)
+    # is not an edge; 40 has no edge → singleton cluster of itself
+    d = spark.createDataFrame(
+        [(10, "aaaa"), (20, "bbbbbb"), (30, "cc"), (40, "dd")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(d, pairs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40}
+
+
+def test_dedup_keep_list_survivor_policy(spark):
+    # survivor = longest text, tie → smallest id; exactly one keep per
+    # cluster, singletons always kept
+    d = spark.createDataFrame(
+        [(1, "xxxxx"), (2, "xxxxxxxx"), (3, "yyyyyyyy"), (9, "z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_list(d, pairs).collect()}
+    assert all(rows[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    assert rows[9]["cluster_id"] == 9 and rows[9]["keep"]
+    assert rows[9]["cluster_size"] == 1
+    # 2 and 3 tie on length 8 → keep id 2
+    assert rows[2]["keep"] and not rows[1]["keep"] and not rows[3]["keep"]
+    assert rows[1]["cluster_size"] == 3
+
+
+def test_keep_list_end_to_end_minhash(spark, docs):
+    out = dedup_keep_list(docs, minhash_duplicate_pairs(docs, threshold=0.5))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert out.count() == len(DOCS)  # total function over the corpus
+    assert {i for i, r in rows.items() if r["cluster_id"] == 1} == {1, 2, 3}
+    # one survivor per cluster
+    assert sum(1 for r in rows.values() if r["keep"]) == 4
 
 
 def test_ngram_jaccard_exact_baseline(spark, docs):
@@ -365,3 +412,39 @@ def test_multimodal_real_resize_roundtrip(spark):
     # nearest-neighbor resample is reproducible locally
     want = PgmKernel.resample(img.astype(np.float32), 20, 30)
     assert np.array_equal(decoded, want)
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    rows = [(i, "en" if i % 3 else "de", f"t{i}") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from hbase_rdf_spark.ops.sampling import stratified_sample
+
+    s1 = stratified_sample(d, ["lang"], k=7, seed="a")
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert per == {"en": 7, "de": 7}
+    # identical selection regardless of physical partitioning
+    s2 = stratified_sample(d.repartition(13), ["lang"], k=7, seed="a")
+    assert {r["doc_id"] for r in s1.collect()} == {r["doc_id"] for r in s2.collect()}
+    # a different seed draws a different sample
+    s3 = stratified_sample(d, ["lang"], k=7, seed="b")
+    assert {r["doc_id"] for r in s1.collect()} != {r["doc_id"] for r in s3.collect()}
+    # rank<=k lowered to the map-side group-limit physical rule
+    assert "WindowGroupLimit" in s1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_fraction_nested_and_stable(spark):
+    d = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    from hbase_rdf_spark.ops.sampling import sample_fraction
+
+    small = {r["doc_id"] for r in sample_fraction(d, 0.1, seed="s").collect()}
+    big = {r["doc_id"] for r in sample_fraction(d, 0.4, seed="s").collect()}
+    assert small and small < big  # non-empty, strictly nested
+    assert abs(len(big) / 2000 - 0.4) < 0.08  # roughly calibrated
+    # repartitioning must not change the selection (unlike df.sample)
+    again = {r["doc_id"] for r in sample_fraction(d.repartition(17), 0.4, seed="s").collect()}
+    assert again == big
+    # portable md5 path agrees with itself and stays calibrated
+    p = {r["doc_id"] for r in sample_fraction(d, 0.4, seed="s", portable=True).collect()}
+    assert abs(len(p) / 2000 - 0.4) < 0.08
