@@ -43,6 +43,7 @@ from hbase_rdf_spark.ops.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from hbase_rdf_spark.ops.packing import assign_context_windows
 from hbase_rdf_spark.ops.sampling import sample_fraction, stratified_sample
 from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce, lsh_topk
 from hbase_rdf_spark.ops.text import (
@@ -944,6 +945,18 @@ def _q_sample_fraction(spark, sf):
     ).select("doc_id", "lang", "source")
 
 
+def _q_pack_windows(spark, sf):
+    # context-window packing: exclusive prefix sum of token counts over
+    # doc_id order -> window id + offset. Distributed two-pass prefix
+    # sum (range sort + per-partition totals + Arrow cumsum) — never a
+    # global single-partition window. Oracle: SQL running sum.
+    docs = wordkg.read(spark, sf, "documents")
+    d = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return assign_context_windows(d, 512, "n_tokens")
+
+
 def _q_simhash(spark, sf):
     # portable=True: 60-bit md5-derived bit votes a DuckDB oracle
     # replays exactly (the scale path keeps xxhash64 — same plan shape)
@@ -1032,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
+        "pack_context_windows": _q_pack_windows,
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
     }
@@ -1640,6 +1654,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(concat_ws(chr(31), 's0', doc_id::VARCHAR)),
                          1, 15) < '4ccccccccccccc0'""",
+        "pack_context_windows": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS strt
+              FROM s
+            )
+            SELECT doc_id, n_tokens, strt // 512 AS bin_id,
+                   strt % 512 AS bin_offset
+            FROM c""",
         "ann_lsh_topk": """
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY vec_id""",

@@ -266,6 +266,68 @@ def main() -> None:
                             "PushedFilters", "Scan parquet")),
     ))
 
+    p16 = entrymod.queries()["sample_stratified"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Stratified sample — map-side WindowGroupLimit",
+        "rank<=k over row_number lowers to the WindowGroupLimit "
+        "physical rule: every map task pre-prunes to its LOCAL top-k "
+        "per stratum before the single strata-key exchange, so a "
+        "mega-stratum never funnels through one task's sort. The "
+        "keyed-hash ordering expression is pure codegen (md5/xxhash64 "
+        "intrinsics).",
+        trim(plan_of(p16), ("WindowGroupLimit", "Window", "Exchange",
+                            "Filter", "Scan parquet")),
+    ))
+
+    p17 = entrymod.queries()["sample_fraction"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Fraction sample — zero-shuffle keyed-hash filter",
+        "The keep decision is a per-row hash threshold: one codegen "
+        "Filter directly over the scan, NO Exchange anywhere — "
+        "partitioning-independent and retry-stable where df.sample() "
+        "is neither.",
+        trim(plan_of(p17), ("Filter", "Exchange", "Scan parquet",
+                            "WholeStageCodegen")),
+    ))
+
+    from hbase_rdf_spark.ops.dedup import dedup_keep_list
+
+    docs_audit = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs_audit = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    p18 = dedup_keep_list(docs_audit, pairs_audit)
+    sections.append((
+        "Dedup survivor selection — combinable agg, no per-cluster window",
+        "The survivor per near-dup cluster is min((-len, id)) — a "
+        "partial_min HashAggregate that combines map-side, then ONE "
+        "join back on cluster_id (AQE splits a viral cluster's key). "
+        "A row_number window over cluster_id would instead sort every "
+        "cluster inside single tasks. (CC rounds for the cluster label "
+        "are iterative and audited via operators/cc.py tests; this "
+        "plan shows the post-CC decision stage.)",
+        trim(plan_of(p18), ("HashAggregate", "partial_min", "Exchange",
+                            "Join", "Window")),
+    ))
+
+    p19 = entrymod.queries()["pack_context_windows"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Context-window packing — distributed prefix sum, no global Window",
+        "The exclusive prefix sum runs as range-repartition + in-partition "
+        "sort + Arrow-batched MapInPandas cumsum with broadcast partition "
+        "offsets. The plan contains NO Window operator: the naive "
+        "sum().over(orderBy(..)) alternative would funnel the whole table "
+        "through one task.",
+        trim(plan_of(p19), ("MapInPandas", "Exchange", "Sort",
+                            "Window", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

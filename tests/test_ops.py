@@ -448,3 +448,39 @@ def test_sample_fraction_nested_and_stable(spark):
     # portable md5 path agrees with itself and stays calibrated
     p = {r["doc_id"] for r in sample_fraction(d, 0.4, seed="s", portable=True).collect()}
     assert abs(len(p) / 2000 - 0.4) < 0.08
+
+
+def test_context_window_packing(spark):
+    from hbase_rdf_spark.ops.packing import assign_context_windows
+
+    d = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(100)], "doc_id long, tok long"
+    )
+    out = assign_context_windows(d, 16, "tok", num_partitions=5)
+    rows = sorted(out.collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:  # exact exclusive prefix sum semantics
+        assert r["bin_id"] == cum // 16 and r["bin_offset"] == cum % 16
+        cum += r["tok"]
+    # identical assignment at any parallelism / input partitioning
+    alt = sorted(
+        assign_context_windows(
+            d.repartition(3), 16, "tok", num_partitions=13
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["bin_id"], r["bin_offset"]) for r in rows] == [
+        (r["bin_id"], r["bin_offset"]) for r in alt
+    ]
+    # a doc longer than the window lands in the window of its first token
+    big = spark.createDataFrame(
+        [(1, 5), (2, 40), (3, 5)], "doc_id long, tok long"
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in assign_context_windows(big, 16, "tok").collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 5), 3: (2, 13)}
+    # the plan must NOT contain a global (un-partitioned) Window sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Window" not in plan
