@@ -44,7 +44,11 @@ from hbase_rdf_spark.ops.dedup import (
     simhash,
 )
 from hbase_rdf_spark.ops.packing import assign_context_windows
-from hbase_rdf_spark.ops.sampling import sample_fraction, stratified_sample
+from hbase_rdf_spark.ops.sampling import (
+    mixture_sample,
+    sample_fraction,
+    stratified_sample,
+)
 from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce, lsh_topk
 from hbase_rdf_spark.ops.text import (
     bpe_token_count,
@@ -957,6 +961,18 @@ def _q_pack_windows(spark, sf):
     return assign_context_windows(d, 512, "n_tokens")
 
 
+def _q_sample_mixture(spark, sf):
+    # data-mixture reweighting: per-language keep fractions as ONE
+    # codegen filter (driver-precomputed hash thresholds in a literal
+    # map); es is absent from the map -> dropped explicitly
+    docs = wordkg.read(spark, sf, "documents")
+    out = mixture_sample(
+        docs, {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1},
+        strata_col="lang", seed="s0", portable=True,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def _q_simhash(spark, sf):
     # portable=True: 60-bit md5-derived bit votes a DuckDB oracle
     # replays exactly (the scale path keeps xxhash64 — same plan shape)
@@ -1046,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
         "pack_context_windows": _q_pack_windows,
+        "sample_mixture": _q_sample_mixture,
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
     }
@@ -1671,6 +1688,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, strt // 512 AS bin_id,
                    strt % 512 AS bin_offset
             FROM c""",
+        "sample_mixture": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CASE lang
+              WHEN 'en' THEN true
+              WHEN 'de' THEN substr(md5(concat_ws(chr(31), 's0',
+                               doc_id::VARCHAR)), 1, 15) < '800000000000000'
+              WHEN 'fr' THEN substr(md5(concat_ws(chr(31), 's0',
+                               doc_id::VARCHAR)), 1, 15) < '400000000000000'
+              WHEN 'zh' THEN substr(md5(concat_ws(chr(31), 's0',
+                               doc_id::VARCHAR)), 1, 15) < '1999999999999a0'
+              ELSE false END""",
         "ann_lsh_topk": """
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY vec_id""",

@@ -86,3 +86,47 @@ def sample_fraction(
         return df.filter(key < F.lit(bound))
     bound = int((fraction - 0.5) * 2**64)  # xxhash64 is signed
     return df.filter(_sample_key(seed, id_col, False) < F.lit(bound))
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    seed: str = "s0",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum keep fractions — the data-mixture reweighting step.
+
+    ``fractions`` maps stratum value → keep probability; strata absent
+    from the map are DROPPED (explicit is better than silently keeping
+    an unreviewed source at 100%). The per-stratum hash *threshold* is
+    precomputed on the driver and shipped as a tiny literal map, so the
+    whole operator is ONE codegen filter over the scan — zero shuffles,
+    and the same row survives at any parallelism (the `sample_fraction`
+    guarantee, per stratum). Mixtures at scaled-down fractions nest,
+    which keeps ablation corpora subsets of the full mix.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if portable:
+        # v=1.0 would need a 16-char bound; 'g' sorts above every hex
+        # char, so it is the lexicographic +infinity for a 15-char key
+        bounds = {
+            k: "g" if v == 1.0 else format(int(v * 16**15), "015x")
+            for k, v in fractions.items()
+        }
+        key = F.substring(_sample_key(seed, id_col, True), 1, 15)
+    else:
+        # clamp: fraction 1.0 would land exactly on 2^63 (not a long)
+        bounds = {
+            k: min(int((v - 0.5) * 2**64), 2**63 - 1)
+            for k, v in fractions.items()
+        }
+        key = _sample_key(seed, id_col, False)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in bounds.items() for x in kv]
+    )
+    # absent stratum → null bound → null predicate → row filtered out
+    return df.filter(key < mapping[F.col(strata_col)])

@@ -484,3 +484,31 @@ def test_context_window_packing(spark):
     # the plan must NOT contain a global (un-partitioned) Window sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "Window" not in plan
+
+
+def test_mixture_sample_fractions_and_drop(spark):
+    from hbase_rdf_spark.ops.sampling import mixture_sample
+
+    d = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    mix = {"en": 1.0, "de": 0.5}
+    for portable in (False, True):
+        got = {
+            r["lang"]: r["count"]
+            for r in mixture_sample(d, mix, strata_col="lang", portable=portable)
+            .groupBy("lang").count().collect()
+        }
+        assert got["en"] == 1000  # fraction 1.0 keeps everything
+        assert abs(got["de"] - 500) < 80  # calibrated
+        assert "fr" not in got  # absent stratum dropped
+    # scaled-down mixture nests inside the full one
+    half = {r["doc_id"] for r in mixture_sample(
+        d, {"en": 0.5, "de": 0.25}, strata_col="lang").collect()}
+    full = {r["doc_id"] for r in mixture_sample(
+        d, mix, strata_col="lang").collect()}
+    assert half < full
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mixture_sample(d, {"en": 1.5}, strata_col="lang")
