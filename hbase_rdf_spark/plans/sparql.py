@@ -125,7 +125,7 @@ _TOKEN_RX = re.compile(
   | (?P<squote>'(?:[^'\\]|\\.)*')
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
+  | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
   | (?P<op><=|>=|!=|=|<|>|&&|\|\||!|[+-])
   | (?P<punct>[{}()*.,;/|^?\[\]])
   | (?P<word>[A-Za-z_][A-Za-z0-9_-]*)
@@ -638,21 +638,62 @@ class _Parser:
             elif tok == ".":
                 self.next()
             else:
-                s = self.term()
-                p = self._path()
-                o = self.term()
-                if isinstance(p, Path):
-                    if p.op == "mod" and p.children[0].op == "atom":
-                        # single-modifier shorthand — legacy Bgp form
-                        q.patterns.append(
-                            Bgp(s, p.children[0].iri, o, g=graph, path_mod=p.mod)
-                        )
-                    else:
-                        q.patterns.append(Bgp(s, p, o, g=graph))
-                else:
-                    q.patterns.append(Bgp(s, p, o, g=graph))
+                n_before = len(q.patterns)
+                s = self._node(q, graph)
+                # '[ p o ] .' — a bare blank-node property list is a
+                # complete triples block; its triples are already emitted
+                bare_bnpl = (
+                    len(q.patterns) > n_before
+                    and self.peek() in (".", "}", None)
+                )
+                if not bare_bnpl:
+                    self._pred_obj_list(q, graph, s)
                 if self.peek() == ".":
                     self.next()
+
+    def _emit_triple(self, q: Query, graph, s, p, o) -> None:
+        if isinstance(p, Path):
+            if p.op == "mod" and p.children[0].op == "atom":
+                # single-modifier shorthand — legacy Bgp form
+                q.patterns.append(
+                    Bgp(s, p.children[0].iri, o, g=graph, path_mod=p.mod)
+                )
+            else:
+                q.patterns.append(Bgp(s, p, o, g=graph))
+        else:
+            q.patterns.append(Bgp(s, p, o, g=graph))
+
+    def _pred_obj_list(self, q: Query, graph, s) -> None:
+        """Turtle-style predicateObjectList: ``p1 o1, o2 ; p2 o3``."""
+        while True:
+            p = self._path()
+            while True:  # objectList: 'o1, o2, o3'
+                o = self._node(q, graph)
+                self._emit_triple(q, graph, s, p, o)
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                while self.peek() == ";":  # tolerate stray ';;'
+                    self.next()
+                if self.peek() in (".", "}", None):
+                    break  # trailing ';' before the terminator
+                continue
+            break
+
+    def _node(self, q: Query, graph):
+        """Subject/object position: a term, or a blank-node property
+        list ``[ p o ; … ]`` desugared to a fresh non-projectable
+        variable plus inline triples (SPARQL TriplesNode)."""
+        if self.peek() == "[" and self.t[self.i + 1 : self.i + 2] != ["]"]:
+            self.next()
+            self._bn_counter += 1
+            b = f"?__bn_anon{self._bn_counter}"
+            self._pred_obj_list(q, graph, b)
+            self.expect("]")
+            return b
+        return self.term()
 
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:

@@ -1,0 +1,153 @@
+"""Round-2c SPARQL surface: Turtle-style triple shorthand.
+
+Predicate-object lists (``;``), object lists (``,``), blank-node
+property lists (``[ p o ; … ]``), and the empty prefix (``PREFIX :``).
+The reference accepts all of these through stock ARQ/Sesame parsers
+(reference: nl/vu/jena/* passes the query string to ARQ verbatim), so
+capability parity is the target; blank nodes in a query act as
+non-projectable variables scoped to the pattern (SPARQL 1.1 §4.1.4).
+"""
+
+import pytest
+
+from hbase_rdf_spark.functions.encoding import build_dictionaries, encode_quads
+from hbase_rdf_spark.operators.materialize import TripleStore
+from hbase_rdf_spark.plans.sparql import SparqlSyntaxError, execute, parse
+from hbase_rdf_spark.sources.ntriples import parse_lines, quads
+
+NQ = [
+    '<http://ex/a> <http://ex/name> "Alice" .',
+    '<http://ex/b> <http://ex/name> "Bob" .',
+    '<http://ex/a> <http://ex/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://ex/b> <http://ex/age> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    "<http://ex/a> <http://ex/likes> <http://ex/b> .",
+    "<http://ex/a> <http://ex/knows> <http://ex/b> .",
+    "<http://ex/b> <http://ex/city> <http://ex/Rome> .",
+    "<http://ex/a> <http://ex/city> <http://ex/Oslo> .",
+    "<http://ex/g1/s> <http://ex/p> <http://ex/o> <http://ex/g1> .",
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("sparqlr3store"))
+    lines = spark.createDataFrame([(l,) for l in NQ], "value string")
+    resolved = quads(parse_lines(lines))
+    st = TripleStore(spark, root, num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "nq")
+    st.write_indexes(encode_quads(resolved), "nq")
+    return st
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# -- parse-level ------------------------------------------------------------
+
+
+def test_semicolon_list_parses():
+    q = parse(
+        "PREFIX x: <http://x/> SELECT ?n WHERE "
+        "{ ?p x:name ?n ; x:age ?a , ?b ; . }"
+    )
+    triples = [(p.s, p.p, p.o) for p in q.patterns]
+    assert triples == [
+        ("?p", "http://x/name", "?n"),
+        ("?p", "http://x/age", "?a"),
+        ("?p", "http://x/age", "?b"),
+    ]
+
+
+def test_bnode_property_list_desugars():
+    q = parse(
+        "PREFIX x: <http://x/> SELECT ?m WHERE "
+        "{ ?p x:knows [ x:name ?m ; x:age 30 ] . }"
+    )
+    bn = [p for p in q.patterns if p.s.startswith("?__bn_")]
+    assert len(bn) == 2
+    link = [p for p in q.patterns if p.p == "http://x/knows"]
+    assert link[0].o == bn[0].s
+
+
+def test_bare_bnpl_is_a_triples_block():
+    q = parse("PREFIX x: <http://x/> SELECT ?n WHERE { [ x:alias ?n ] . }")
+    assert len(q.patterns) == 1
+    assert q.patterns[0].s.startswith("?__bn_")
+
+
+def test_empty_prefix():
+    q = parse("PREFIX : <http://x/> SELECT ?n WHERE { ?p :name ?n ; a :T . }")
+    assert q.patterns[0].p == "http://x/name"
+    assert q.patterns[1].o == "http://x/T"
+
+
+def test_bare_var_subject_still_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?x WHERE { ?x }")
+    # trailing ';' is valid per the grammar: (';' (Verb ObjectList)?)*
+    parse("PREFIX x: <http://x/> SELECT ?x WHERE { ?x x:p ?y ; }")
+    parse("PREFIX x: <http://x/> SELECT ?x WHERE { ?x x:p ?y ; . }")
+
+
+# -- end-to-end -------------------------------------------------------------
+
+
+def test_semicolon_and_comma_execute(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?c WHERE {
+          ?p ex:name ?n ; ex:likes ?q , ?q2 .
+          ?q ex:city ?c .
+        }
+        """,
+    )
+    assert rows(out) == {("Alice", "http://ex/Rome")}
+
+
+def test_object_bnpl_executes(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n WHERE { ?p ex:name ?n ; ex:likes [ ex:city ex:Rome ] . }
+        """,
+    )
+    assert rows(out) == {("Alice",)}
+
+
+def test_bnpl_var_not_projected_by_star(store):
+    out = execute(
+        store,
+        "PREFIX ex: <http://ex/> SELECT * WHERE { [ ex:city ?c ] . }",
+    )
+    assert set(out.columns) == {"c"}
+    assert rows(out) == {("http://ex/Rome",), ("http://ex/Oslo",)}
+
+
+def test_bnpl_inside_graph_scoped(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?o WHERE { GRAPH ex:g1 { [ ex:p ?o ] . } }
+        """,
+    )
+    assert rows(out) == {("http://ex/o",)}
+
+
+def test_bnpl_inside_optional(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?c WHERE {
+          ?p ex:name ?n .
+          OPTIONAL { ?p ex:knows [ ex:city ?c ] . }
+        }
+        """,
+    )
+    assert rows(out) == {("Alice", "http://ex/Rome"), ("Bob", None)}
