@@ -594,6 +594,26 @@ def _q_sparql_bind(spark, sf):
         }""")
 
 
+def _q_sparql_optional_union(spark, sf):
+    # UNION inside OPTIONAL: the group's solutions are the union of the
+    # branches, left-joined onto the required bindings as one unit
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?m WHERE {
+          <spark> <join> ?y .
+          OPTIONAL { { ?y <merge> ?m } UNION { ?y <scan> ?m } }
+        }""")
+
+
+def _q_sparql_optional_bind(spark, sf):
+    # BIND inside OPTIONAL extends the group before the left join; the
+    # group-local FILTER over the BIND output runs inside the block
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?d WHERE {
+          <spark> <join> ?y .
+          OPTIONAL { ?y <toklen> ?n . BIND(?n * 3 AS ?d) FILTER(?d >= 12) }
+        }""")
+
+
 def _q_path_seq(spark, sf):
     return _sparql(
         spark, sf,
@@ -1032,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_bind": _q_sparql_bind,
+        "kg_sparql_optional_union": _q_sparql_optional_union,
+        "kg_sparql_optional_bind": _q_sparql_optional_bind,
         "kg_sparql_not_exists": _q_sparql_not_exists,
         "kg_sparql_not_exists_corr": _q_sparql_not_exists_corr,
         "kg_sparql_values_undef": _q_sparql_values_undef,
@@ -1563,6 +1585,20 @@ def oracle_sql() -> dict[str, str]:
                   WHERE p = 'merge' GROUP BY s) m
               ON t.o = m.s
             WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_sparql_optional_union": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y, u.o AS m
+            FROM triples t
+            LEFT JOIN (SELECT s, o FROM triples
+                       WHERE p IN ('merge', 'scan')) u
+              ON u.s = t.o
+            WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_sparql_optional_bind": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y,
+                   CASE WHEN length(o) * 3 >= 12
+                        THEN CAST(CAST(length(o) * 3 AS DOUBLE) AS VARCHAR)
+                   END AS d
+            FROM triples
+            WHERE s = 'spark' AND p = 'join'""",
         "kg_sparql_bind": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y,
                    CAST(CAST(length(o) * 2 + 1 AS DOUBLE) AS VARCHAR) AS dlen,

@@ -41,7 +41,9 @@ entity and numeric-literal bindings join and compare with one code path
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
+from functools import reduce as _reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -97,6 +99,16 @@ class OptionalBlock:
     patterns: list = field(default_factory=list)
     filters: list = field(default_factory=list)
     optional: list = field(default_factory=list)  # nested OptionalBlocks
+    # UNION chains inside the group: list of branch lists (GroupBlock-
+    # shaped objects with .patterns/.filters/.optional); the group's
+    # solutions are the union over branch combinations
+    union: list = field(default_factory=list)
+    # BIND assignments inside the group, applied to the group's
+    # solutions before the left join; evaluation is delegated to the
+    # SPARQL layer via ``bind_fn`` (df -> df) because bind expressions
+    # need the store's term dictionary — bgp.py stays layer-clean
+    binds: list = field(default_factory=list)
+    bind_fn: object = None
 
 
 @dataclass
@@ -214,6 +226,12 @@ def _block_vars(blk: OptionalBlock) -> set[str]:
     vs = pattern_vars(blk.patterns)
     for sub in blk.optional:
         vs |= _block_vars(sub)
+    for chain in getattr(blk, "union", ()) or ():
+        for br in chain:
+            vs |= pattern_vars(br.patterns)
+            for sub in br.optional:
+                vs |= _block_vars(sub)
+    vs |= {b.var for b in getattr(blk, "binds", ()) or ()}
     return vs
 
 
@@ -511,6 +529,58 @@ def _apply_filter(store, df: DataFrame, f) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _block_result(store, blk: OptionalBlock, dedup: bool) -> DataFrame:
+    """Solutions of one OPTIONAL group: patterns + group-local filters,
+    UNION chains expanded over branch combinations, BINDs applied last
+    (via the SPARQL layer's ``bind_fn`` callback)."""
+    bindvars = {b.var for b in getattr(blk, "binds", ()) or ()}
+    # filters over the block's own BIND outputs run after the binds
+    pre = [f for f in blk.filters if not (f.vars() & bindvars)]
+    post = [f for f in blk.filters if f.vars() & bindvars]
+    union = getattr(blk, "union", None) or []
+    if union:
+        steps = []
+        for combo in itertools.product(*union):
+            pats = list(blk.patterns)
+            filts = list(pre)
+            opts = list(blk.optional)
+            for b in combo:
+                pats += b.patterns
+                filts += b.filters
+                opts += b.optional
+            scope = pattern_vars(pats)
+            for sub in opts:
+                scope |= _block_vars(sub)
+            applicable = [f for f in filts if f.vars() <= scope]
+            branch = execute_bgp(
+                store, pats, filters=applicable, optional=opts, dedup=dedup
+            )
+            if len(applicable) != len(filts):
+                # a filter var unbound in this branch: type error → every
+                # solution of the branch is dropped; keep the schema
+                branch = branch.limit(0)
+            steps.append(branch)
+        step = _reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), steps
+        )
+    else:
+        step = execute_bgp(
+            store, blk.patterns, filters=pre,
+            optional=blk.optional, dedup=dedup,
+        )
+    bind_fn = getattr(blk, "bind_fn", None)
+    if bind_fn is not None:
+        step = bind_fn(step)
+    elif getattr(blk, "binds", None):
+        raise ValueError(
+            "OPTIONAL block has BINDs but no bind_fn was attached — "
+            "execute it through plans.sparql.execute()"
+        )
+    for f in post:
+        step = _apply_filter(store, step, f)
+    return step
+
+
 def execute_bgp(
     store,
     patterns: list[Bgp],
@@ -601,10 +671,7 @@ def execute_bgp(
                     f"outside the block ({sorted(f.vars() - bvars)}) — "
                     "correlated OPTIONAL filters are not supported"
                 )
-        step = execute_bgp(
-            store, blk.patterns, filters=blk.filters,
-            optional=blk.optional, dedup=dedup,
-        )
+        step = _block_result(store, blk, dedup)
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
         if shared:
             result = result.join(step, on=shared, how="left")

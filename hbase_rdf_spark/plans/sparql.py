@@ -541,13 +541,17 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, g)
                 self.expect("}")
-                if sub.union_blocks:
-                    raise SparqlSyntaxError("UNION inside GRAPH is not supported")
+                # everything parsed inside carried g on its patterns —
+                # splice it all into the enclosing group
                 q.patterns.extend(sub.patterns)
                 q.optional.extend(sub.optional)
                 q.filters.extend(sub.filters)
                 q.lang_filters.extend(sub.lang_filters)
                 q.binds.extend(sub.binds)  # BIND is graph-agnostic
+                q.union_blocks.extend(sub.union_blocks)
+                q.values.extend(sub.values)
+                q.minus.extend(sub.minus)
+                q.exists.extend(sub.exists)
                 if sub.subqueries:
                     raise SparqlSyntaxError(
                         "a subquery inside GRAPH is not supported"
@@ -558,21 +562,25 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                if sub.union_blocks:
-                    raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
-                if sub.binds:
-                    raise SparqlSyntaxError("BIND inside OPTIONAL is not supported")
                 if sub.subqueries:
                     raise SparqlSyntaxError(
                         "a subquery inside OPTIONAL is not supported"
                     )
+                if sub.values or sub.minus or sub.exists:
+                    raise SparqlSyntaxError(
+                        "VALUES/MINUS/EXISTS inside OPTIONAL are not supported"
+                    )
                 # the whole group left-joins as a unit, its FILTERs
-                # applied inside the block (SPARQL LeftJoin semantics)
+                # applied inside the block (SPARQL LeftJoin semantics);
+                # UNION chains expand per branch combination, BINDs
+                # extend the group's solutions before the left join
                 q.optional.append(
                     OptionalBlock(
                         patterns=sub.patterns,
                         filters=sub.filters,
                         optional=sub.optional,
+                        union=sub.union_blocks,
+                        binds=sub.binds,
                     )
                 )
             elif up == "FILTER":
@@ -620,14 +628,14 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                branches = [self._as_branch(sub)]
+                branches = self._branchify(sub)
                 while self.peek() is not None and self.peek().upper() == "UNION":
                     self.next()
                     self.expect("{")
                     alt = Query(variables=[])
                     self._subgroup(alt, graph)
                     self.expect("}")
-                    branches.append(self._as_branch(alt))
+                    branches.extend(self._branchify(alt))
                 if len(branches) == 1:
                     b = branches[0]
                     q.patterns.extend(b.patterns)
@@ -694,6 +702,26 @@ class _Parser:
             self.expect("]")
             return b
         return self.term()
+
+    def _branchify(self, sub: "Query") -> list[GroupBlock]:
+        """One UNION branch → its GroupBlocks. A branch that is ITSELF a
+        single bare UNION chain splices into the enclosing chain —
+        UNION is associative, so '{ {A} UNION {B} } UNION {C}'
+        flattens to the 3-branch chain A|B|C."""
+        if (
+            len(sub.union_blocks) == 1
+            and not sub.patterns
+            and not sub.filters
+            and not sub.lang_filters
+            and not sub.optional
+            and not sub.values
+            and not sub.minus
+            and not sub.exists
+            and not sub.binds
+            and not sub.subqueries
+        ):
+            return list(sub.union_blocks[0])
+        return [self._as_branch(sub)]
 
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:
@@ -1831,6 +1859,7 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         )
     from hbase_rdf_spark.plans.bgp import _binding_struct
 
+    _attach_bind_fns(store, sub.optional)
     res = execute_bgp(
         store, sub.patterns, filters=list(sub.filters),
         optional=list(sub.optional),
@@ -1992,9 +2021,28 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     return execute_bgp(store, pats, filters=filts, optional=opts, dedup=dedup)
 
 
+def _attach_bind_fns(store, blocks) -> None:
+    """Give every OPTIONAL block carrying BINDs a closure that applies
+    them (bgp.py cannot import this layer); recurses into nested blocks
+    and the optional lists of UNION branches."""
+    for blk in blocks:
+        if getattr(blk, "binds", None) and getattr(blk, "bind_fn", None) is None:
+            blk.bind_fn = (
+                lambda b: lambda df: _apply_binds(df, store, b.binds)
+            )(blk)
+        _attach_bind_fns(store, blk.optional)
+        for chain in getattr(blk, "union", ()) or ():
+            for br in chain:
+                _attach_bind_fns(store, br.optional)
+
+
 def execute(store, query: str | Query) -> DataFrame:
     """SPARQL text → materialized DataFrame (one string column per var)."""
     q = parse(query) if isinstance(query, str) else query
+    _attach_bind_fns(store, q.optional)
+    for chain in q.union_blocks:
+        for br in chain:
+            _attach_bind_fns(store, br.optional)
 
     if q.form == "describe" and not q.patterns and not q.union_blocks:
         return _describe(store, q, None)

@@ -695,14 +695,20 @@ def test_bind_out_of_scope_var_raises(store):
         """)
 
 
-def test_bind_inside_optional_raises(store):
-    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
-        execute(store, """
-        SELECT ?i WHERE {
-          ?i <http://ex/item> ?y .
-          OPTIONAL { ?i <http://ex/price> ?p . BIND(?p AS ?q) }
-        }
-        """)
+def test_bind_inside_optional(store):
+    # BIND extends the optional group's solutions before the left join;
+    # items without a price stay with ?q unbound
+    out = execute(store, """
+    SELECT ?i ?q WHERE {
+      ?i <http://ex/item> ?y .
+      OPTIONAL { ?i <http://ex/price> ?p . BIND(?p * 2 AS ?q) }
+    }
+    """)
+    assert rows(out) == {
+        ("http://ex/i1", "100.0"),
+        ("http://ex/i2", "300.0"),
+        ("http://ex/i3", None),
+    }
 
 
 def test_bind_aggregate_over_bind_var(store):

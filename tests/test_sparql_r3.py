@@ -25,6 +25,10 @@ NQ = [
     "<http://ex/b> <http://ex/city> <http://ex/Rome> .",
     "<http://ex/a> <http://ex/city> <http://ex/Oslo> .",
     "<http://ex/g1/s> <http://ex/p> <http://ex/o> <http://ex/g1> .",
+    "<http://ex/g1/s3> <http://ex/p> <http://ex/o3> <http://ex/g1> .",
+    "<http://ex/g1/s2> <http://ex/q> <http://ex/o2> <http://ex/g1> .",
+    # default-graph distractor: must NOT appear in GRAPH-scoped unions
+    "<http://ex/dg> <http://ex/p> <http://ex/odefault> .",
 ]
 
 
@@ -136,7 +140,112 @@ def test_bnpl_inside_graph_scoped(store):
         SELECT ?o WHERE { GRAPH ex:g1 { [ ex:p ?o ] . } }
         """,
     )
-    assert rows(out) == {("http://ex/o",)}
+    assert rows(out) == {("http://ex/o",), ("http://ex/o3",)}
+
+
+def test_union_inside_graph(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?o WHERE {
+          GRAPH ex:g1 { { ?s ex:p ?o } UNION { ?s ex:q ?o } }
+        }
+        """,
+    )
+    assert rows(out) == {
+        ("http://ex/g1/s", "http://ex/o"),
+        ("http://ex/g1/s3", "http://ex/o3"),
+        ("http://ex/g1/s2", "http://ex/o2"),
+    }
+
+
+def test_minus_inside_graph(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?o WHERE {
+          GRAPH ex:g1 { ?s ex:p ?o MINUS { ?s ex:p ex:o } }
+        }
+        """,
+    )
+    assert rows(out) == {("http://ex/g1/s3", "http://ex/o3")}
+
+
+def test_nested_union_flattens():
+    q = parse(
+        "PREFIX x: <http://x/> SELECT ?o WHERE "
+        "{ { { ?s x:a ?o } UNION { ?s x:b ?o } } UNION { ?s x:c ?o } }"
+    )
+    assert len(q.union_blocks) == 1
+    assert len(q.union_blocks[0]) == 3
+
+
+def test_nested_union_executes(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?p ?x WHERE {
+          { { ?p ex:likes ?x } UNION { ?p ex:knows ?x } }
+          UNION { ?p ex:city ?x }
+        }
+        """,
+    )
+    assert rows(out) == {
+        ("http://ex/a", "http://ex/b"),  # likes and knows dedup to one
+        ("http://ex/a", "http://ex/Oslo"),
+        ("http://ex/b", "http://ex/Rome"),
+    }
+
+
+def test_union_inside_optional(store):
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?x WHERE {
+          ?p ex:name ?n .
+          OPTIONAL { { ?p ex:likes ?x } UNION { ?p ex:age ?x } }
+        }
+        """,
+    )
+    assert rows(out) == {
+        ("Alice", "http://ex/b"),
+        ("Alice", "30.0"),
+        ("Bob", "40.0"),
+    }
+
+
+def test_union_inside_optional_nonmatching_branch(store):
+    # a branch that never matches must not erase the other branch's rows
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?x WHERE {
+          ?p ex:name ?n .
+          OPTIONAL { { ?p ex:nosuch ?x } UNION { ?p ex:likes ?x } }
+        }
+        """,
+    )
+    assert rows(out) == {("Alice", "http://ex/b"), ("Bob", None)}
+
+
+def test_bind_inside_optional_with_filter(store):
+    # the group-local FILTER over the BIND output runs inside the block
+    out = execute(
+        store,
+        """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?d WHERE {
+          ?p ex:name ?n .
+          OPTIONAL { ?p ex:age ?a . BIND(?a * 2 AS ?d) FILTER(?d > 70) }
+        }
+        """,
+    )
+    assert rows(out) == {("Alice", None), ("Bob", "80.0")}
 
 
 def test_bnpl_inside_optional(store):
