@@ -969,6 +969,17 @@ def _q_sample_fraction(spark, sf):
     ).select("doc_id", "lang", "source")
 
 
+def _q_sample_shards(spark, sf):
+    # deterministic global shuffle + sharding for training export: the
+    # portable md5 permutation lets DuckDB replay (shard, position)
+    from hbase_rdf_spark.ops.sampling import assign_shards
+
+    docs = wordkg.read(spark, sf, "documents")
+    return assign_shards(docs, 8, seed="s0", portable=True).select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+
+
 def _q_pack_windows(spark, sf):
     # context-window packing: exclusive prefix sum of token counts over
     # doc_id order -> window id + offset. Distributed two-pass prefix
@@ -1083,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
         "sample_fraction": _q_sample_fraction,
+        "sample_shards": _q_sample_shards,
         "pack_context_windows": _q_pack_windows,
         "sample_mixture": _q_sample_mixture,
         "dedup_simhash": _q_simhash,
@@ -1703,6 +1715,18 @@ def oracle_sql() -> dict[str, str]:
                      ) AS sample_rank
               FROM documents)
             WHERE sample_rank <= 5""",
+        "sample_shards": """
+            WITH keyed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(concat_ws(chr(31), 's0',
+                        doc_id::VARCHAR)), 1, 15))::BIGINT AS sk
+              FROM documents
+            )
+            SELECT doc_id, CAST(sk % 8 AS INT) AS shard_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY sk % 8 ORDER BY sk, doc_id
+                   ) AS INT) AS shard_pos
+            FROM keyed""",
         "sample_fraction": """
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5(concat_ws(chr(31), 's0', doc_id::VARCHAR)),

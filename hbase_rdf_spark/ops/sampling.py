@@ -130,3 +130,64 @@ def mixture_sample(
     )
     # absent stratum → null bound → null predicate → row filtered out
     return df.filter(key < mapping[F.col(strata_col)])
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export.
+
+    Adds ``shard_id`` (keyed-hash mod ``n_shards``) and ``shard_pos``
+    (the row's rank inside its shard by the same hash, ties by id) —
+    together a stable pseudo-random permutation of the corpus: the same
+    (shard, position) for a given row at any parallelism, on any rerun,
+    after any retry. Changing ``seed`` reshuffles; changing only
+    ``n_shards`` keeps the underlying order (the hash is shard-count-
+    free) so resharding never re-randomizes the curriculum.
+
+    One shuffle on ``shard_id`` (the write layout needs it anyway);
+    the in-shard rank is a per-shard sort, never a global one. With
+    ``portable=True`` the hash is md5-derived so an external system
+    (or the DuckDB oracle) can replay the exact permutation.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from hbase_rdf_spark.functions.portable import md5_long60
+
+    tagged = F.concat_ws(_SEP, F.lit(str(seed)), F.col(id_col).cast("string"))
+    key = md5_long60(tagged) if portable else F.xxhash64(tagged)
+    out = df.withColumn("__sk", key).withColumn(
+        "shard_id", F.pmod(F.col("__sk"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("__sk").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("shard_pos", F.row_number().over(w)).drop("__sk")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+) -> None:
+    """Write the sharded corpus as ``path/shard_id=K/`` parquet, rows
+    inside each shard in shuffle order (``shard_pos``).
+
+    ``repartition(shard_id)`` + ``sortWithinPartitions`` → one shuffle,
+    one sorted write per shard, no driver funnel; a trainer streams
+    shard files in order and gets the deterministic permutation.
+    """
+    sharded = assign_shards(df, n_shards, seed=seed, id_col=id_col)
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

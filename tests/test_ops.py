@@ -512,3 +512,50 @@ def test_mixture_sample_fractions_and_drop(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mixture_sample(d, {"en": 1.5}, strata_col="lang")
+
+
+def test_assign_shards_deterministic_permutation(spark, tmp_path):
+    from hbase_rdf_spark.ops.sampling import assign_shards, export_shards
+
+    d = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], "doc_id long, text string"
+    )
+    out = assign_shards(d, 8, seed="s").select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+    got = {(r.doc_id, r.shard_id, r.shard_pos) for r in out.collect()}
+    # every row assigned, positions are 1..n contiguous per shard
+    assert len(got) == 1000
+    by_shard = {}
+    for _, sid, pos in got:
+        by_shard.setdefault(sid, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # rough balance: no shard below half or above double the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 1000 / 8 / 2 and max(sizes) < 1000 / 8 * 2
+    # partitioning-independent (retry/cluster-size stable)
+    again = {
+        (r.doc_id, r.shard_id, r.shard_pos)
+        for r in assign_shards(d.repartition(17), 8, seed="s")
+        .select("doc_id", "shard_id", "shard_pos")
+        .collect()
+    }
+    assert again == got
+    # a different seed is a different permutation
+    other = {
+        (r.doc_id, r.shard_id, r.shard_pos)
+        for r in assign_shards(d, 8, seed="s2")
+        .select("doc_id", "shard_id", "shard_pos")
+        .collect()
+    }
+    assert other != got
+    # export: one dir per shard, rows inside in shuffle order
+    path = str(tmp_path / "shards")
+    export_shards(d, path, 4, seed="s")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert {r.shard_id for r in back.select("shard_id").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
