@@ -50,11 +50,13 @@ from hbase_rdf_spark.ops.sampling import (
     stratified_sample,
 )
 from hbase_rdf_spark.ops.similarity import cosine_topk_bruteforce, lsh_topk
+from hbase_rdf_spark.ops.contamination import benchmark_contamination
 from hbase_rdf_spark.ops.text import (
     bpe_token_count,
     detect_language,
     fingerprint,
     quality_features,
+    redact_pii,
     token_count,
 )
 
@@ -716,6 +718,43 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_pii_redact(spark, sf):
+    # decontaminate/scrub shape: deterministic synthetic PII appended to
+    # each doc (derived from doc_id so the DuckDB oracle replays it),
+    # then the sequential redaction pass — a pure codegen projection
+    docs = wordkg.read(spark, sf, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@ex"), (d % 7).cast("string"), F.lit(".example.com"),
+        F.lit(" or +"), (d % 90 + 10).cast("string"),
+        F.lit("-"), (d % 900 + 100).cast("string"),
+        F.lit("-"), (d % 9000 + 1000).cast("string"),
+        F.lit(" ssn "), (d % 900 + 100).cast("string"),
+        F.lit("-"), (d % 90 + 10).cast("string"),
+        F.lit("-"), (d % 9000 + 1000).cast("string"),
+        F.lit(" ip 10."), (d % 256).cast("string"),
+        F.lit("."), ((d * 7) % 256).cast("string"),
+        F.lit("."), ((d * 13) % 256).cast("string"),
+    )
+    out = redact_pii(docs.select("doc_id", aug.alias("text")), "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "red_text"
+    )
+
+
+def _q_contamination(spark, sf):
+    # benchmark decontamination: word-3-gram overlap of every corpus doc
+    # against a deterministic held-out "benchmark" slice (doc_id%41==0);
+    # the benchmark gram set broadcasts, the corpus side never shuffles
+    # except the combinable per-doc count agg
+    docs = wordkg.read(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return benchmark_contamination(corpus, bench, n=3, threshold=0.08)
+
+
 def _q_quality_full(spark, sf):
     docs = wordkg.read(spark, sf, "documents")
     return quality_features(docs).select(
@@ -1048,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_token_count,
         "text_bpe_tokens": _q_bpe_tokens,
         "text_quality_full": _q_quality_full,
+        "text_pii_redact": _q_pii_redact,
+        "text_contamination": _q_contamination,
         "text_lang_detect": _q_lang_detect,
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
@@ -1286,6 +1327,70 @@ SELECT doc_id,
                  for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fp
 FROM documents"""
 
+def _pii_sql() -> str:
+    """DuckDB replay of _q_pii_redact, generated from the SAME
+    PII_PATTERNS dict (ops/text.py) so engine and oracle cannot drift.
+    The patterns are RE2/Java-compatible by construction."""
+    from hbase_rdf_spark.ops.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || doc_id::VARCHAR"
+        " || '@ex' || (doc_id % 7)::VARCHAR || '.example.com'"
+        " || ' or +' || ((doc_id % 90) + 10)::VARCHAR"
+        " || '-' || ((doc_id % 900) + 100)::VARCHAR"
+        " || '-' || ((doc_id % 9000) + 1000)::VARCHAR"
+        " || ' ssn ' || ((doc_id % 900) + 100)::VARCHAR"
+        " || '-' || ((doc_id % 90) + 10)::VARCHAR"
+        " || '-' || ((doc_id % 9000) + 1000)::VARCHAR"
+        " || ' ip 10.' || (doc_id % 256)::VARCHAR"
+        " || '.' || ((doc_id * 7) % 256)::VARCHAR"
+        " || '.' || ((doc_id * 13) % 256)::VARCHAR"
+    )
+    ctes = [f"aug AS (SELECT doc_id, {aug} AS t FROM documents)"]
+    prev, carried = "aug", []
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), 1):
+        lit = pat.replace("'", "''")
+        cols = (", ".join(carried) + ", ") if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {cols}"
+            f"len(regexp_extract_all(t, '{lit}')) AS n_{kind}, "
+            f"regexp_replace(t, '{lit}', '<{kind.upper()}>', 'g') AS t "
+            f"FROM {prev})"
+        )
+        carried.append(f"n_{kind}")
+        prev = f"s{i}"
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT doc_id, {', '.join(carried)}, t AS red_text FROM {prev}"
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                               for i in range(1, len(w) - 1)])) AS g
+  FROM toks WHERE len(w) >= 3
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0
+), scored AS (
+  SELECT gr.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matched
+  FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 41 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, n_grams, n_matched,
+       round(n_matched::DOUBLE / n_grams, 6) AS overlap,
+       CASE WHEN n_matched::DOUBLE / n_grams >= 0.08 THEN 1 ELSE 0 END
+         AS contaminated
+FROM scored"""
+
+
 # exact trigram-Jaccard pairs at the minhash gate threshold — the gate
 # asserts the banded-LSH path reproduces the exact pair set (recall 1.0
 # at gate scale) with identical Jaccard values
@@ -1436,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens
             FROM documents""",
         "text_quality_full": _QUALITY_FULL_SQL,
+        "text_pii_redact": _pii_sql(),
+        "text_contamination": _CONTAMINATION_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

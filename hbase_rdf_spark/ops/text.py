@@ -106,6 +106,47 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns restricted to constructs Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: character classes, bounded
+# repetition, and ASCII word boundaries — no lookaround, no
+# backreferences. Applied in THIS order (dict order is the contract):
+# an earlier replacement must not manufacture text a later pattern
+# matches, and the tags (<EMAIL> …) contain no digits so they never do.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "red_text"
+) -> DataFrame:
+    """Scrub emails / SSNs / phones / IPv4s from a text column.
+
+    Adds one ``n_<kind>`` count column per pattern plus the redacted
+    text (each match replaced by its ``<KIND>`` tag). Counts are taken
+    on the progressively-redacted text, so an SSN-shaped substring of
+    an already-redacted phone is not double-counted — sequential
+    semantics a SQL oracle can replay with nested regexp_replace.
+
+    Scale: a pure projection — regexp_extract_all / regexp_replace are
+    whole-stage-codegen JVM expressions; no shuffle, no UDF, runs at
+    scan speed over a 100 TB corpus.
+    """
+    red = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.select("*", *counts, red.alias(out_col))
+
+
 def fingerprint(text: Column, window: int = 8, portable: bool = False) -> Column:
     """Winnowing-style document fingerprint: min rolling-window hash.
 

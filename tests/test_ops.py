@@ -559,3 +559,55 @@ def test_assign_shards_deterministic_permutation(spark, tmp_path):
     assert {r.shard_id for r in back.select("shard_id").distinct().collect()} == {
         0, 1, 2, 3,
     }
+
+
+def test_redact_pii_counts_and_text(spark):
+    from hbase_rdf_spark.ops.text import redact_pii
+
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org today"),
+        (2, "ssn 123-45-6789 phone +1-555-0142 host 192.168.0.7"),
+        (3, "no pii here at all"),
+        # ssn-shaped substring INSIDE a phone must not double-count:
+        # phone runs after ssn, ssn's 3-2-4 shape never matches +NN-NNN-NNNN
+        (4, "+49-123-4567 and 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].red_text
+    assert "bob" not in out[1].red_text
+    assert (out[2].n_ssn, out[2].n_phone, out[2].n_ipv4) == (1, 1, 1)
+    assert out[2].red_text == "ssn <SSN> phone <PHONE> host <IPV4>"
+    assert (out[3].n_email, out[3].n_ssn, out[3].n_phone, out[3].n_ipv4) == (
+        0, 0, 0, 0,
+    )
+    assert (out[4].n_ssn, out[4].n_phone, out[4].n_ipv4) == (0, 1, 1)
+
+
+def test_benchmark_contamination_overlap(spark):
+    from hbase_rdf_spark.ops.contamination import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # fully contained
+            (2, "alpha beta gamma zeta eta theta"),  # 1 of 4 grams match
+            (3, "iota kappa lambda mu"),             # no overlap
+            (4, "xy"),                               # < n tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in benchmark_contamination(
+            corpus, bench, n=3, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_grams == 3 and out[1].n_matched == 3
+    assert out[1].contaminated == 1
+    assert out[2].n_grams == 4 and out[2].n_matched == 1
+    assert out[2].contaminated == 0
+    assert out[3].n_matched == 0 and out[3].contaminated == 0
