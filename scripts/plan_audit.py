@@ -328,6 +328,34 @@ def main() -> None:
                             "Window", "Scan parquet")),
     ))
 
+    p20 = entrymod.queries()["text_pii_redact"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "PII redaction — pure projection, zero shuffles",
+        "Sequential regexp_extract_all/regexp_replace over the text "
+        "column compiles to ONE whole-stage-codegen Project directly "
+        "over the parquet scan: no Exchange anywhere, so the scrub runs "
+        "at scan speed over a 100 TB corpus.",
+        trim(plan_of(p20), ("Project", "Exchange", "Scan parquet",
+                            "WholeStageCodegen")),
+    ))
+
+    p21 = entrymod.queries()["text_contamination"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Benchmark decontamination — broadcast gram set, combinable count",
+        "The benchmark n-gram set (small by definition) broadcasts "
+        "(BroadcastHashJoin, LEFT OUTER), so the corpus side is never "
+        "shuffled for the membership probe; the only Exchange feeds the "
+        "map-side-combinable per-doc count HashAggregate keyed on the "
+        "uniformly-distributed doc id.",
+        trim(plan_of(p21), ("BroadcastHashJoin", "BroadcastExchange",
+                            "HashAggregate", "Exchange", "Generate",
+                            "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
