@@ -718,6 +718,22 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_repetition(spark, sf):
+    # Gopher-style repetition quality filters — shuffle-free per-row
+    # HOFs (the explode+groupBy twin would shuffle the corpus twice)
+    from hbase_rdf_spark.ops.text import repetition_features
+
+    docs = wordkg.read(spark, sf, "documents")
+    return repetition_features(docs).select(
+        "doc_id",
+        "rep_tokens",
+        "rep_dup_token_frac",
+        "rep_top_token_frac",
+        "rep_dup_2gram_frac",
+        "rep_top_2gram_frac",
+    )
+
+
 def _q_pii_redact(spark, sf):
     # decontaminate/scrub shape: deterministic synthetic PII appended to
     # each doc (derived from doc_id so the DuckDB oracle replays it),
@@ -1089,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_full": _q_quality_full,
         "text_pii_redact": _q_pii_redact,
         "text_contamination": _q_contamination,
+        "text_repetition": _q_repetition,
         "text_lang_detect": _q_lang_detect,
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
@@ -1365,6 +1382,48 @@ def _pii_sql() -> str:
     )
 
 
+_REPETITION_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+         END AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM base
+), tf AS (
+  SELECT doc_id, max(c) AS top_tok, count(*) AS nd_tok
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM sized)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+), gf AS (
+  SELECT doc_id, max(c) AS top_g, count(*) AS nd_g
+  FROM (SELECT doc_id, gr, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS gr FROM sized)
+        GROUP BY doc_id, gr)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, n AS rep_tokens,
+       round(CASE WHEN n > 0
+             THEN (n - coalesce(nd_tok, 0))::DOUBLE / n ELSE 0 END, 6)
+         AS rep_dup_token_frac,
+       round(CASE WHEN n > 0
+             THEN coalesce(top_tok, 0)::DOUBLE / n ELSE 0 END, 6)
+         AS rep_top_token_frac,
+       round(CASE WHEN len(g) > 0
+             THEN (len(g) - coalesce(nd_g, 0))::DOUBLE / len(g) ELSE 0 END, 6)
+         AS rep_dup_2gram_frac,
+       round(CASE WHEN len(g) > 0
+             THEN coalesce(top_g, 0)::DOUBLE / len(g) ELSE 0 END, 6)
+         AS rep_top_2gram_frac
+FROM sized s LEFT JOIN tf USING (doc_id) LEFT JOIN gf USING (doc_id)"""
+
+
 _CONTAMINATION_SQL = r"""
 WITH toks AS (
   SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS w
@@ -1543,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_full": _QUALITY_FULL_SQL,
         "text_pii_redact": _pii_sql(),
         "text_contamination": _CONTAMINATION_SQL,
+        "text_repetition": _REPETITION_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -106,6 +106,67 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1).
+
+    Adds per-document columns::
+
+        rep_tokens           token count
+        rep_dup_token_frac   1 - distinct_tokens / tokens
+        rep_top_token_frac   occurrences of the most frequent token / tokens
+        rep_dup_2gram_frac   1 - distinct_2grams / 2grams
+        rep_top_2gram_frac   occurrences of the most frequent 2gram / 2grams
+
+    Scale shape: everything is per-row higher-order functions
+    (transform / filter / array_distinct) inside whole-stage codegen —
+    NO shuffle, unlike the explode+groupBy formulation which would
+    shuffle the whole corpus twice. Cost is O(distinct × len) per row,
+    bounded by document length (cap documents upstream if unbounded).
+    """
+    t = F.col(text_col)
+    w = tokens(t)
+    n = F.size(w)
+
+    def _top_freq(arr: Column) -> Column:
+        # max element frequency: for each distinct element, count its
+        # occurrences; all inside codegen, no shuffle
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        )
+
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return df.select(
+        "*",
+        n.alias("rep_tokens"),
+        _frac(n - F.size(F.array_distinct(w)), n).alias("rep_dup_token_frac"),
+        _frac(F.when(n > 0, _top_freq(w)).otherwise(F.lit(0)), n).alias(
+            "rep_top_token_frac"
+        ),
+        _frac(ng - F.size(F.array_distinct(grams)), ng).alias(
+            "rep_dup_2gram_frac"
+        ),
+        _frac(F.when(ng > 0, _top_freq(grams)).otherwise(F.lit(0)), ng).alias(
+            "rep_top_2gram_frac"
+        ),
+    )
+
+
 # PII patterns restricted to constructs Java regex (Spark) and RE2
 # (DuckDB oracle) interpret identically: character classes, bounded
 # repetition, and ASCII word boundaries — no lookaround, no

@@ -611,3 +611,27 @@ def test_benchmark_contamination_overlap(spark):
     assert out[2].n_grams == 4 and out[2].n_matched == 1
     assert out[2].contaminated == 0
     assert out[3].n_matched == 0 and out[3].contaminated == 0
+
+
+def test_repetition_features_hand_computed(spark):
+    from hbase_rdf_spark.ops.text import repetition_features
+
+    rows = [
+        (1, "a a a b"),        # 4 toks, 2 distinct; 2grams: [a a, a a, a b]
+        (2, "x y z"),          # all distinct
+        (3, ""),               # empty → all zeros
+        (4, "solo"),           # 1 token → no 2grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    r1 = out[1]
+    assert r1.rep_tokens == 4
+    assert r1.rep_dup_token_frac == 0.5
+    assert r1.rep_top_token_frac == 0.75
+    assert r1.rep_dup_2gram_frac == round(1 / 3, 6)
+    assert r1.rep_top_2gram_frac == round(2 / 3, 6)
+    r2 = out[2]
+    assert r2.rep_dup_token_frac == 0.0
+    assert r2.rep_top_token_frac == round(1 / 3, 6)
+    assert out[3].rep_tokens == 0 and out[3].rep_top_token_frac == 0.0
+    assert out[4].rep_dup_2gram_frac == 0.0 and out[4].rep_top_2gram_frac == 0.0
