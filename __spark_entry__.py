@@ -606,6 +606,19 @@ def _q_sparql_optional_union(spark, sf):
         }""")
 
 
+def _q_sparql_union_bind(spark, sf):
+    # branch-tagging idiom: each UNION branch labels its rows via a
+    # branch-local BIND, plus a numeric BIND + deferred FILTER in one
+    # branch (?d stays unbound in the other)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?tag ?d WHERE {
+          { <spark> <join> ?y BIND("j" AS ?tag) }
+          UNION
+          { <spark> <sort> ?y . ?y <toklen> ?n
+            BIND("s" AS ?tag) BIND(?n * 10 AS ?d) FILTER(?d >= 40) }
+        }""")
+
+
 def _q_sparql_optional_bind(spark, sf):
     # BIND inside OPTIONAL extends the group before the left join; the
     # group-local FILTER over the BIND output runs inside the block
@@ -1123,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_optional_union": _q_sparql_optional_union,
         "kg_sparql_optional_bind": _q_sparql_optional_bind,
+        "kg_sparql_union_bind": _q_sparql_union_bind,
         "kg_sparql_not_exists": _q_sparql_not_exists,
         "kg_sparql_not_exists_corr": _q_sparql_not_exists_corr,
         "kg_sparql_values_undef": _q_sparql_values_undef,
@@ -1718,6 +1732,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(length(y) AS DOUBLE) AS VARCHAR) AS n
             FROM base
             WHERE length(y) = (SELECT max(length(y)) FROM base)""",
+        "kg_sparql_union_bind": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y, 'j' AS tag, CAST(NULL AS VARCHAR) AS d
+            FROM triples WHERE s = 'spark' AND p = 'join'
+            UNION
+            SELECT DISTINCT o AS y, 's' AS tag,
+                   CAST(CAST(length(o) * 10 AS DOUBLE) AS VARCHAR) AS d
+            FROM triples
+            WHERE s = 'spark' AND p = 'sort' AND length(o) * 10 >= 40""",
         "kg_sparql_values_undef": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t.o AS y, v.tag AS tag
             FROM triples t

@@ -183,12 +183,14 @@ class LangFilter:
 
 @dataclass
 class GroupBlock:
-    """One branch of a UNION chain: patterns + branch-local filters and
-    OPTIONAL blocks."""
+    """One branch of a UNION chain: patterns + branch-local filters,
+    OPTIONAL blocks, and BIND assignments (the common branch-tagging
+    idiom ``{ … BIND("a" AS ?t) } UNION { … BIND("b" AS ?t) }``)."""
 
     patterns: list[Bgp] = field(default_factory=list)
     filters: list = field(default_factory=list)
     optional: list[OptionalBlock] = field(default_factory=list)
+    binds: list = field(default_factory=list)
 
 
 class _Undef:
@@ -726,15 +728,22 @@ class _Parser:
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if sub.union_blocks:
             raise SparqlSyntaxError("nested UNION chains are not supported")
-        if sub.values or sub.minus or sub.exists or sub.binds or sub.subqueries:
+        if sub.values or sub.minus or sub.exists or sub.subqueries:
             raise SparqlSyntaxError(
-                "VALUES/MINUS/EXISTS/BIND/subqueries nested inside a group "
+                "VALUES/MINUS/EXISTS/subqueries nested inside a group "
                 "are not supported"
             )
+        for b in sub.binds:
+            if b.var in pattern_vars(sub.patterns):
+                raise SparqlSyntaxError(
+                    f"BIND var ?{b.var} is reused by a pattern in the "
+                    "same branch"
+                )
         return GroupBlock(
             patterns=sub.patterns,
             filters=sub.filters,
             optional=sub.optional,
+            binds=sub.binds,
         )
 
     def _values_block(self) -> ValuesBlock:
@@ -1999,26 +2008,43 @@ def _bind_expr_vars(expr: tuple) -> set[str]:
 
 
 def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
-    """Evaluate one branch combination of the query's UNION chains."""
+    """Evaluate one branch combination of the query's UNION chains.
+
+    Branch-local BINDs extend the branch's solutions after its patterns
+    (the branch-tagging idiom); filters over BIND vars are deferred
+    until the assignment exists."""
     pats = list(q.patterns)
     filts = list(q.filters)
     opts = list(q.optional)
+    binds = []
     for b in combo:
         pats += b.patterns
         filts += b.filters
         opts += b.optional
-    scope = pattern_vars(pats)
+        binds += getattr(b, "binds", [])
+    bind_vars = {bd.var for bd in binds}
+    scope = pattern_vars(pats) | bind_vars
     for blk in opts:
         scope |= _block_vars(blk)
     out_of_scope = [f for f in filts if not f.vars() <= scope]
+    deferred = [
+        f for f in filts if f.vars() & bind_vars and f.vars() <= scope
+    ]
+    applicable = [
+        f for f in filts if f not in out_of_scope and f not in deferred
+    ]
+    result = execute_bgp(
+        store, pats, filters=applicable, optional=opts, dedup=dedup
+    )
+    if binds:
+        result = _apply_binds(result, store, binds)
+    for f in deferred:
+        result = _apply_deferred_filter(result, store, f)
     if out_of_scope:
         # SPARQL: a filter var unbound in this branch is a type error →
         # every solution of the branch is dropped; keep the schema
-        applicable = [f for f in filts if f.vars() <= scope]
-        return execute_bgp(
-            store, pats, filters=applicable, optional=opts, dedup=dedup
-        ).limit(0)
-    return execute_bgp(store, pats, filters=filts, optional=opts, dedup=dedup)
+        return result.limit(0)
+    return result
 
 
 def _attach_bind_fns(store, blocks) -> None:

@@ -260,3 +260,43 @@ def test_bnpl_inside_optional(store):
         """,
     )
     assert rows(out) == {("Alice", "http://ex/Rome"), ("Bob", None)}
+
+
+def test_union_branch_bind_tagging(store):
+    # the branch-tagging idiom: each UNION branch labels its rows
+    out = execute(store, """
+        SELECT ?s ?o ?tag WHERE {
+          { ?s <http://ex/likes> ?o BIND("liked" AS ?tag) }
+          UNION
+          { ?s <http://ex/knows> ?o BIND("known" AS ?tag) }
+        }""")
+    assert rows(out) == {
+        ("http://ex/a", "http://ex/b", "liked"),
+        ("http://ex/a", "http://ex/b", "known"),
+    }
+
+
+def test_union_branch_bind_arith_and_filter(store):
+    # numeric BIND in one branch + a FILTER over the BIND var (deferred
+    # until the assignment exists); the other branch leaves ?d unbound
+    out = execute(store, """
+        SELECT ?s ?d WHERE {
+          { ?s <http://ex/age> ?a BIND(?a + 1 AS ?d) FILTER(?d > 35) }
+          UNION
+          { ?s <http://ex/city> <http://ex/Oslo> }
+        }""")
+    # computed numerics render in double lexical form (engine-wide
+    # convention, cf. test_bind_arithmetic)
+    assert rows(out) == {
+        ("http://ex/b", "41.0"),
+        ("http://ex/a", None),
+    }
+
+
+def test_union_branch_bind_var_reuse_rejected(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("""
+            SELECT ?s WHERE {
+              { ?s <http://ex/age> ?a BIND(1 AS ?a) }
+              UNION { ?s <http://ex/city> ?c }
+            }""")
