@@ -1,0 +1,150 @@
+"""End-to-end training-data preparation: the standard corpus-prep
+pipeline (C4 / RefinedWeb / Gopher shape) as one composable operator.
+
+Stage order — each one an operator from this package, each individually
+oracle-gated (`__spark_entry__` `text_* dedup_* sample_*` entries):
+
+1. exact dedup                     (`dedup.dedup_exact`)
+2. near-dup removal (MinHash-LSH)  (`dedup.minhash_duplicate_pairs`
+                                    → `dedup.dedup_keep_list`)
+3. quality + repetition filters    (`text.quality_features`,
+                                    `text.repetition_features`)
+4. language filter                 (`text.detect_language`)
+5. benchmark decontamination       (`contamination.benchmark_contamination`)
+6. PII redaction                   (`text.redact_pii`)
+7. data-mixture sampling           (`sampling.mixture_sample`)
+8. training-shard assignment       (`sampling.assign_shards`)
+
+Scale notes: every stage is individually scale-safe (bucketed candidate
+generation, broadcast benchmark grams, codegen projections, map-only
+sampling — see each operator's docstring); composing them adds nothing
+driver-side. With ``collect_stats=True`` each stage boundary runs one
+``count()`` job — fine for auditing, skip it in production and read the
+counts off the Spark UI instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hbase_rdf_spark.ops.contamination import benchmark_contamination
+from hbase_rdf_spark.ops.dedup import (
+    dedup_exact,
+    dedup_keep_list,
+    minhash_duplicate_pairs,
+)
+from hbase_rdf_spark.ops.sampling import assign_shards, mixture_sample
+from hbase_rdf_spark.ops.text import (
+    detect_language,
+    quality_features,
+    redact_pii,
+    repetition_features,
+)
+
+
+def prep_training_data(
+    docs: DataFrame,
+    *,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minhash_threshold: float = 0.8,
+    min_quality: float = 0.3,
+    max_top_2gram_frac: float = 0.5,
+    langs: set[str] | None = None,
+    contamination_n: int = 3,
+    contamination_threshold: float = 0.08,
+    mixture: dict[str, float] | None = None,
+    strata_col: str = "source",
+    n_shards: int | None = None,
+    seed: str = "prep0",
+    collect_stats: bool = False,
+) -> tuple[DataFrame, dict[str, int] | None]:
+    """Run the full corpus-prep pipeline; returns ``(df, stats)``.
+
+    ``stats`` maps stage name → surviving row count when
+    ``collect_stats=True`` (one count job per stage), else ``None``.
+    Stages with a ``None``/falsy parameter are skipped: no ``bench`` →
+    no decontamination, no ``mixture`` → no reweighting, no
+    ``n_shards`` → no shard assignment.
+    """
+    stats: dict[str, int] | None = {} if collect_stats else None
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if stats is not None:
+            stats[stage] = df.count()
+        return df
+
+    out = note("input", docs)
+
+    out = note("exact_dedup", dedup_exact(out, text_col, id_col))
+
+    pairs = minhash_duplicate_pairs(
+        out, text_col=text_col, id_col=id_col, threshold=minhash_threshold
+    )
+    keep = dedup_keep_list(out, pairs, id_col=id_col, text_col=text_col)
+    out = note(
+        "near_dedup",
+        out.join(
+            keep.filter(~F.col("keep")).select(id_col),
+            on=id_col,
+            how="left_anti",
+        ),
+    )
+
+    out = quality_features(out, text_col)
+    out = repetition_features(out, text_col)
+    out = out.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("rep_top_2gram_frac") <= max_top_2gram_frac)
+    ).drop(
+        "q_chars", "q_tokens", "q_punct_ratio", "q_mean_token_len",
+        "quality_score", "rep_tokens", "rep_dup_token_frac",
+        "rep_top_token_frac", "rep_dup_2gram_frac", "rep_top_2gram_frac",
+    )
+    out = note("quality_filter", out)
+
+    if langs is not None:
+        out = note(
+            "lang_filter",
+            out.filter(
+                detect_language(F.col(text_col)).isin(*sorted(langs))
+            ),
+        )
+
+    if bench is not None:
+        scores = benchmark_contamination(
+            out, bench, id_col=id_col, text_col=text_col,
+            n=contamination_n, threshold=contamination_threshold,
+        ).select(id_col, "contaminated")
+        out = note(
+            "decontaminate",
+            out.join(scores, on=id_col, how="left").filter(
+                F.coalesce(F.col("contaminated"), F.lit(0)) == 0
+            ).drop("contaminated"),
+        )
+
+    pii_counts = [f"n_{k}" for k in ("email", "ssn", "phone", "ipv4")]
+    out = (
+        redact_pii(out, text_col, out_col="__red")
+        .drop(text_col, *pii_counts)
+        .withColumnRenamed("__red", text_col)
+    )
+    out = note("pii_redact", out)
+
+    if mixture is not None:
+        out = note(
+            "mixture_sample",
+            mixture_sample(
+                out, mixture, strata_col=strata_col,
+                seed=seed, id_col=id_col,
+            ),
+        )
+
+    if n_shards is not None:
+        out = note(
+            "shard_assign",
+            assign_shards(out, n_shards, seed=seed, id_col=id_col),
+        )
+
+    return out, stats

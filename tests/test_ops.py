@@ -635,3 +635,61 @@ def test_repetition_features_hand_computed(spark):
     assert r2.rep_top_token_frac == round(1 / 3, 6)
     assert out[3].rep_tokens == 0 and out[3].rep_top_token_frac == 0.0
     assert out[4].rep_dup_2gram_frac == 0.0 and out[4].rep_top_2gram_frac == 0.0
+
+
+def test_prep_training_data_end_to_end(spark):
+    from hbase_rdf_spark.ops.prep import prep_training_data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the old stone bridge by the river in the quiet morning light"
+    )
+    rows = [
+        (1, base, "web"),
+        (2, base, "web"),                        # exact dup of 1 → dropped
+        (3, base.replace("dog", "cat"), "web"),  # near dup of 1 → dropped
+        (4, "spam spam spam spam spam spam spam spam", "web"),  # repetitive
+        (5, "the fast red train and the long iron rail cross the wide "
+            "green valley under a pale sky write me at a.b@c.example.com",
+            "books"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi", "bench_overlap"),   # contaminated vs bench
+        (7, "the small grey mouse hides under the warm wooden floor of "
+            "the house near the garden wall every single day", "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    out, stats = prep_training_data(
+        docs,
+        bench=bench,
+        minhash_threshold=0.5,
+        min_quality=0.3,
+        max_top_2gram_frac=0.5,
+        contamination_threshold=0.3,
+        mixture={"web": 1.0, "books": 1.0},  # drops unreviewed strata
+        n_shards=2,
+        collect_stats=True,
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    # 2 exact-dup, 3 near-dup, 4 repetition, 6 contamination,
+    # plus doc 6's stratum is absent from the mixture anyway
+    assert set(got) == {1, 5, 7}
+    assert stats["input"] == 7
+    assert stats["exact_dedup"] == 6
+    assert stats["near_dedup"] == 5
+    assert stats["quality_filter"] == 4
+    assert stats["decontaminate"] == 3
+    assert stats["pii_redact"] == 3
+    # PII scrubbed, schema carries shard assignment
+    assert "<EMAIL>" in got[5].text and "a.b@" not in got[5].text
+    assert {"shard_id", "shard_pos"} <= set(out.columns)
+    # deterministic: same seed → identical result set
+    out2, _ = prep_training_data(
+        docs, bench=bench, minhash_threshold=0.5, min_quality=0.3,
+        max_top_2gram_frac=0.5, contamination_threshold=0.3,
+        mixture={"web": 1.0, "books": 1.0}, n_shards=2,
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
