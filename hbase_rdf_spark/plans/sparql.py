@@ -1834,7 +1834,16 @@ def _subquery_out_names(sub: Query) -> list[str]:
         ]
     if sub.variables:
         return [v[1:] for v in sub.variables]
-    raise SparqlSyntaxError("SELECT * subqueries are not supported")
+    # SELECT *: every visible variable of the group (patterns +
+    # OPTIONAL blocks), in sorted order for determinism; blank-node
+    # vars are non-projectable (SPARQL 1.1 §4.1.4)
+    names = pattern_vars(sub.patterns)
+    for blk in sub.optional:
+        names |= _block_vars(blk)
+    names = {n for n in names if not n.startswith("__bn_")}
+    if not names:
+        raise SparqlSyntaxError("SELECT * subquery binds no variables")
+    return sorted(names)
 
 
 def _execute_subquery(store, sub: Query) -> DataFrame:

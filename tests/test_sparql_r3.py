@@ -300,3 +300,32 @@ def test_union_branch_bind_var_reuse_rejected(store):
               { ?s <http://ex/age> ?a BIND(1 AS ?a) }
               UNION { ?s <http://ex/city> ?c }
             }""")
+
+
+def test_select_star_subquery(store):
+    # SELECT * projects every visible var of the subquery group
+    out = execute(store, """
+        SELECT ?s ?o ?c WHERE {
+          ?s <http://ex/city> ?c .
+          { SELECT * WHERE { ?s <http://ex/likes> ?o } }
+        }""")
+    assert rows(out) == {("http://ex/a", "http://ex/b", "http://ex/Oslo")}
+
+
+def test_select_star_subquery_no_vars_rejected(store):
+    with pytest.raises(SparqlSyntaxError):
+        execute(store, """
+            SELECT ?s WHERE {
+              ?s <http://ex/city> ?c .
+              { SELECT * WHERE { <http://ex/a> <http://ex/likes> <http://ex/b> } }
+            }""")
+
+
+def test_select_star_subquery_excludes_bnode_vars(store):
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT ?c WHERE {
+          { SELECT * WHERE { [ ex:city ?c ] } }
+        }""")
+    assert set(out.columns) == {"c"}
+    assert rows(out) == {("http://ex/Rome",), ("http://ex/Oslo",)}
