@@ -483,10 +483,16 @@ class _Parser:
             self.expect("WHERE")
         else:
             self.kw("WHERE")  # ASK WHERE { } — WHERE optional
+        n_sel_binds = len(q.binds)  # projection-expression desugars
         self.expect("{")
         self._group(q, default_graph)
         self.expect("}")
         self._modifiers(q)
+        if 0 < n_sel_binds < len(q.binds):
+            # projection expressions evaluate over the WHERE group's
+            # solutions, i.e. AFTER any BIND in the group body — rotate
+            # them to the end so application order matches scope
+            q.binds = q.binds[n_sel_binds:] + q.binds[:n_sel_binds]
         return q
 
     def _select_clause(self, q: Query) -> None:
@@ -496,6 +502,7 @@ class _Parser:
         # reference: optimizer/HBaseOptimize.java:106-107)
         if self.kw("DISTINCT") or self.kw("REDUCED"):
             q.distinct = True
+        sel_exprs = 0
         while True:
             tok = self.peek()
             if tok == "*":
@@ -505,6 +512,22 @@ class _Parser:
                 q.variables.append(self.next())
             elif tok == "(":
                 self.next()
+                if (self.peek() or "").upper() not in _AGG_FUNCS:
+                    # SPARQL 1.1 projection expression
+                    # '( expr AS ?v )' — exactly BIND semantics
+                    # (Extend over each solution), so desugar to one
+                    expr = self._bind_expr()
+                    self.expect("AS")
+                    v = self.next()
+                    if not v.startswith("?"):
+                        raise SparqlSyntaxError(
+                            "projection-expression alias must be a variable"
+                        )
+                    self.expect(")")
+                    q.binds.append(BindAssign(v[1:], expr))
+                    q.variables.append(v)
+                    sel_exprs += 1
+                    continue
                 func = self.next().upper()
                 if func not in _AGG_FUNCS:
                     raise SparqlSyntaxError(f"unsupported aggregate {func}")
@@ -529,6 +552,13 @@ class _Parser:
                 q.variables.append(alias)
             else:
                 break
+        if sel_exprs and q.aggregates:
+            # BIND application happens pre-aggregation here; an
+            # expression over aggregate outputs would silently read the
+            # wrong stage — reject rather than miscompute
+            raise SparqlSyntaxError(
+                "projection expressions cannot be combined with aggregates"
+            )
 
     def _group(self, q: Query, graph) -> None:
         while True:

@@ -329,3 +329,30 @@ def test_select_star_subquery_excludes_bnode_vars(store):
         }""")
     assert set(out.columns) == {"c"}
     assert rows(out) == {("http://ex/Rome",), ("http://ex/Oslo",)}
+
+
+# -- SPARQL 1.1 projection expressions ---------------------------------------
+
+
+def test_projection_expression_numeric(store):
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s (?a * 2 AS ?twice) WHERE { ?s ex:age ?a }""")
+    assert rows(out) == {("http://ex/a", "60.0"), ("http://ex/b", "80.0")}
+
+
+def test_projection_expression_string_over_where_bind(store):
+    # the projection expr reads a WHERE-body BIND var (application order)
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n (UCASE(?tag) AS ?u) WHERE {
+          ?p ex:name ?n . BIND(CONCAT(?n, "-x") AS ?tag)
+        }""")
+    assert rows(out) == {("Alice", "ALICE-X"), ("Bob", "BOB-X")}
+
+
+def test_projection_expression_with_aggregate_rejected(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("""
+            SELECT (COUNT(?s) AS ?n) (?n + 1 AS ?m)
+            WHERE { ?s <http://ex/age> ?a }""")
