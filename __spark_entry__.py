@@ -731,6 +731,15 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_chunks(spark, sf):
+    # RAG/long-doc chunking: overlapping fixed-size token windows —
+    # pure projection + explode, no shuffle
+    from hbase_rdf_spark.ops.packing import chunk_documents
+
+    docs = wordkg.read(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def _q_repetition(spark, sf):
     # Gopher-style repetition quality filters — shuffle-free per-row
     # HOFs (the explode+groupBy twin would shuffle the corpus twice)
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_pii_redact,
         "text_contamination": _q_contamination,
         "text_repetition": _q_repetition,
+        "text_chunks": _q_chunks,
         "text_lang_detect": _q_lang_detect,
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
@@ -1396,6 +1406,26 @@ def _pii_sql() -> str:
     )
 
 
+_CHUNKS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+         END AS w
+  FROM documents
+), sized AS (
+  SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > 0
+), idx AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, greatest(1, (n - 8 + 23) // 24))) AS i
+  FROM sized
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx, CAST(i * 24 AS INT) AS tok_start,
+       CAST(least(32, n - i * 24) AS INT) AS n_chunk_tokens,
+       array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM idx"""
+
+
 _REPETITION_SQL = r"""
 WITH base AS (
   SELECT doc_id,
@@ -1617,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _pii_sql(),
         "text_contamination": _CONTAMINATION_SQL,
         "text_repetition": _REPETITION_SQL,
+        "text_chunks": _CHUNKS_SQL,
         "text_token_count": """
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

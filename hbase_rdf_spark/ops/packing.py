@@ -105,3 +105,64 @@ def assign_context_windows(
         F.expr(f"_start DIV {w}").alias("bin_id"),
         F.expr(f"_start % {w}").alias("bin_offset"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks.
+
+    The RAG / long-doc-training preprocessing step: chunk ``i`` covers
+    tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is the
+    remainder (>= overlap+1 tokens unless the doc itself is shorter).
+    Output: one row per chunk with ``chunk_idx``, ``tok_start``,
+    ``n_chunk_tokens``, ``chunk_text``. Empty documents yield no rows.
+
+    Scale shape: a pure projection + explode — chunk construction is
+    whole-stage codegen (``sequence``/``transform``/``slice``/
+    ``array_join``), no shuffle, no UDF; output size is input size ×
+    (1 + overlap fraction), streamed, never buffered per doc.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    from hbase_rdf_spark.ops.text import tokens
+
+    stride = chunk_tokens - overlap
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - overlap + (stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                (i * stride).cast("int").alias("tok_start"),
+                F.least(F.lit(chunk_tokens), n - i * stride)
+                .cast("int")
+                .alias("n_chunk_tokens"),
+                F.array_join(
+                    F.slice(w, i * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:int,tok_start:int,"
+        "n_chunk_tokens:int,chunk_text:string>>"
+    ))
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(
+        id_col, "c.chunk_idx", "c.tok_start", "c.n_chunk_tokens",
+        "c.chunk_text",
+    )

@@ -693,3 +693,28 @@ def test_prep_training_data_end_to_end(spark):
         mixture={"web": 1.0, "books": 1.0}, n_shards=2,
     )
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_chunk_documents_overlap_and_remainder(spark):
+    from hbase_rdf_spark.ops.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    got = [
+        (r.doc_id, r.chunk_idx, r.tok_start, r.n_chunk_tokens, r.chunk_text)
+        for r in out
+    ]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (2, 0, 0, 2, "a b"),   # short doc → one whole-doc chunk
+    ]                          # empty doc → no rows
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
