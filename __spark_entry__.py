@@ -273,6 +273,21 @@ def _q_ann_topk(spark, sf):
     )
 
 
+def _q_ann_quantized(spark, sf):
+    # int8-quantized exact top-k: integer dots are engine-portable
+    # bit-for-bit; the storage path for 100 TB vector tables
+    from hbase_rdf_spark.ops.similarity import quantized_topk
+
+    emb = wordkg.read(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = quantized_topk(emb, queries, k=5, dim=64)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_sessionize(spark, sf):
     ev = wordkg.read(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1132,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_detect": _q_lang_detect,
         "text_quality": _q_quality,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_quantized_topk": _q_ann_quantized,
         "events_sessionize": _q_sessionize,
         "events_windowed": _q_windowed_counts,
         "events_asof_attribution": _q_events_asof,
@@ -1665,6 +1681,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6)
                    AS q_mean_token_len
             FROM documents""",
+        "ann_quantized_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), qz AS (
+              SELECT vec_id, v,
+                     greatest(list_max(list_transform(v, x -> abs(x))),
+                              1e-30) / 127.0 AS s
+              FROM e
+            ), qv AS (
+              SELECT vec_id, s,
+                     list_transform(v, x -> floor(x / s + 0.5)) AS q
+              FROM qz
+            ), pairs AS (
+              SELECT b.vec_id AS query_id, a.vec_id,
+                     round(a.s * b.s * list_inner_product(a.q, b.q), 9)
+                       AS score9
+              FROM qv a CROSS JOIN (SELECT * FROM qv WHERE vec_id < 3) b
+            ), ranked AS (
+              SELECT query_id, vec_id, score9,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score9 DESC, vec_id ASC)
+                       AS rank
+              FROM pairs
+            )
+            SELECT query_id, vec_id, round(score9, 6) AS score, rank
+            FROM ranked WHERE rank <= 5""",
         "ann_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

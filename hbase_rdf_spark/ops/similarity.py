@@ -225,3 +225,85 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for the ANN storage path.
+
+    ``scale = max|x| / 127``, ``q_i = floor(x_i/scale + 0.5)`` — HALF-UP
+    rounding written as floor(+0.5) because Spark and the DuckDB oracle
+    implement it identically (library round() functions differ on .5
+    ties). 4× less memory/scan bandwidth for the 100 TB vector table;
+    dots of quantized vectors are INTEGER sums (exact in double in any
+    summation order), so scoring is reproducible cross-engine
+    bit-for-bit. All codegen column expressions — no UDF, no shuffle.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+        )
+        / F.lit(127.0)
+    )
+    out = df.withColumn(scale_col, scale)
+    return out.withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x / F.col(scale_col) + F.lit(0.5)).cast("int"),
+        ),
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact top-k by DEQUANTIZED dot product over int8 vectors.
+
+    ``score = s_v · s_q · (q_v · q_q)`` — the integer dot is exact, the
+    two scale multiplies are the only float ops, so results are
+    engine-portable. With ``dim`` given the dot unrolls into a codegen
+    multiply-add chain (see :func:`dot_unrolled`). Same broadcast +
+    per-partition-top-k shape as :func:`cosine_topk_bruteforce`.
+    """
+    qv = quantize_embeddings(vectors, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("q_vec").alias("v_q"),
+        F.col("q_scale").alias("v_s"),
+    )
+    qq = quantize_embeddings(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("q_vec").alias("qq_q"),
+        F.col("q_scale").alias("qq_s"),
+    )
+    if dim is not None:
+        idot = dot_unrolled(F.col("v_q"), F.col("qq_q"), dim)
+    else:
+        idot = F.aggregate(
+            F.zip_with(F.col("v_q"), F.col("qq_q"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    scored = qv.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("v_s") * F.col("qq_s") * idot, 9).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

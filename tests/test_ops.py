@@ -718,3 +718,46 @@ def test_chunk_documents_overlap_and_remainder(spark):
     ]                          # empty doc → no rows
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    import math
+    import random
+
+    from hbase_rdf_spark.ops.similarity import (
+        cosine_topk_bruteforce,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    rng = random.Random(7)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # unit-norm vectors: dot == cosine, so any top-k disagreement below
+    # is quantization error alone
+    rows = [(i, unit()) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    # int8 range + dequant error bound per coordinate: |x - s*q| <= s/2
+    qz = quantize_embeddings(emb).collect()
+    for r in qz:
+        assert all(-127 <= q <= 127 for q in r.q_vec)
+        for x, q in zip(r.embedding, r.q_vec):
+            assert abs(x - r.q_scale * q) <= r.q_scale / 2 + 1e-12
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in quantized_topk(emb, queries, k=10, dim=16).collect()
+    }
+    # on unit vectors the only disagreement source is int8 rounding
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
