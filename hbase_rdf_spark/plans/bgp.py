@@ -258,27 +258,53 @@ def _atom_pairs(store, iri: str, g: str | None) -> DataFrame:
 
 
 def _neg_pairs(store, members: tuple, g: str | None) -> DataFrame:
-    """Negated property set ``!(p1|p2|…)``: one scan with the member
-    ids excluded. The inequality conjuncts constant-fold (plan-time
+    """Negated property set ``!(p1|^q1|…)``: scans with the member ids
+    excluded. The inequality conjuncts constant-fold (plan-time
     xxhash64 of each IRI) and push into the parquet scan — work is
-    ∝ non-member edges, never a join (SPARQL 1.1 §9.1 NPS)."""
+    ∝ non-member edges, never a join. Per SPARQL 1.1 §9.1 a mixed set
+    splits into ``!(forward…) UNION ^(!(inverse…))`` — the inverse part
+    is the same scan with endpoints swapped."""
     from functools import reduce
 
     from hbase_rdf_spark.plans.patterns import encode_term
 
-    e = scan(store, TriplePattern(c=g))
-    cond = reduce(
-        lambda a, b: a & b,
-        (F.col("p") != encode_term(m.iri) for m in members),
-    )
-    return e.filter(cond).select(
-        F.col("s").alias("a"),
-        F.lit(0).cast("tinyint").alias("a_kind"),
-        F.lit(None).cast("double").alias("a_num"),
-        F.col("o").alias("b"),
-        F.col("o_kind").alias("b_kind"),
-        F.col("o_num").alias("b_num"),
-    )
+    fwd = [m for m in members if m.op == "atom"]
+    rev = [m.children[0] for m in members if m.op == "inv"]
+
+    def nps(excluded, swap: bool) -> DataFrame:
+        e = scan(store, TriplePattern(c=g))
+        cond = reduce(
+            lambda a, b: a & b,
+            (F.col("p") != encode_term(m.iri) for m in excluded),
+        )
+        e = e.filter(cond)
+        if swap:
+            return e.select(
+                F.col("o").alias("a"),
+                F.col("o_kind").alias("a_kind"),
+                F.col("o_num").alias("a_num"),
+                F.col("s").alias("b"),
+                F.lit(0).cast("tinyint").alias("b_kind"),
+                F.lit(None).cast("double").alias("b_num"),
+            )
+        return e.select(
+            F.col("s").alias("a"),
+            F.lit(0).cast("tinyint").alias("a_kind"),
+            F.lit(None).cast("double").alias("a_num"),
+            F.col("o").alias("b"),
+            F.col("o_kind").alias("b_kind"),
+            F.col("o_num").alias("b_num"),
+        )
+
+    parts = []
+    if fwd:
+        parts.append(nps(fwd, swap=False))
+    if rev:
+        parts.append(nps(rev, swap=True))
+    if len(parts) == 1:
+        return parts[0]
+    # mixed set = alt() of the two NPS parts → set semantics like 'alt'
+    return parts[0].unionByName(parts[1]).distinct()
 
 
 def _graph_nodes(store, g: str | None) -> DataFrame:

@@ -411,22 +411,25 @@ class _Parser:
         raise SparqlSyntaxError(f"invalid path element {t!r}")
 
     def _neg_prop_set(self) -> Path:
-        """Negated property set ``!iri`` / ``!(iri1|iri2|…)`` — forward
-        members only (SPARQL 1.1 §9.1; inverse members ``!^p`` split
-        the set into a forward and a reverse scan — unsupported here)."""
+        """Negated property set ``!iri`` / ``!(iri1|^iri2|…)``.
 
-        def member() -> str:
+        SPARQL 1.1 §9.1: a set with both forward and inverse members
+        splits into ``!(forward…) UNION ^(!(inverse…))`` — handled at
+        execution (bgp._neg_pairs); here inverse members are marked by
+        wrapping in an 'inv' node."""
+
+        def member() -> Path:
+            inv = False
             if self.peek() == "^":
-                raise SparqlSyntaxError(
-                    "inverse members in a negated property set are not "
-                    "supported"
-                )
+                self.next()
+                inv = True
             t = self._pred_term()
             if not isinstance(t, str) or t.startswith("?"):
                 raise SparqlSyntaxError(
                     "negated property set members must be IRIs"
                 )
-            return t
+            atom = Path("atom", iri=t)
+            return Path("inv", (atom,)) if inv else atom
 
         if self.peek() == "(":
             self.next()
@@ -437,7 +440,7 @@ class _Parser:
             self.expect(")")
         else:
             iris = [member()]
-        return Path("neg", tuple(Path("atom", iri=i) for i in iris))
+        return Path("neg", tuple(iris))
 
     # -- query ----------------------------------------------------------
     def parse(self) -> Query:
