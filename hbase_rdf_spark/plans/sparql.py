@@ -466,13 +466,21 @@ class _Parser:
                 q.describe_target = self.term()
         elif head == "CONSTRUCT":
             q = Query(variables=[], form="construct")
-            self.expect("{")
-            tmpl = Query(variables=[])
-            self._group(tmpl, None)
-            self.expect("}")
-            if tmpl.binds:
-                raise SparqlSyntaxError("BIND in a CONSTRUCT template is invalid")
-            q.construct_template = tmpl.patterns
+            if (self.peek() or "").upper() == "WHERE":
+                # CONSTRUCT WHERE { TriplesTemplate } shortform (SPARQL
+                # 1.1 §10.2.2): the pattern IS the template — filled in
+                # after the group parses below
+                q.construct_template = None
+            else:
+                self.expect("{")
+                tmpl = Query(variables=[])
+                self._group(tmpl, None)
+                self.expect("}")
+                if tmpl.binds:
+                    raise SparqlSyntaxError(
+                        "BIND in a CONSTRUCT template is invalid"
+                    )
+                q.construct_template = tmpl.patterns
         else:
             raise SparqlSyntaxError(f"unsupported query form {head}")
 
@@ -491,6 +499,16 @@ class _Parser:
         self._group(q, default_graph)
         self.expect("}")
         self._modifiers(q)
+        if q.form == "construct" and q.construct_template is None:
+            # CONSTRUCT WHERE: spec restricts the pattern to a plain
+            # triples template — no FILTER/OPTIONAL/UNION/etc.
+            if (q.filters or q.lang_filters or q.optional
+                    or q.union_blocks or q.values or q.minus or q.exists
+                    or q.binds or q.subqueries):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE allows only a plain triples template"
+                )
+            q.construct_template = q.patterns
         if 0 < n_sel_binds < len(q.binds):
             # projection expressions evaluate over the WHERE group's
             # solutions, i.e. AFTER any BIND in the group body — rotate

@@ -379,3 +379,15 @@ def test_negated_property_set_only_inverse(store):
         PREFIX ex: <http://ex/>
         SELECT ?x WHERE { ex:b !(^ex:knows) ?x }""")
     assert rows(out) == {("http://ex/a",)}
+
+
+def test_construct_where_shortform(store):
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        CONSTRUCT WHERE { ?s ex:likes ?o }""")
+    assert rows(out) == {("http://ex/a", "http://ex/likes", "http://ex/b")}
+
+
+def test_construct_where_rejects_filters(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("""CONSTRUCT WHERE { ?s <http://ex/p> ?o FILTER(?o = <x>) }""")
