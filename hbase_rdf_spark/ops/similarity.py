@@ -307,3 +307,181 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+# The third scale tier: k-means-partitioned vector table; queries probe
+# only the nprobe nearest cells, so scoring touches ~nprobe/n_cells of
+# the corpus. Complements sign-LSH (data-independent buckets) with a
+# data-adaptive partitioning — the FAISS IVF-Flat shape on DataFrames.
+
+
+def _assign_cells(df: DataFrame, centroids, vec_col: str, out: str) -> DataFrame:
+    """Add the nearest-centroid index via ONE numpy GEMM per Arrow
+    batch (argmin ||v-c||² = argmax (v·c - ||c||²/2)) — a k×dim
+    expression bank would blow up the Catalyst tree (see lsh banks)."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)         # (k, dim)
+    half_sq = 0.5 * (c * c).sum(axis=1)                  # (k,)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cols = df.columns
+    # fresh StructType — StructType.add mutates the df's cached schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, IntegerType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy())       # (n, dim)
+            cell = np.argmax(m @ c.T - half_sq, axis=1)
+            pdf = pdf.copy()
+            pdf[out] = cell.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)[*cols, out]
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 5,
+    seed: str = "ivf0",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over a vector DataFrame; returns the centroid
+    list (k × dim, driver-side — kilobytes, the legitimate small side).
+
+    Init: the ``n_cells`` rows with smallest ``xxhash64(seed, id)`` — a
+    deterministic uniform sample, no Math.random in the plan. Each
+    round: assignment via the batched GEMM (no shuffle), then a
+    combinable explode+groupBy mean per (cell, dim) — k·dim rows back
+    to the driver per round. Empty cells keep their previous centroid.
+    """
+    # spherical k-means: unit-normalize so cells align with COSINE
+    # neighborhoods (plain Lloyd cells track magnitude, not direction)
+    raw = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(raw, lambda x: x / nrm).alias("_v"),
+    )
+    import zlib
+
+    import numpy as np
+
+    # k-means++ seeding over a deterministic hash-ordered sample —
+    # random init splits/merges true clusters; ++ spreads the seeds
+    # (Arthur & Vassilvitskii SODA'07). Sample size is driver-bounded.
+    n_samp = min(max(50 * n_cells, 1000), 100_000)
+    samp = (
+        base.withColumn(
+            "_h", F.xxhash64(F.lit(str(seed)), F.col("_id").cast("string"))
+        )
+        .orderBy("_h", "_id")
+        .limit(n_samp)
+        .select("_v")
+        .collect()
+    )
+    if len(samp) < n_cells:
+        raise ValueError(
+            f"need >= {n_cells} vectors to fit {n_cells} cells"
+        )
+    X = np.asarray([r._v for r in samp], dtype=np.float64)
+    rng = np.random.default_rng(zlib.crc32(str(seed).encode()))
+    chosen = [0]  # first seed: smallest-hash row (deterministic)
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_cells):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(len(X), p=probs))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    centroids = [list(X[i]) for i in chosen]
+    for _ in range(iterations):
+        assigned = _assign_cells(base, centroids, "_v", "_cell")
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_cell", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        nxt = [list(c) for c in centroids]  # empty cells keep position
+        for r in means:
+            nxt[r._cell][r._d] = r._m
+        # renormalize (spherical update: mean direction of members)
+        import math
+
+        centroids = []
+        for c in nxt:
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            centroids.append([x / n for x in c])
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-Flat search: probe the ``nprobe`` nearest cells per query,
+    exact-rescore only those cells' vectors, take top-k by cosine.
+
+    The corpus side is assigned once (batched GEMM, no shuffle) and
+    joined on ``cell`` against the broadcast (query, probe-cell) list —
+    candidates ∝ nprobe/n_cells of the table. Same output shape as
+    :func:`cosine_topk_bruteforce`.
+    """
+    import numpy as np
+
+    d = dim or len(centroids[0])
+    # unit centroids: argmax v·c == nearest by angle, any |v| (spherical)
+    c = np.asarray(centroids, dtype=np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+    centroids = c.tolist()
+    v = _assign_cells(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v_vec"),
+        ),
+        centroids, "v_vec", "cell",
+    )
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).collect()  # the broadcast side by contract (queries are few)
+    probe_rows = []
+    for r in qrows:
+        scores = np.asarray(r.q_vec) @ c.T
+        for cell in np.argsort(-scores)[:nprobe]:
+            probe_rows.append((r.query_id, int(cell), list(r.q_vec)))
+    spark = vectors.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, q_vec array<double>"
+    )
+    cand = v.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", "v_vec", "q_vec"
+    )
+    na = F.sqrt(dot_unrolled(F.col("v_vec"), F.col("v_vec"), d))
+    nb = F.sqrt(dot_unrolled(F.col("q_vec"), F.col("q_vec"), d))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot_unrolled(F.col("v_vec"), F.col("q_vec"), d) / (na * nb), 9
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

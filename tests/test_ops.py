@@ -761,3 +761,36 @@ def test_quantized_topk_recall_vs_exact(spark):
     # on unit vectors the only disagreement source is int8 rounding
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ivf_topk_finds_planted_clusters(spark):
+    import random
+
+    from hbase_rdf_spark.ops.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    # planted structure: 4 well-separated directions, 25 vectors each
+    rng = random.Random(3)
+    centers = [[10.0 if i == c else 0.0 for i in range(8)] for c in range(4)]
+    rows = []
+    for j in range(100):
+        c = centers[j % 4]
+        rows.append((j, [x + rng.gauss(0, 0.5) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, n_cells=4, iterations=5, seed="t")
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    q = emb.filter("vec_id < 4").selectExpr("vec_id as query_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    # planted clusters are far apart → probing ONE cell of four must
+    # recover the exact neighborhood completely
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, cents, k=10, nprobe=1, dim=8).collect()
+    }
+    assert approx == exact
