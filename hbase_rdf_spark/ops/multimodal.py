@@ -42,11 +42,12 @@ FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_hash string"
 # ---------------------------------------------------------------------------
 # The Spark contract (schema, size-balanced partitioning, bounded Arrow
 # batches) is kernel-agnostic: a kernel only maps payload bytes ↔ a 2-D
-# float32 array (rows × cols; audio decodes to 1 × n_samples). Two REAL
-# kernels ship for codec-free formats (Netpbm PGM images, PCM WAV
-# audio); formats needing external codecs (JPEG/PNG/MP4 — no
-# imaging/ffmpeg libs in this container) fall back to the deterministic
-# hash stub, swappable for a PIL/cv2/pyav kernel with zero plan changes.
+# float32 array (rows × cols; audio decodes to 1 × n_samples). REAL
+# kernels ship for PGM/PPM (Netpbm), PNG (stdlib zlib inflate + full
+# scanline unfiltering), and PCM WAV; formats needing external codecs
+# (JPEG/MP4 — no imaging/ffmpeg libs in this container) fall back to
+# the deterministic hash stub, swappable for a PIL/cv2/pyav kernel with
+# zero plan changes.
 
 
 class HashStubKernel:
@@ -161,6 +162,116 @@ class PpmKernel(PgmKernel):
         header = f"P6 {w} {h} 255\n".encode()
         gray = arr.clip(0, 255).astype(np.uint8)
         return header + np.repeat(gray[..., None], 3, axis=2).tobytes()
+
+
+class PngKernel(PgmKernel):
+    """REAL PNG codec in pure stdlib zlib + numpy — no imaging library.
+
+    Decode: 8-bit depth, color types 0/2/6 (gray / RGB / RGBA),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth) unfiltered per the PNG spec §9 (RFC 2083 §6.2-6.6). Color
+    decodes to BT.601 luma like :class:`PpmKernel` so the shared 2-D
+    float32 contract holds. Encode emits filter-0 grayscale.
+    Nearest-neighbor ``resample`` inherited from :class:`PgmKernel`.
+    """
+
+    _SIG = b"\x89PNG\r\n\x1a\n"
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        import struct
+        import zlib
+
+        data = bytes(payload)
+        if data[:8] != self._SIG:
+            raise ValueError("not a PNG payload (bad signature)")
+        pos, idat, ihdr = 8, [], None
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = chunk
+            elif typ == b"IDAT":
+                idat.append(chunk)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # length + type + data + CRC
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or inter != 0:
+            raise ValueError(
+                f"only 8-bit non-interlaced PNG supported "
+                f"(depth={depth}, interlace={inter})"
+            )
+        ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+        if ch is None:
+            raise ValueError(f"unsupported PNG color type {ctype}")
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        out = np.zeros((h, stride), dtype=np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        rp = 0
+        for y in range(h):
+            f = raw[rp]
+            row = np.frombuffer(
+                raw, np.uint8, stride, rp + 1
+            ).astype(np.int32)
+            rp += 1 + stride
+            if f == 0:
+                cur = row
+            elif f == 2:  # Up
+                cur = (row + prev) & 0xFF
+            elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential
+                cur = row.copy()
+                for i in range(stride):
+                    a = cur[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (
+                            b if pb <= pc else c
+                        )
+                    cur[i] = (cur[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            prev = cur
+            out[y] = cur
+        arr = out.reshape(h, w, ch).astype(np.float32)
+        if ch == 1:
+            return arr[..., 0]
+        return arr[..., :3] @ PpmKernel._LUMA
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        import binascii
+        import struct
+        import zlib
+
+        h, w = arr.shape
+        g = arr.clip(0, 255).astype(np.uint8)
+        raw = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            self._SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
 
 
 class WavKernel:

@@ -794,3 +794,60 @@ def test_ivf_topk_finds_planted_clusters(spark):
         for r in ivf_topk(emb, q, cents, k=10, nprobe=1, dim=8).collect()
     }
     assert approx == exact
+
+
+def test_png_kernel_roundtrip_filters_and_color(spark):
+    import struct
+    import zlib
+    import binascii
+
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import PngKernel
+
+    kern = PngKernel()
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17)).astype(np.float32)
+    # grayscale round-trip through our own filter-0 encoder
+    back = kern.decode(kern.encode(img))
+    assert np.array_equal(back, img)
+
+    # hand-filter rows with ALL five filter types, decode must invert
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    g = img.astype(np.int32)
+    h, w = g.shape
+    raws = []
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f = y % 5
+        cur = g[y]
+        filt = np.empty(w, dtype=np.int32)
+        for i in range(w):
+            a = int(cur[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2}.get(f)
+            if pred is None:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (int(cur[i]) - pred) & 0xFF
+        raws.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(kern.decode(png), img)
+
+    # RGB color type 2 → BT.601 luma
+    rgb = rng.integers(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(5))
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    luma = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], "float32")
+    assert np.allclose(kern.decode(png), luma, atol=1e-3)
