@@ -356,6 +356,38 @@ def main() -> None:
                             "Scan parquet")),
     ))
 
+    p22 = entrymod.queries()["text_chunks"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Document chunking — projection + explode, zero shuffles",
+        "Overlapping token-window chunks compile to Project + Generate "
+        "(explode) directly over the scan — no Exchange: output is "
+        "streamed, never buffered per document.",
+        trim(plan_of(p22), ("Generate", "Project", "Exchange",
+                            "Scan parquet")),
+    ))
+
+    from pyspark.sql import functions as Fx
+
+    from hbase_rdf_spark.ops.similarity import ivf_topk, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding", Fx.col("embedding").cast("array<double>"))
+    cents = kmeans_fit(emb, n_cells=8, iterations=2)
+    qdf = emb.filter("vec_id < 2").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    p23 = ivf_topk(emb, qdf, cents, k=5, nprobe=2, dim=64)
+    sections.append((
+        "IVF ANN — one GEMM assignment pass, probe-join, windowed top-k",
+        "The corpus side is cell-assigned in a single MapInPandas GEMM "
+        "pass (no shuffle), then joined on `cell` against the broadcast "
+        "(query, probe-cell) list — candidates are nprobe/n_cells of "
+        "the table; the only Exchange feeds the per-query top-k window.",
+        trim(plan_of(p23), ("MapInPandas", "BroadcastHashJoin",
+                            "BroadcastExchange", "Exchange", "Window",
+                            "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
