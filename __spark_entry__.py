@@ -621,6 +621,17 @@ def _q_sparql_optional_union(spark, sf):
         }""")
 
 
+def _q_sparql_optional_subquery(spark, sf):
+    # bare SubSelect as the OPTIONAL block: per-node merge fan-out
+    # counts left-join onto the required bindings (NULL where none)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n WHERE {
+          <spark> <join> ?y .
+          OPTIONAL { SELECT ?y (COUNT(?z) AS ?n)
+                     WHERE { ?y <merge> ?z } GROUP BY ?y }
+        }""")
+
+
 def _q_sparql_union_bind(spark, sf):
     # branch-tagging idiom: each UNION branch labels its rows via a
     # branch-local BIND, plus a numeric BIND + deferred FILTER in one
@@ -1211,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional_union": _q_sparql_optional_union,
         "kg_sparql_optional_bind": _q_sparql_optional_bind,
         "kg_sparql_union_bind": _q_sparql_union_bind,
+        "kg_sparql_optional_subquery": _q_sparql_optional_subquery,
         "kg_sparql_not_exists": _q_sparql_not_exists,
         "kg_sparql_not_exists_corr": _q_sparql_not_exists_corr,
         "kg_sparql_values_undef": _q_sparql_values_undef,
@@ -1853,6 +1865,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(length(y) AS DOUBLE) AS VARCHAR) AS n
             FROM base
             WHERE length(y) = (SELECT max(length(y)) FROM base)""",
+        "kg_sparql_optional_subquery": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y,
+                   CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n
+            FROM triples t
+            LEFT JOIN (SELECT s, count(*) AS n FROM triples
+                       WHERE p = 'merge' GROUP BY s) m ON m.s = t.o
+            WHERE t.s = 'spark' AND t.p = 'join'""",
         "kg_sparql_union_bind": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y, 'j' AS tag, CAST(NULL AS VARCHAR) AS d
             FROM triples WHERE s = 'spark' AND p = 'join'

@@ -109,6 +109,13 @@ class OptionalBlock:
     # need the store's term dictionary — bgp.py stays layer-clean
     binds: list = field(default_factory=list)
     bind_fn: object = None
+    # a subquery-only OPTIONAL block: the SPARQL layer stores the parsed
+    # subquery + its output names and attaches a closure
+    # (() -> DataFrame) producing the block's solutions — bgp.py
+    # left-joins them like any other block step
+    subquery: object = None
+    out_names: tuple = ()
+    step_fn: object = None
 
 
 @dataclass
@@ -223,7 +230,7 @@ def pattern_vars(patterns: list[Bgp]) -> set[str]:
 
 
 def _block_vars(blk: OptionalBlock) -> set[str]:
-    vs = pattern_vars(blk.patterns)
+    vs = pattern_vars(blk.patterns) | set(getattr(blk, "out_names", ()))
     for sub in blk.optional:
         vs |= _block_vars(sub)
     for chain in getattr(blk, "union", ()) or ():
@@ -697,7 +704,11 @@ def execute_bgp(
                     f"outside the block ({sorted(f.vars() - bvars)}) — "
                     "correlated OPTIONAL filters are not supported"
                 )
-        step = _block_result(store, blk, dedup)
+        step = (
+            blk.step_fn()
+            if getattr(blk, "step_fn", None) is not None
+            else _block_result(store, blk, dedup)
+        )
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
         if shared:
             result = result.join(step, on=shared, how="left")

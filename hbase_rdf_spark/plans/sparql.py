@@ -612,13 +612,48 @@ class _Parser:
             elif up == "OPTIONAL":
                 self.next()
                 self.expect("{")
+                if (self.peek() or "").upper() == "SELECT":
+                    # bare SubSelect directly inside the braces
+                    # (GroupGraphPattern ::= '{' (SubSelect | …) '}')
+                    self.next()
+                    sq = Query(variables=[])
+                    self._select_clause(sq)
+                    self.expect("WHERE")
+                    self.expect("{")
+                    self._group(sq, graph)
+                    self.expect("}")
+                    self._modifiers(sq)
+                    self.expect("}")
+                    q.optional.append(
+                        OptionalBlock(
+                            subquery=sq,
+                            out_names=tuple(_subquery_out_names(sq)),
+                        )
+                    )
+                    continue
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
                 if sub.subqueries:
-                    raise SparqlSyntaxError(
-                        "a subquery inside OPTIONAL is not supported"
+                    # supported as the block's SOLE content: the
+                    # subquery's solutions left-join on shared vars
+                    if (len(sub.subqueries) != 1 or sub.patterns
+                            or sub.filters or sub.lang_filters
+                            or sub.optional or sub.union_blocks
+                            or sub.binds or sub.values or sub.minus
+                            or sub.exists):
+                        raise SparqlSyntaxError(
+                            "a subquery inside OPTIONAL must be the "
+                            "block's only content"
+                        )
+                    sq = sub.subqueries[0]
+                    q.optional.append(
+                        OptionalBlock(
+                            subquery=sq,
+                            out_names=tuple(_subquery_out_names(sq)),
+                        )
                     )
+                    continue
                 if sub.values or sub.minus or sub.exists:
                     raise SparqlSyntaxError(
                         "VALUES/MINUS/EXISTS inside OPTIONAL are not supported"
@@ -2112,6 +2147,11 @@ def _attach_bind_fns(store, blocks) -> None:
     them (bgp.py cannot import this layer); recurses into nested blocks
     and the optional lists of UNION branches."""
     for blk in blocks:
+        if (getattr(blk, "subquery", None) is not None
+                and getattr(blk, "step_fn", None) is None):
+            blk.step_fn = (
+                lambda sq: lambda: _execute_subquery(store, sq)
+            )(blk.subquery)
         if getattr(blk, "binds", None) and getattr(blk, "bind_fn", None) is None:
             blk.bind_fn = (
                 lambda b: lambda df: _apply_binds(df, store, b.binds)

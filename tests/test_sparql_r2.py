@@ -860,12 +860,22 @@ def test_subquery_sample(store):
     assert rows(execute(store, q)) == {("http://ex/a", "http://ex/b")}
 
 
-def test_subquery_inside_optional_raises(store):
+def test_subquery_inside_optional_executes(store):
+    # supported since r2d as the block's sole content (braced or bare
+    # SubSelect form — semantics covered in test_sparql_r3.py)
+    execute(store, """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
+    }
+    """).collect()
+    # a subquery MIXED with patterns in one OPTIONAL still raises
     with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
         execute(store, """
         SELECT ?i WHERE {
           ?i <http://ex/item> <http://ex/yes> .
-          OPTIONAL { { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
+          OPTIONAL { ?i <http://ex/label> ?l
+                     { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
         }
         """)
 

@@ -391,3 +391,31 @@ def test_construct_where_shortform(store):
 def test_construct_where_rejects_filters(store):
     with pytest.raises(SparqlSyntaxError):
         parse("""CONSTRUCT WHERE { ?s <http://ex/p> ?o FILTER(?o = <x>) }""")
+
+
+def test_subquery_inside_optional(store):
+    # aggregate subquery as the sole OPTIONAL content: fan-out counts
+    # left-join onto the required bindings; subjects with no likes/knows
+    # edges keep NULL
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?n WHERE {
+          ?s ex:name ?n2 .
+          OPTIONAL { SELECT ?s (COUNT(?o) AS ?n)
+                     WHERE { ?s ex:likes ?o } GROUP BY ?s }
+          BIND(STR(?n2) AS ?dummy)
+        }""")
+    assert rows(out.select("s", "n")) == {
+        ("http://ex/a", "1.0"),
+        ("http://ex/b", None),
+    }
+
+
+def test_subquery_in_optional_with_patterns_rejected(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("""
+            SELECT ?s WHERE {
+              ?s <http://ex/name> ?n .
+              OPTIONAL { ?s <http://ex/age> ?a
+                         { SELECT ?s WHERE { ?s <http://ex/city> ?c } } }
+            }""")
