@@ -605,10 +605,10 @@ class _Parser:
                 q.values.extend(sub.values)
                 q.minus.extend(sub.minus)
                 q.exists.extend(sub.exists)
-                if sub.subqueries:
-                    raise SparqlSyntaxError(
-                        "a subquery inside GRAPH is not supported"
-                    )
+                # a subquery inside GRAPH splices too: its patterns were
+                # parsed with graph=g, so the scan scoping is already
+                # carried on each Bgp — nothing graph-specific remains
+                q.subqueries.extend(sub.subqueries)
             elif up == "OPTIONAL":
                 self.next()
                 self.expect("{")

@@ -419,3 +419,18 @@ def test_subquery_in_optional_with_patterns_rejected(store):
               OPTIONAL { ?s <http://ex/age> ?a
                          { SELECT ?s WHERE { ?s <http://ex/city> ?c } } }
             }""")
+
+
+def test_subquery_inside_graph(store):
+    # the subquery's patterns carry the GRAPH scope: counts only g1
+    # edges, the default-graph distractor (ex:dg ex:p) is excluded
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT ?s ?n WHERE {
+          GRAPH ex:g1 { { SELECT ?s (COUNT(?o) AS ?n)
+                          WHERE { ?s ex:p ?o } GROUP BY ?s } }
+        }""")
+    assert rows(out) == {
+        ("http://ex/g1/s", "1.0"),
+        ("http://ex/g1/s3", "1.0"),
+    }
