@@ -191,6 +191,10 @@ class GroupBlock:
     filters: list = field(default_factory=list)
     optional: list[OptionalBlock] = field(default_factory=list)
     binds: list = field(default_factory=list)
+    # a subquery-only branch ({ SELECT … } UNION …): its solutions
+    # join the rest of the combo on shared vars
+    subquery: object = None
+    out_names: tuple = ()
 
 
 class _Undef:
@@ -671,6 +675,18 @@ class _Parser:
                         binds=sub.binds,
                     )
                 )
+            elif up == "SELECT":
+                # bare SubSelect as the group's content
+                # (GroupGraphPattern ::= '{' (SubSelect | …) '}')
+                self.next()
+                sq = Query(variables=[])
+                self._select_clause(sq)
+                self.expect("WHERE")
+                self.expect("{")
+                self._group(sq, graph)
+                self.expect("}")
+                self._modifiers(sq)
+                q.subqueries.append(sq)
             elif up == "FILTER":
                 self.next()
                 self._filter(q, graph)
@@ -708,9 +724,23 @@ class _Parser:
                     self._modifiers(sq)
                     self.expect("}")
                     if (self.peek() or "").upper() == "UNION":
-                        raise SparqlSyntaxError(
-                            "a subquery as a UNION branch is not supported"
-                        )
+                        # { SELECT … } UNION { … }: the subquery is the
+                        # first branch of a UNION chain
+                        branches = [
+                            GroupBlock(
+                                subquery=sq,
+                                out_names=tuple(_subquery_out_names(sq)),
+                            )
+                        ]
+                        while (self.peek() or "").upper() == "UNION":
+                            self.next()
+                            self.expect("{")
+                            alt = Query(variables=[])
+                            self._subgroup(alt, graph)
+                            self.expect("}")
+                            branches.extend(self._branchify(alt))
+                        q.union_blocks.append(branches)
+                        continue
                     q.subqueries.append(sq)
                     continue
                 sub = Query(variables=[])
@@ -795,7 +825,26 @@ class _Parser:
         """One UNION branch → its GroupBlocks. A branch that is ITSELF a
         single bare UNION chain splices into the enclosing chain —
         UNION is associative, so '{ {A} UNION {B} } UNION {C}'
-        flattens to the 3-branch chain A|B|C."""
+        flattens to the 3-branch chain A|B|C. A subquery-only branch
+        becomes a subquery GroupBlock."""
+        if (
+            len(sub.subqueries) == 1
+            and not sub.patterns
+            and not sub.filters
+            and not sub.lang_filters
+            and not sub.optional
+            and not sub.union_blocks
+            and not sub.values
+            and not sub.minus
+            and not sub.exists
+            and not sub.binds
+        ):
+            sq = sub.subqueries[0]
+            return [
+                GroupBlock(
+                    subquery=sq, out_names=tuple(_subquery_out_names(sq))
+                )
+            ]
         if (
             len(sub.union_blocks) == 1
             and not sub.patterns
@@ -2112,25 +2161,44 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     filts = list(q.filters)
     opts = list(q.optional)
     binds = []
+    subs = []
     for b in combo:
         pats += b.patterns
         filts += b.filters
         opts += b.optional
         binds += getattr(b, "binds", [])
+        if getattr(b, "subquery", None) is not None:
+            subs.append(b)
     bind_vars = {bd.var for bd in binds}
-    scope = pattern_vars(pats) | bind_vars
+    sub_vars = {n for b in subs for n in b.out_names}
+    scope = pattern_vars(pats) | bind_vars | sub_vars
     for blk in opts:
         scope |= _block_vars(blk)
     out_of_scope = [f for f in filts if not f.vars() <= scope]
     deferred = [
-        f for f in filts if f.vars() & bind_vars and f.vars() <= scope
+        f
+        for f in filts
+        if f.vars() & (bind_vars | sub_vars) and f.vars() <= scope
     ]
     applicable = [
         f for f in filts if f not in out_of_scope and f not in deferred
     ]
-    result = execute_bgp(
-        store, pats, filters=applicable, optional=opts, dedup=dedup
-    )
+    result = None
+    if pats or opts or not subs:
+        result = execute_bgp(
+            store, pats, filters=applicable, optional=opts, dedup=dedup
+        )
+    for b in subs:
+        sdf = _execute_subquery(store, b.subquery)
+        if result is None:
+            result = sdf
+            continue
+        shared = [c for c in sdf.columns if c in result.columns]
+        result = (
+            result.join(sdf, on=shared, how="inner")
+            if shared
+            else result.crossJoin(sdf)
+        )
     if binds:
         result = _apply_binds(result, store, binds)
     for f in deferred:

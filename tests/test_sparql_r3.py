@@ -434,3 +434,34 @@ def test_subquery_inside_graph(store):
         ("http://ex/g1/s", "1.0"),
         ("http://ex/g1/s3", "1.0"),
     }
+
+
+def test_subquery_as_union_branch(store):
+    # first branch is a SubSelect, second a plain group; results union
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT DISTINCT ?s WHERE {
+          { SELECT ?s WHERE { ?s ex:likes ?o } }
+          UNION
+          { ?s ex:city ex:Rome }
+        }""")
+    assert rows(out) == {("http://ex/a",), ("http://ex/b",)}
+
+
+def test_subquery_as_second_union_branch_with_outer_pattern(store):
+    # aggregate SubSelect as the SECOND branch, joined with the outer
+    # required pattern on the shared var
+    out = execute(store, """
+        PREFIX ex: <http://ex/>
+        SELECT DISTINCT ?s ?n WHERE {
+          ?s ex:name ?n2 .
+          { ?s ex:city ex:Oslo }
+          UNION
+          { SELECT ?s (COUNT(?o) AS ?n)
+            WHERE { ?s ex:knows ?o } GROUP BY ?s }
+          BIND(STR(?n2) AS ?d)
+        }""")
+    assert rows(out.select("s", "n")) == {
+        ("http://ex/a", None),     # Oslo branch binds no ?n
+        ("http://ex/a", "1.0"),    # knows-count branch
+    }
