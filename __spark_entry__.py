@@ -837,6 +837,48 @@ def _q_quality_full(spark, sf):
 # broadcast dimensions (plans stay hash-join + partial-agg; no UDFs).
 
 
+def _q_rel_top_orders_per_cust(spark, sf):
+    # window-function shape: top-2 orders per customer by price (ties
+    # by key) — WindowGroupLimit prunes map-side before the shuffle
+    orders = wordkg.read(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .filter(F.col("o_custkey") % 10 == 0)  # keep the gate small
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"), "rk",
+        )
+    )
+
+
+def _q_rel_rollup_revenue(spark, sf):
+    # multidimensional agg: ROLLUP(returnflag, linestatus) — partial
+    # aggregation runs map-side for every grouping set
+    li = wordkg.read(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_events_percentiles(spark, sf):
+    # EXACT per-group percentiles (linear interpolation — matches
+    # DuckDB quantile_cont); the sketch twin is events_approx_sketches
+    ev = wordkg.read(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 def _q_rel_pricing_summary(spark, sf):
     # TPC-H Q1 shape: scan-heavy partial-aggregatable rollup
     li = wordkg.read(spark, sf, "lineitem")
@@ -1238,6 +1280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
         "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
+        "rel_rollup_revenue": _q_rel_rollup_revenue,
+        "events_percentiles": _q_events_percentiles,
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
@@ -1976,6 +2021,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT o AS node, 0 AS o_, 1 AS i_ FROM triples)
             GROUP BY node
             ORDER BY degree DESC, node ASC LIMIT 20""",
+        "rel_top_orders_per_cust": """
+            WITH ranked AS (
+              SELECT o_custkey, o_orderkey,
+                     round(o_totalprice, 2) AS price,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey, price, rk
+            FROM ranked WHERE rk <= 2 AND o_custkey % 10 = 0""",
+        "rel_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
