@@ -274,6 +274,155 @@ class PngKernel(PgmKernel):
         )
 
 
+class GifKernel(PgmKernel):
+    """REAL GIF codec in pure Python — LZW decompression per the GIF89a
+    spec (variable code width, CLEAR/END codes, dictionary growth to
+    4096), global/local color tables, BT.601 luma output. First frame
+    only (animation = repeated image blocks); interlace unsupported.
+    Encode emits a valid single-frame GIF with a genuine growing-LZW
+    stream (grayscale palette), so round-trips exercise the dictionary
+    paths. ``resample`` inherited from :class:`PgmKernel`.
+    """
+
+    @staticmethod
+    def _lzw_decode(data: bytes, min_size: int) -> list[int]:
+        clear, end = 1 << min_size, (1 << min_size) + 1
+        big = int.from_bytes(data, "little")
+        total_bits = len(data) * 8
+        pos, size = 0, min_size + 1
+        table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+        next_code, prev = end + 1, None
+        out: list[int] = []
+        while pos + size <= total_bits:
+            code = (big >> pos) & ((1 << size) - 1)
+            pos += size
+            if code == clear:
+                size = min_size + 1
+                table = [(i,) for i in range(clear)] + [(), ()]
+                next_code, prev = end + 1, None
+                continue
+            if code == end:
+                break
+            if code < next_code and code < len(table):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + (entry[0],))
+                next_code += 1
+                if next_code == (1 << size) and size < 12:
+                    size += 1
+            prev = entry
+        return out
+
+    @staticmethod
+    def _lzw_encode(indices: list[int], min_size: int) -> bytes:
+        clear, end = 1 << min_size, (1 << min_size) + 1
+        bits: list[tuple[int, int]] = []  # (code, width)
+        size = min_size + 1
+        table: dict[tuple[int, ...], int] = {
+            (i,): i for i in range(clear)
+        }
+        next_code = end + 1
+        bits.append((clear, size))
+        w: tuple[int, ...] = ()
+        for k in indices:
+            wk = w + (k,)
+            if wk in table:
+                w = wk
+                continue
+            bits.append((table[w], size))
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+                # decoder grows when ITS next_code hits 2^size right
+                # after consuming the code we just emitted — mirror it
+                if next_code == (1 << size) + 1 and size < 12:
+                    size += 1
+            w = (k,)
+        if w:
+            bits.append((table[w], size))
+        bits.append((end, size))
+        big, pos = 0, 0
+        for code, width in bits:
+            big |= code << pos
+            pos += width
+        return big.to_bytes((pos + 7) // 8 or 1, "little")
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        data = bytes(payload)
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload (bad signature)")
+        packed = data[10]
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                data, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+                ipacked = data[pos + 9]
+                pos += 10
+                if ipacked & 0x40:
+                    raise ValueError("interlaced GIF not supported")
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    palette = np.frombuffer(
+                        data, np.uint8, n * 3, pos
+                    ).reshape(n, 3)
+                    pos += n * 3
+                if palette is None:
+                    raise ValueError("GIF image without a color table")
+                min_size = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while data[pos] != 0:
+                    ln = data[pos]
+                    lzw += data[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = self._lzw_decode(bytes(lzw), min_size)
+                if len(idx) < w * h:
+                    raise ValueError("GIF raster underflow")
+                rgb = palette[np.asarray(idx[: w * h])].reshape(h, w, 3)
+                return rgb.astype(np.float32) @ PpmKernel._LUMA
+            elif b == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{b:02x}")
+        raise ValueError("GIF contains no image block")
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        h, w = arr.shape
+        g = arr.clip(0, 255).astype(np.uint8)
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0xF7, 0, 0])  # global 256-entry table, 8-bit
+        out += bytes(v for i in range(256) for v in (i, i, i))  # gray
+        out += b"\x2c" + bytes(4)
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += b"\x00\x08"  # no local table; LZW min code size 8
+        lzw = self._lzw_encode([int(x) for x in g.ravel()], 8)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+
 class WavKernel:
     """REAL PCM WAV decode via the stdlib ``wave`` module: 16-bit mono/
     stereo frames → 1 × n_samples float32 (uint8-scaled amplitudes, so

@@ -851,3 +851,33 @@ def test_png_kernel_roundtrip_filters_and_color(spark):
            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
     luma = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], "float32")
     assert np.allclose(kern.decode(png), luma, atol=1e-3)
+
+
+def test_gif_kernel_lzw_roundtrip_and_real_file(spark):
+    import base64
+
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import GifKernel
+
+    kern = GifKernel()
+    luma_w = np.array([0.299, 0.587, 0.114], "float32")
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(23, 31)).astype(np.float32)
+    # gray palette → luma of (v,v,v) == v up to float error
+    back = kern.decode(kern.encode(img))
+    want = img[..., None].repeat(3, -1).astype(np.float32) @ luma_w
+    assert np.allclose(back, want, atol=1e-3)
+    # long runs exercise deep LZW dictionary chains
+    img2 = np.tile(
+        np.arange(8, dtype=np.float32).repeat(16), (40, 1)
+    )[:, :100]
+    want2 = img2[..., None].repeat(3, -1) @ luma_w
+    assert np.allclose(kern.decode(kern.encode(img2)), want2, atol=1e-3)
+    # a REAL file from the wild: the canonical 1x1 transparent GIF —
+    # validates header/color-table/LZW against an external encoder
+    one = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    out = kern.decode(one)
+    assert out.shape == (1, 1) and float(out[0, 0]) == 0.0
