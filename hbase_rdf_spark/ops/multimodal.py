@@ -3,12 +3,13 @@
 Images / audio / video ride as ``binary`` columns with a typed metadata
 struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages. Decode is a PLUGGABLE KERNEL per
-modality: real, dependency-free codecs ship for Netpbm PGM images
-(pure numpy) and PCM WAV audio (stdlib ``wave``); codec-bearing
-formats (JPEG/PNG/MP4 — no imaging/ffmpeg libs in this container) use
-a deterministic hash stub swappable for PIL/cv2/pyav with zero plan
-changes. The Spark-side contract that matters at 100 TB is real and
-tested:
+modality: real, dependency-free codecs ship for PGM/PPM (Netpbm, pure
+numpy), PNG (stdlib zlib + full scanline unfiltering), GIF
+(pure-Python LZW), baseline JPEG (pure-numpy Huffman + IDCT,
+ops/jpeg.py), and PCM WAV audio (stdlib ``wave``); only video (MP4 —
+needs ffmpeg/pyav, absent in this container) uses a deterministic hash
+stub swappable for a cv2/pyav kernel with zero plan changes. The
+Spark-side contract that matters at 100 TB is real and tested:
 
 - schema: (asset_id, modality, media: binary, meta: struct)
 - partitioning: assets repartitioned by size-aware buckets so one huge
@@ -44,10 +45,11 @@ FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_hash string"
 # batches) is kernel-agnostic: a kernel only maps payload bytes ↔ a 2-D
 # float32 array (rows × cols; audio decodes to 1 × n_samples). REAL
 # kernels ship for PGM/PPM (Netpbm), PNG (stdlib zlib inflate + full
-# scanline unfiltering), and PCM WAV; formats needing external codecs
-# (JPEG/MP4 — no imaging/ffmpeg libs in this container) fall back to
-# the deterministic hash stub, swappable for a PIL/cv2/pyav kernel with
-# zero plan changes.
+# scanline unfiltering), GIF (pure-Python LZW), baseline JPEG
+# (pure-numpy Huffman + IDCT, ops/jpeg.py), and PCM WAV; only video
+# (MP4 — needs ffmpeg/pyav, absent here) falls back to the
+# deterministic hash stub, swappable for a cv2/pyav kernel with zero
+# plan changes.
 
 
 class HashStubKernel:
@@ -421,6 +423,24 @@ class GifKernel(PgmKernel):
             out += bytes([len(blk)]) + blk
         out += b"\x00\x3b"
         return bytes(out)
+
+
+class JpegKernel(PgmKernel):
+    """REAL baseline JPEG codec in pure numpy (ops/jpeg.py): SOF0
+    grayscale/YCbCr decode to the luma plane (Huffman + dequant + IDCT,
+    restart markers, byte unstuffing); encode emits a near-lossless
+    grayscale baseline JPEG with custom canonical Huffman tables.
+    Progressive (SOF2) raises. ``resample`` inherited."""
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        from hbase_rdf_spark.ops.jpeg import decode_luma
+
+        return decode_luma(bytes(payload))
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        from hbase_rdf_spark.ops.jpeg import encode_gray
+
+        return encode_gray(arr)
 
 
 class WavKernel:

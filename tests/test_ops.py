@@ -881,3 +881,25 @@ def test_gif_kernel_lzw_roundtrip_and_real_file(spark):
     )
     out = kern.decode(one)
     assert out.shape == (1, 1) and float(out[0, 0]) == 0.0
+
+
+def test_jpeg_kernel_roundtrip_and_features(spark):
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import JpegKernel
+
+    kern = JpegKernel()
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(21, 37)).astype(np.float32)
+    back = kern.decode(kern.encode(img))
+    # unit quant table → per-pixel error bounded by rounding (< 1.5)
+    assert back.shape == img.shape
+    assert float(np.abs(back - img).max()) < 1.5
+    # non-multiple-of-8 sizes pad then crop exactly
+    flat = np.full((9, 10), 200.0, dtype=np.float32)
+    assert np.allclose(kern.decode(kern.encode(flat)), flat, atol=0.5)
+    # progressive / non-JPEG inputs raise cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kern.decode(b"\x89PNG\r\n\x1a\n")
