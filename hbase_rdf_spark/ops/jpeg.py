@@ -293,6 +293,44 @@ def _codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
     return out
 
 
+def _encode_block(
+    bw: _BitWriter, block: np.ndarray, pred: int, dc_codes, ac_codes
+) -> int:
+    """Forward-DCT + unit-quantize + entropy-encode one 8×8 spatial
+    block (values 0-255); returns the new DC predictor."""
+    coef = _C @ (block - 128.0) @ _C.T
+    zz = np.round(coef.reshape(64)[_ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t = int(abs(diff)).bit_length()
+    c, ln = dc_codes[t]
+    bw.write(c, ln)
+    if t:
+        mag = diff if diff >= 0 else diff + (1 << t) - 1
+        bw.write(mag & ((1 << t) - 1), t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        sz = int(abs(v)).bit_length()
+        c, ln = ac_codes[(run << 4) | sz]
+        bw.write(c, ln)
+        mag = v if v >= 0 else v + (1 << sz) - 1
+        bw.write(mag & ((1 << sz) - 1), sz)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return pred
+
+
 def encode_gray(arr: np.ndarray) -> bytes:
     """Grayscale baseline JPEG with unit quantization (near-lossless)."""
     import struct
@@ -309,45 +347,12 @@ def encode_gray(arr: np.ndarray) -> bytes:
     img[h:, :w] = img[h - 1 : h, :w]  # edge-pad
     img[:, w:] = img[:, w - 1 : w]
 
-    def size_of(v: int) -> int:
-        return int(v).bit_length()
-
     for y0 in range(0, ph, 8):
         for x0 in range(0, pw, 8):
-            block = img[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            coef = _C @ block @ _C.T
-            zz = np.round(coef.reshape(64)[_ZIGZAG] / q)
-            zz = zz.astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t = size_of(abs(diff))
-            c, ln = dc_codes[t]
-            bw.write(c, ln)
-            if t:
-                mag = diff if diff >= 0 else diff + (1 << t) - 1
-                bw.write(mag & ((1 << t) - 1), t)
-            run = 0
-            last_nz = max(
-                (k for k in range(1, 64) if zz[k]), default=0
+            pred = _encode_block(
+                bw, img[y0 : y0 + 8, x0 : x0 + 8], pred,
+                dc_codes, ac_codes,
             )
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                s = size_of(abs(v))
-                c, ln = ac_codes[(run << 4) | s]
-                bw.write(c, ln)
-                mag = v if v >= 0 else v + (1 << s) - 1
-                bw.write(mag & ((1 << s) - 1), s)
-                run = 0
-            if last_nz < 63:
-                c, ln = ac_codes[0x00]  # EOB
-                bw.write(c, ln)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:

@@ -903,3 +903,50 @@ def test_jpeg_kernel_roundtrip_and_features(spark):
 
     with _pytest.raises(ValueError):
         kern.decode(b"\x89PNG\r\n\x1a\n")
+
+
+def test_jpeg_color_420_decodes_luma(spark):
+    import struct
+
+    import numpy as np
+
+    from hbase_rdf_spark.ops import jpeg as J
+
+    # hand-build a 16x16 YCbCr 4:2:0 baseline JPEG: 1 MCU = 4 Y blocks
+    # + 1 Cb + 1 Cr, unit quant, our canonical tables
+    rng = np.random.default_rng(21)
+    y = rng.integers(0, 256, size=(16, 16)).astype(np.float32)
+    cb = np.full((8, 8), 128.0, dtype=np.float32)
+    cr = np.full((8, 8), 90.0, dtype=np.float32)
+    dc = J._codes(J._DC_BITS, J._DC_VALS)
+    ac = J._codes(J._AC_BITS, J._AC_VALS)
+    bw = J._BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+    for by in range(2):          # Y blocks in raster order inside MCU
+        for bx in range(2):
+            pred[1] = J._encode_block(
+                bw, y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                pred[1], dc, ac,
+            )
+    pred[2] = J._encode_block(bw, cb, pred[2], dc, ac)
+    pred[3] = J._encode_block(bw, cr, pred[3], dc, ac)
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    q = np.ones(64, dtype=np.uint8)
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + q.tobytes())
+        + seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 3)
+              + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(J._DC_BITS) + J._DC_VALS
+              + b"\x10" + bytes(J._AC_BITS) + J._AC_VALS)
+        + seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00"
+              + b"\x00\x3f\x00")
+        + bytes(bw.out) + b"\xff\xd9"
+    )
+    back = J.decode_luma(out)
+    assert back.shape == (16, 16)
+    assert float(np.abs(back - y).max()) < 1.5
