@@ -63,6 +63,34 @@ def main() -> None:
             "CONSTRUCT { ?y <rel:employs> ?x } WHERE { ?x <rel:works_at> ?y }"
         ).show(3, truncate=False)
 
+        print("== SPARQL 1.1 surface (round 2): OPTIONAL+!bound, VALUES,")
+        print("   MINUS, EXISTS, BIND, paths, subqueries")
+        eng.sql(
+            "SELECT ?x WHERE { ?x <rel:works_at> ?y "
+            "OPTIONAL { ?x <rel:ceo_of> ?c } FILTER(!bound(?c)) } LIMIT 3"
+        ).show(truncate=False)
+        eng.sql(
+            "SELECT ?x ?tag WHERE { ?x <rel:works_at> ?y "
+            'VALUES (?y ?tag) { (<ent:org/acme_corp> "acme") } }'
+        ).show(3, truncate=False)
+        eng.sql(
+            "SELECT ?x WHERE { ?x <rel:works_at> ?y "
+            "MINUS { ?x <rel:age> ?a } } LIMIT 3"
+        ).show(truncate=False)
+        eng.sql(
+            "SELECT ?x (UCASE(STR(?x)) AS ?u) WHERE "
+            "{ ?x <rel:ceo_of> ?y } LIMIT 3"
+        ).show(truncate=False)
+        eng.sql(
+            "SELECT ?z WHERE { <ent:org/acme_corp> ^<rel:works_at>/<rel:age> ?z }"
+            " LIMIT 3"
+        ).show(truncate=False)
+        eng.sql(
+            "SELECT ?org ?n WHERE { ?x <rel:works_at> ?org "
+            "{ SELECT ?org (COUNT(?p) AS ?n) WHERE "
+            "{ ?p <rel:works_at> ?org } GROUP BY ?org } } LIMIT 3"
+        ).show(truncate=False)
+
         print("== incremental append (idempotent)")
         r = eng.append(transcripts_df(spark, 100, seed=42, conv_offset=800), gaz)
         print(f"   appended: {r}")
