@@ -18,8 +18,11 @@ Query naming maps to SURVEY.md §2 operators (full map: COVERAGE.md):
   rel_*          → relational analytics (TPC-H shapes, broadcast dims)
   events_*       → sessionization, tumbling windows, as-of join,
                    interval join, sketches (ops/temporal.py et al.)
-  dedup_* text_* ann_* → training-data pipeline operators
-  (hbase_rdf_spark/ops/).
+  dedup_* text_* ann_* sample_* pack_* → training-data pipeline
+  operators (hbase_rdf_spark/ops/): dedup family, text analysis /
+  quality / PII / decontamination / chunking, exact + LSH + IVF +
+  quantized similarity search, deterministic sampling & mixture,
+  context-window packing.
 
 The transcript-grammar pipeline itself (mention linking, LSH,
 connected components, tripartite store) is validated in pytest against
