@@ -289,14 +289,22 @@ class GifKernel(PgmKernel):
     @staticmethod
     def _lzw_decode(data: bytes, min_size: int) -> list[int]:
         clear, end = 1 << min_size, (1 << min_size) + 1
-        big = int.from_bytes(data, "little")
         total_bits = len(data) * 8
         pos, size = 0, min_size + 1
+        # windowed LSB-first bit reader: O(n) — a whole-stream bigint
+        # with per-code shifts is O(n^2) on megabyte LZW streams
+        acc, acc_n, byte_i = 0, 0, 0
         table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
         next_code, prev = end + 1, None
         out: list[int] = []
         while pos + size <= total_bits:
-            code = (big >> pos) & ((1 << size) - 1)
+            while acc_n < size:
+                acc |= data[byte_i] << acc_n
+                acc_n += 8
+                byte_i += 1
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            acc_n -= size
             pos += size
             if code == clear:
                 size = min_size + 1
@@ -348,11 +356,18 @@ class GifKernel(PgmKernel):
         if w:
             bits.append((table[w], size))
         bits.append((end, size))
-        big, pos = 0, 0
+        out = bytearray()
+        acc, acc_n = 0, 0  # windowed accumulator: O(n), not bigint O(n^2)
         for code, width in bits:
-            big |= code << pos
-            pos += width
-        return big.to_bytes((pos + 7) // 8 or 1, "little")
+            acc |= code << acc_n
+            acc_n += width
+            while acc_n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                acc_n -= 8
+        if acc_n:
+            out.append(acc & 0xFF)
+        return bytes(out) or b"\x00"
 
     def decode(self, payload: bytes, meta=None) -> np.ndarray:
         data = bytes(payload)
@@ -466,11 +481,47 @@ class WavKernel:
         raise NotImplementedError("audio re-encode not needed by any operator")
 
 
-#: default kernel registry — image/audio REAL where a codec-free format
-#: exists; video stays stubbed (needs ffmpeg/pyav, absent here)
+class SniffingKernel:
+    """Default kernel: dispatch DECODE on payload magic bytes to the
+    matching REAL codec (PNG/GIF/JPEG/PGM/PPM/WAV); unknown payloads
+    (e.g. the synthetic test fixtures) fall back to the deterministic
+    hash stub. Encode: PNG for images (real + lossless), stub
+    otherwise — re-encode format needs no source-format knowledge."""
+
+    def __init__(self, encode_kernel: object | None = None):
+        self._kernels = [
+            (( b"\x89PNG",), PngKernel()),
+            ((b"GIF87a", b"GIF89a"), GifKernel()),
+            ((b"\xff\xd8",), JpegKernel()),
+            ((b"P5", b"P2"), PgmKernel()),
+            ((b"P6", b"P3"), PpmKernel()),
+            ((b"RIFF",), WavKernel()),
+        ]
+        self._stub = HashStubKernel()
+        self._enc = encode_kernel
+
+    def _route(self, payload: bytes):
+        head = bytes(payload[:8])
+        for magics, kern in self._kernels:
+            if head.startswith(magics):
+                return kern
+        return self._stub
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        return self._route(bytes(payload)).decode(payload, meta)
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        return (self._enc or self._stub).encode(arr, meta)
+
+    resample = staticmethod(PgmKernel.resample)
+
+
+#: default kernel registry — image/audio decode REAL formats via magic-
+#: byte sniffing (PNG/GIF/JPEG/PGM/PPM real; unknown → deterministic
+#: stub); video stays stubbed (needs ffmpeg/pyav, absent here)
 DEFAULT_KERNELS: dict[str, object] = {
-    "image": HashStubKernel(),
-    "audio": HashStubKernel(),
+    "image": SniffingKernel(),
+    "audio": SniffingKernel(),
     "video": HashStubKernel(),
 }
 

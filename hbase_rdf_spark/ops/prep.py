@@ -36,9 +36,8 @@ from hbase_rdf_spark.ops.dedup import (
 from hbase_rdf_spark.ops.sampling import assign_shards, mixture_sample
 from hbase_rdf_spark.ops.text import (
     detect_language,
-    quality_features,
-    redact_pii,
-    repetition_features,
+    quality_repetition_filter,
+    scrub_pii,
 )
 
 
@@ -92,17 +91,12 @@ def prep_training_data(
         ),
     )
 
-    out = quality_features(out, text_col)
-    out = repetition_features(out, text_col)
-    out = out.filter(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("rep_top_2gram_frac") <= max_top_2gram_frac)
-    ).drop(
-        "q_chars", "q_tokens", "q_punct_ratio", "q_mean_token_len",
-        "quality_score", "rep_tokens", "rep_dup_token_frac",
-        "rep_top_token_frac", "rep_dup_2gram_frac", "rep_top_2gram_frac",
+    out = note(
+        "quality_filter",
+        quality_repetition_filter(
+            out, text_col, min_quality, max_top_2gram_frac
+        ),
     )
-    out = note("quality_filter", out)
 
     if langs is not None:
         out = note(
@@ -124,13 +118,7 @@ def prep_training_data(
             ).drop("contaminated"),
         )
 
-    pii_counts = [f"n_{k}" for k in ("email", "ssn", "phone", "ipv4")]
-    out = (
-        redact_pii(out, text_col, out_col="__red")
-        .drop(text_col, *pii_counts)
-        .withColumnRenamed("__red", text_col)
-    )
-    out = note("pii_redact", out)
+    out = note("pii_redact", scrub_pii(out, text_col))
 
     if mixture is not None:
         out = note(

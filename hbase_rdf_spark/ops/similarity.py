@@ -363,7 +363,12 @@ def kmeans_fit(
     # spherical k-means: unit-normalize so cells align with COSINE
     # neighborhoods (plain Lloyd cells track magnitude, not direction)
     raw = F.col(vec_col).cast("array<double>")
-    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    # greatest(…, tiny) guards all-zero vectors: x/0 is NULL in Spark
+    # and NULL elements would crash the numpy GEMM downstream
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-30),
+    )
     base = vectors.select(
         F.col(id_col).alias("_id"),
         F.transform(raw, lambda x: x / nrm).alias("_v"),

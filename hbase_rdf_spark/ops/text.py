@@ -230,3 +230,37 @@ def fingerprint(text: Column, window: int = 8, portable: bool = False) -> Column
             lambda i: hash_fn(text.substr(i, F.lit(window))),
         )
     )
+
+_QUALITY_FEATURE_COLS = [
+    "q_chars", "q_tokens", "q_punct_ratio", "q_mean_token_len",
+    "quality_score", "rep_tokens", "rep_dup_token_frac",
+    "rep_top_token_frac", "rep_dup_2gram_frac", "rep_top_2gram_frac",
+]
+
+
+def quality_repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    max_top_2gram_frac: float = 0.5,
+) -> DataFrame:
+    """Quality + repetition gate, feature columns dropped afterwards —
+    the shared stateless stage of batch prep (ops/prep.py) and the
+    streaming filter front (streaming/filters.py)."""
+    out = quality_features(df, text_col)
+    out = repetition_features(out, text_col)
+    return out.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("rep_top_2gram_frac") <= max_top_2gram_frac)
+    ).drop(*_QUALITY_FEATURE_COLS)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its redacted form, dropping the
+    per-kind count columns (use :func:`redact_pii` to keep them)."""
+    counts = [f"n_{k}" for k in PII_PATTERNS]
+    return (
+        redact_pii(df, text_col, out_col="__red")
+        .drop(text_col, *counts)
+        .withColumnRenamed("__red", text_col)
+    )

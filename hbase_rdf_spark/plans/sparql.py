@@ -484,6 +484,7 @@ class _Parser:
                     raise SparqlSyntaxError(
                         "BIND in a CONSTRUCT template is invalid"
                     )
+                _reject_template_paths(tmpl.patterns)
                 q.construct_template = tmpl.patterns
         else:
             raise SparqlSyntaxError(f"unsupported query form {head}")
@@ -505,13 +506,15 @@ class _Parser:
         self._modifiers(q)
         if q.form == "construct" and q.construct_template is None:
             # CONSTRUCT WHERE: spec restricts the pattern to a plain
-            # triples template — no FILTER/OPTIONAL/UNION/etc.
+            # triples template — no FILTER/OPTIONAL/UNION/etc., and no
+            # property paths (a path is not a triple)
             if (q.filters or q.lang_filters or q.optional
                     or q.union_blocks or q.values or q.minus or q.exists
                     or q.binds or q.subqueries):
                 raise SparqlSyntaxError(
                     "CONSTRUCT WHERE allows only a plain triples template"
                 )
+            _reject_template_paths(q.patterns)
             q.construct_template = q.patterns
         if 0 < n_sel_binds < len(q.binds):
             # projection expressions evaluate over the WHERE group's
@@ -585,6 +588,19 @@ class _Parser:
                 "projection expressions cannot be combined with aggregates"
             )
 
+    def _parse_subselect(self, graph) -> "Query":
+        """Parse a SubSelect after its SELECT keyword was peeked:
+        consumes SELECT … WHERE { group } modifiers."""
+        self.next()  # SELECT
+        sq = Query(variables=[])
+        self._select_clause(sq)
+        self.expect("WHERE")
+        self.expect("{")
+        self._group(sq, graph)
+        self.expect("}")
+        self._modifiers(sq)
+        return sq
+
     def _group(self, q: Query, graph) -> None:
         while True:
             tok = self.peek()
@@ -619,14 +635,7 @@ class _Parser:
                 if (self.peek() or "").upper() == "SELECT":
                     # bare SubSelect directly inside the braces
                     # (GroupGraphPattern ::= '{' (SubSelect | …) '}')
-                    self.next()
-                    sq = Query(variables=[])
-                    self._select_clause(sq)
-                    self.expect("WHERE")
-                    self.expect("{")
-                    self._group(sq, graph)
-                    self.expect("}")
-                    self._modifiers(sq)
+                    sq = self._parse_subselect(graph)
                     self.expect("}")
                     q.optional.append(
                         OptionalBlock(
@@ -678,15 +687,7 @@ class _Parser:
             elif up == "SELECT":
                 # bare SubSelect as the group's content
                 # (GroupGraphPattern ::= '{' (SubSelect | …) '}')
-                self.next()
-                sq = Query(variables=[])
-                self._select_clause(sq)
-                self.expect("WHERE")
-                self.expect("{")
-                self._group(sq, graph)
-                self.expect("}")
-                self._modifiers(sq)
-                q.subqueries.append(sq)
+                q.subqueries.append(self._parse_subselect(graph))
             elif up == "FILTER":
                 self.next()
                 self._filter(q, graph)
@@ -714,14 +715,7 @@ class _Parser:
                 # braced block: a subquery, or a group / UNION chain
                 self.next()
                 if (self.peek() or "").upper() == "SELECT":
-                    self.next()
-                    sq = Query(variables=[])
-                    self._select_clause(sq)
-                    self.expect("WHERE")
-                    self.expect("{")
-                    self._group(sq, graph)
-                    self.expect("}")
-                    self._modifiers(sq)
+                    sq = self._parse_subselect(graph)
                     self.expect("}")
                     if (self.peek() or "").upper() == "UNION":
                         # { SELECT … } UNION { … }: the subquery is the
@@ -2091,20 +2085,54 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
     return res
 
 
+def _reject_template_paths(patterns: list) -> None:
+    """A CONSTRUCT template is a set of TRIPLES: a property-path
+    predicate (Path node or +/*/? modifier) would otherwise render as
+    its repr or silently drop the modifier — fabricated triples."""
+    for p in patterns:
+        if isinstance(p.p, Path) or getattr(p, "path_mod", None):
+            raise SparqlSyntaxError(
+                "property paths are not allowed in a CONSTRUCT template"
+            )
+
+
 def _bind_scope_check(q: Query) -> None:
     """Parse-level guards that make post-hoc BIND evaluation exact."""
     scope = pattern_vars(q.patterns)
     for blk in q.optional:
         scope |= _block_vars(blk)
+    branch_binds: list[tuple[object, set[str]]] = []  # (bind, branch vars)
     for chain in q.union_blocks:
         for br in chain:
-            scope |= pattern_vars(br.patterns)
+            bvars = pattern_vars(br.patterns) | set(
+                getattr(br, "out_names", ())
+            )
             for blk in br.optional:
-                scope |= _block_vars(blk)
+                bvars |= _block_vars(blk)
+            scope |= bvars
+            for b in getattr(br, "binds", []):
+                branch_binds.append((b, bvars))
     for vb in q.values:
         scope |= set(vb.vars)
     for sub in q.subqueries:
         scope |= set(_subquery_out_names(sub))
+    # branch-local BINDs: a collision with any PATTERN-bound var (own
+    # branch, sibling branch, or the enclosing group) would silently
+    # overwrite the column in _combo_result — forbid; two branches
+    # binding the SAME fresh var is legal (the branch-tagging idiom)
+    for b, bvars in branch_binds:
+        if b.var in scope:
+            raise SparqlSyntaxError(
+                f"BIND ?{b.var} inside a UNION branch would rebind a "
+                "variable already bound by a graph pattern"
+            )
+    q_bind_vars = {b.var for b in q.binds}
+    for b, _ in branch_binds:
+        if b.var in q_bind_vars:
+            raise SparqlSyntaxError(
+                f"BIND ?{b.var} is assigned both inside a UNION branch "
+                "and at the group level"
+            )
     for b in q.binds:
         if b.var in scope:
             raise SparqlSyntaxError(
@@ -2184,10 +2212,14 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
         f for f in filts if f not in out_of_scope and f not in deferred
     ]
     result = None
-    if pats or opts or not subs:
+    if pats or opts:
         result = execute_bgp(
             store, pats, filters=applicable, optional=opts, dedup=dedup
         )
+    elif not subs:
+        # pattern-free branch (pure BIND tagging): the unit solution —
+        # one row, no columns — which the BINDs below then extend
+        result = store.spark.range(1).drop("id")
     for b in subs:
         sdf = _execute_subquery(store, b.subquery)
         if result is None:
@@ -2252,7 +2284,12 @@ def execute(store, query: str | Query) -> DataFrame:
     post_vars: set = set()
     for sub in q.subqueries:
         post_vars |= set(_subquery_out_names(sub))
-    if q.binds:
+    has_branch_binds = any(
+        getattr(br, "binds", None)
+        for chain in q.union_blocks
+        for br in chain
+    )
+    if q.binds or has_branch_binds:
         _bind_scope_check(q)
         post_vars |= {b.var for b in q.binds}
     if post_vars:

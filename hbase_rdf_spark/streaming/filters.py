@@ -19,16 +19,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from hbase_rdf_spark.ops.text import (
     detect_language,
-    quality_features,
-    redact_pii,
-    repetition_features,
+    quality_repetition_filter,
+    scrub_pii,
 )
-
-_FEATURE_COLS = [
-    "q_chars", "q_tokens", "q_punct_ratio", "q_mean_token_len",
-    "quality_score", "rep_tokens", "rep_dup_token_frac",
-    "rep_top_token_frac", "rep_dup_2gram_frac", "rep_top_2gram_frac",
-]
 
 
 def filter_stream(
@@ -46,21 +39,13 @@ def filter_stream(
     append-safe (row-wise, stateless). Returns the input schema with
     ``text_col`` scrubbed when ``redact=True``.
     """
-    out = quality_features(docs, text_col)
-    out = repetition_features(out, text_col)
-    out = out.filter(
-        (F.col("quality_score") >= min_quality)
-        & (F.col("rep_top_2gram_frac") <= max_top_2gram_frac)
-    ).drop(*_FEATURE_COLS)
+    out = quality_repetition_filter(
+        docs, text_col, min_quality, max_top_2gram_frac
+    )
     if langs is not None:
         out = out.filter(
             detect_language(F.col(text_col)).isin(*sorted(langs))
         )
     if redact:
-        pii_counts = [f"n_{k}" for k in ("email", "ssn", "phone", "ipv4")]
-        out = (
-            redact_pii(out, text_col, out_col="__red")
-            .drop(text_col, *pii_counts)
-            .withColumnRenamed("__red", text_col)
-        )
+        out = scrub_pii(out, text_col)
     return out

@@ -950,3 +950,27 @@ def test_jpeg_color_420_decodes_luma(spark):
     back = J.decode_luma(out)
     assert back.shape == (16, 16)
     assert float(np.abs(back - y).max()) < 1.5
+
+
+def test_default_kernel_sniffs_real_formats(spark):
+    import numpy as np
+
+    from hbase_rdf_spark.ops.multimodal import (
+        HashStubKernel,
+        PngKernel,
+        SniffingKernel,
+    )
+
+    img = np.arange(64, dtype=np.float32).reshape(8, 8) * 3
+    png = PngKernel().encode(img)
+    sniff = SniffingKernel()
+    # real format → real decode (exact PNG round-trip), not the stub
+    assert np.array_equal(sniff.decode(png), img)
+    assert not np.array_equal(
+        HashStubKernel().decode(png), sniff.decode(png)
+    )
+    # unknown payload → deterministic stub fallback
+    fake = b"\x00\x01noformat"
+    assert np.array_equal(
+        sniff.decode(fake), HashStubKernel().decode(fake)
+    )

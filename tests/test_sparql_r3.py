@@ -465,3 +465,44 @@ def test_subquery_as_second_union_branch_with_outer_pattern(store):
         ("http://ex/a", None),     # Oslo branch binds no ?n
         ("http://ex/a", "1.0"),    # knows-count branch
     }
+
+
+# -- review-driven hardening (round-2 code review) ---------------------------
+
+
+def test_union_branch_bind_rebind_rejected(store):
+    # a branch BIND var colliding with a pattern-bound var must error,
+    # not silently overwrite the column
+    with pytest.raises(SparqlSyntaxError):
+        execute(store, """
+            PREFIX ex: <http://ex/>
+            SELECT ?x ?n WHERE {
+              ?x ex:name ?n .
+              { ?x ex:likes ?y BIND("tag" AS ?n) }
+              UNION { ?x ex:knows ?y }
+            }""")
+    # ...and a group-level BIND reusing a branch BIND var too
+    with pytest.raises(SparqlSyntaxError):
+        execute(store, """
+            PREFIX ex: <http://ex/>
+            SELECT ?t WHERE {
+              { ?x ex:likes ?y BIND("a" AS ?t) }
+              UNION { ?x ex:knows ?y }
+              BIND("b" AS ?t)
+            }""")
+
+
+def test_union_of_pure_bind_branches(store):
+    # pattern-free branches are the unit solution extended by BIND
+    out = execute(store, """
+        SELECT ?t WHERE { { BIND("a" AS ?t) } UNION { BIND("b" AS ?t) } }""")
+    assert rows(out) == {("a",), ("b",)}
+
+
+def test_construct_where_rejects_property_paths(store):
+    with pytest.raises(SparqlSyntaxError):
+        parse("CONSTRUCT WHERE { ?x <http://ex/p>/<http://ex/q> ?y }")
+    with pytest.raises(SparqlSyntaxError):
+        parse("CONSTRUCT WHERE { ?x <http://ex/p>+ ?y }")
+    with pytest.raises(SparqlSyntaxError):
+        parse("CONSTRUCT { ?x <http://ex/p>+ ?y } WHERE { ?x <http://ex/p> ?y }")
