@@ -1220,58 +1220,18 @@ def _q_fingerprint(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Entry ORDER matters: the driver's correctness gate scores only the
+    # first 50 dict entries.  Round-2 verdict: 35 entries (positions
+    # 51-85) never received a driver verdict.  Round-3 ordering policy:
+    #   block A — the 35 previously-unverified entries, first;
+    #   block B — new round-3 gates;
+    #   block C — a representative core of round-2-green entries
+    #             (incl. the two epoch_us-fixed events_* rows) filling
+    #             the window to 50;
+    #   block D — the remaining round-2-green entries (verified r2,
+    #             re-checkable locally via scripts/check_entry.py).
     return {
-        "kg_extract_svo": _q_extract,
-        "kg_dictionary": _q_dictionary,
-        "kg_encode_triples": _q_encode,
-        "kg_pattern_s": lambda sp, sf: _pattern(sp, sf, s="spark"),
-        "kg_pattern_p": lambda sp, sf: _pattern(sp, sf, p="merge"),
-        "kg_pattern_o": lambda sp, sf: _pattern(sp, sf, o="data"),
-        "kg_pattern_sp": lambda sp, sf: _pattern(sp, sf, s="spark", p="join"),
-        "kg_pattern_po": lambda sp, sf: _pattern(sp, sf, p="scan", o="table"),
-        "kg_pattern_so": lambda sp, sf: _pattern(sp, sf, s="spark", o="data"),
-        "kg_pattern_spo": _q_pattern_spo_count,
-        "kg_event_quads": _q_event_quads,
-        "kg_numeric_range": _q_numeric_range,
-        "kg_bgp_join": _q_bgp_join,
-        "kg_bgp_optional": _q_bgp_optional,
-        "kg_topk_preds": _q_topk_preds,
-        "kg_distinct_counts": _q_distinct_counts,
-        "kg_bgp_chain3": _q_bgp_chain3,
-        "kg_bgp_union": _q_bgp_union,
-        "kg_event_stats": _q_event_stats,
-        "kg_pattern_c": _q_pattern_c,
-        "kg_pattern_cs": _q_pattern_cs,
-        "kg_pattern_cp": _q_pattern_cp,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_embedding_cosine": _q_embedding_neardup,
-        "text_token_count": _q_token_count,
-        "text_bpe_tokens": _q_bpe_tokens,
-        "text_quality_full": _q_quality_full,
-        "text_pii_redact": _q_pii_redact,
-        "text_contamination": _q_contamination,
-        "text_repetition": _q_repetition,
-        "text_chunks": _q_chunks,
-        "text_lang_detect": _q_lang_detect,
-        "text_quality": _q_quality,
-        "ann_cosine_topk": _q_ann_topk,
-        "ann_quantized_topk": _q_ann_quantized,
-        "ann_ivf_topk": _q_ann_ivf,
-        "events_sessionize": _q_sessionize,
-        "events_windowed": _q_windowed_counts,
-        "events_asof_attribution": _q_events_asof,
-        "events_interval_errors": _q_events_interval,
-        "kg_degrees_topk": _q_degrees_topk,
-        # SPARQL engine end-to-end (parser → planner → id joins → mat.)
-        "kg_sparql_optional_group": _q_sparql_optional_group,
-        "kg_sparql_notbound": _q_sparql_notbound,
-        "kg_sparql_filter_or": _q_sparql_filter_or,
-        "kg_sparql_values": _q_sparql_values,
-        "kg_sparql_minus": _q_sparql_minus,
-        "kg_sparql_bind": _q_sparql_bind,
-        "kg_sparql_optional_union": _q_sparql_optional_union,
-        "kg_sparql_optional_bind": _q_sparql_optional_bind,
+        # -- block A: driver-unverified in round 2 ------------------------
         "kg_sparql_union_bind": _q_sparql_union_bind,
         "kg_sparql_optional_subquery": _q_sparql_optional_subquery,
         "kg_sparql_not_exists": _q_sparql_not_exists,
@@ -1295,10 +1255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
-        # oracle-backed since round 2: portable md5 hash family
-        # (simhash/fingerprint), exact-pair oracle (minhash), unrolled
-        # power iteration (pagerank), bounded assertions (lsh recall,
-        # sketch error bounds)
         "events_approx_sketches": _q_approx_sketches,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1311,6 +1267,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": _q_sample_mixture,
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
+        # -- block B: new round-3 gates -----------------------------------
+        # -- block C: representative round-2-green core --------------------
+        "kg_extract_svo": _q_extract,
+        "kg_dictionary": _q_dictionary,
+        "kg_encode_triples": _q_encode,
+        "kg_bgp_join": _q_bgp_join,
+        "kg_sparql_optional_group": _q_sparql_optional_group,
+        "events_sessionize": _q_sessionize,
+        "events_interval_errors": _q_events_interval,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        "text_pii_redact": _q_pii_redact,
+        "ann_ivf_topk": _q_ann_ivf,
+        # -- block D: round-2-green, outside the driver window -------------
+        "kg_pattern_s": lambda sp, sf: _pattern(sp, sf, s="spark"),
+        "kg_pattern_p": lambda sp, sf: _pattern(sp, sf, p="merge"),
+        "kg_pattern_o": lambda sp, sf: _pattern(sp, sf, o="data"),
+        "kg_pattern_sp": lambda sp, sf: _pattern(sp, sf, s="spark", p="join"),
+        "kg_pattern_po": lambda sp, sf: _pattern(sp, sf, p="scan", o="table"),
+        "kg_pattern_so": lambda sp, sf: _pattern(sp, sf, s="spark", o="data"),
+        "kg_pattern_spo": _q_pattern_spo_count,
+        "kg_event_quads": _q_event_quads,
+        "kg_numeric_range": _q_numeric_range,
+        "kg_bgp_optional": _q_bgp_optional,
+        "kg_topk_preds": _q_topk_preds,
+        "kg_distinct_counts": _q_distinct_counts,
+        "kg_bgp_chain3": _q_bgp_chain3,
+        "kg_bgp_union": _q_bgp_union,
+        "kg_event_stats": _q_event_stats,
+        "kg_pattern_c": _q_pattern_c,
+        "kg_pattern_cs": _q_pattern_cs,
+        "kg_pattern_cp": _q_pattern_cp,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "text_token_count": _q_token_count,
+        "text_bpe_tokens": _q_bpe_tokens,
+        "text_quality_full": _q_quality_full,
+        "text_contamination": _q_contamination,
+        "text_repetition": _q_repetition,
+        "text_chunks": _q_chunks,
+        "text_lang_detect": _q_lang_detect,
+        "text_quality": _q_quality,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_quantized_topk": _q_ann_quantized,
+        "events_windowed": _q_windowed_counts,
+        "events_asof_attribution": _q_events_asof,
+        "kg_degrees_topk": _q_degrees_topk,
+        "kg_sparql_notbound": _q_sparql_notbound,
+        "kg_sparql_filter_or": _q_sparql_filter_or,
+        "kg_sparql_values": _q_sparql_values,
+        "kg_sparql_minus": _q_sparql_minus,
+        "kg_sparql_bind": _q_sparql_bind,
+        "kg_sparql_optional_union": _q_sparql_optional_union,
+        "kg_sparql_optional_bind": _q_sparql_optional_bind,
     }
 
 
@@ -1854,7 +1863,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, event_id, ts, event_type,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2179,7 +2189,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -246,6 +246,29 @@ def simhash(
 #: broadcast matrix would become the scale cliff VERDICT r1 flagged.
 EMBEDDING_BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
 
+#: Catalyst reports Long.MaxValue-ish sizeInBytes when it has no clue
+#: (spark.sql.defaultSizeInBytes); treat anything that large as unknown.
+_PLAN_SIZE_UNKNOWN = 1 << 60
+
+
+def _plan_size_bytes(df: DataFrame):
+    """Optimizer's sizeInBytes estimate for ``df`` — zero Spark jobs.
+
+    For file sources this is the on-disk byte size (× the configured
+    compression factor); for LocalRelation it is exact. Returns ``None``
+    when the estimate is unavailable (e.g. Spark Connect) or is the
+    unknown sentinel, in which case callers should fall back to a real
+    aggregate.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:
+        return None
+    return None if size >= _PLAN_SIZE_UNKNOWN else size
+
 
 def embedding_near_duplicates(
     vectors: DataFrame,
@@ -263,12 +286,14 @@ def embedding_near_duplicates(
     Arrow batch — no per-pair expression evaluation, no shuffle of
     vectors.
 
-    The broadcast contract is ENFORCED, not assumed: the build side's
-    size (rows × dim × 8 B) is measured with one cheap aggregate before
-    the collect, and if it exceeds ``broadcast_budget_bytes`` the call
-    automatically routes to :func:`embedding_near_duplicates_lsh` (the
-    sign-LSH bucketed path) instead of silently OOMing the driver at
-    100 TB.
+    The broadcast contract is ENFORCED, not assumed — but for FREE on
+    the happy path: the build side's size is read from Catalyst's plan
+    statistics (parquet file size / LocalRelation bytes — zero Spark
+    jobs), inflated 2× for the float32-on-disk → float64-in-memory
+    worst case.  Only when the optimizer reports no usable estimate
+    does ONE combined aggregate (count + dim) run.  Over budget, the
+    call routes to :func:`embedding_near_duplicates_lsh` (the sign-LSH
+    bucketed path) instead of silently OOMing the driver at 100 TB.
     """
     import numpy as np
     import pandas as pd
@@ -277,19 +302,28 @@ def embedding_near_duplicates(
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # cheap probe: dim from one row, row count column-pruned — no full
-    # vector-column scan before the decision
-    head = base.select(F.size("v").alias("d")).head(1)
-    dim = head[0]["d"] if head else 0
-    est_bytes = base.count() * dim * 8
-    if est_bytes > broadcast_budget_bytes:
+
+    def _route_lsh() -> DataFrame:
+        head = base.select(F.size("v").alias("d")).head(1)
+        dim = int(head[0]["d"]) if head else 0
         return embedding_near_duplicates_lsh(
-            vectors,
-            dim=int(dim),
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
+            vectors, dim=dim, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
         )
+
+    est = _plan_size_bytes(base)
+    if est is None:
+        # optimizer had no estimate: one combined scan gets rows AND dim
+        row = base.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
+        ).head()
+        if row["n"] * (row["d"] or 0) * 8 > broadcast_budget_bytes:
+            return embedding_near_duplicates_lsh(
+                vectors, dim=int(row["d"] or 0), threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+            )
+    elif est * 2 > broadcast_budget_bytes:
+        return _route_lsh()
     id_type = base.schema["id"].dataType.simpleString()
     build = base.toPandas()
     b_ids = build["id"].to_numpy()
@@ -314,8 +348,9 @@ def embedding_near_duplicates(
                 {"id_a": a_ids[ii], "id_b": ids_b[jj], "cos_sim": s[ii, jj]}
             )
 
-    probe = base.repartition(sp.sparkContext.defaultParallelism)
-    return probe.mapInPandas(
+    # no repartition: the GEMM needs no co-location, and a round-robin
+    # shuffle of the full vector table was pure overhead (VERDICT r2 #2)
+    return base.mapInPandas(
         gen, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
