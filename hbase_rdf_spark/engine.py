@@ -83,6 +83,11 @@ class KgEngine:
         result = execute_bgp(self.store, patterns, filters=filters, optional=optional)
         return materialize(result, self.store, project)
 
-    def sql(self, query: str) -> DataFrame:
-        """SPARQL subset (SELECT/GRAPH/FILTER/OPTIONAL/UNION/ORDER/LIMIT)."""
-        return _sparql.execute(self.store, query)
+    def sql(self, query, with_kinds: bool = False) -> DataFrame:
+        """SPARQL subset (SELECT/GRAPH/FILTER/OPTIONAL/UNION/ORDER/LIMIT).
+
+        ``query`` is SPARQL text or a pre-parsed ``Query``;
+        ``with_kinds`` adds hidden ``__k_{var}`` term-kind sidecars for
+        the results-JSON layer (see ``service.results_json``).
+        """
+        return _sparql.execute(self.store, query, with_kinds=with_kinds)

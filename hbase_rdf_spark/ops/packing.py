@@ -62,6 +62,12 @@ def assign_context_windows(
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_tok", F.col(token_col).cast("long"))
     )
+    # Pin the partitioning ONCE: repartitionByRange samples its range
+    # boundaries per execution (RDD-id-seeded), so without this the
+    # pass-1 totals job and the lazy pass-2 mapInPandas (recomputed on
+    # every downstream action) could see DIFFERENT partition contents,
+    # silently shifting bin_id for rows near boundaries (ADVICE r2).
+    parts = parts.localCheckpoint(eager=True)
 
     # pass 1: one row per partition — column-pruned, map-side combined
     totals = (

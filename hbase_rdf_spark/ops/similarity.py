@@ -468,8 +468,18 @@ def ivf_topk(
         for cell in np.argsort(-scores)[:nprobe]:
             probe_rows.append((r.query_id, int(cell), list(r.q_vec)))
     spark = vectors.sparkSession
+    # query_id keeps the caller's id type (string ids crash a hardcoded
+    # "long" schema — ADVICE r2; sibling APIs accept any id type)
+    import pyspark.sql.types as T
+
+    qid_type = queries.schema[query_id_col].dataType
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, cell int, q_vec array<double>"
+        probe_rows,
+        T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("q_vec", T.ArrayType(T.DoubleType())),
+        ]),
     )
     cand = v.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", "v_vec", "q_vec"

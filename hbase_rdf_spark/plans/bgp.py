@@ -735,6 +735,7 @@ def materialize(
     store,
     variables: list[str] | None = None,
     keep: list[str] | None = None,
+    with_kinds: bool = False,
 ) -> DataFrame:
     """Late materialization: binding structs → lexical strings.
 
@@ -744,6 +745,12 @@ def materialize(
 
     ``keep``: plain (non-binding) columns to pass through verbatim —
     aggregate outputs that are already scalar values.
+
+    ``with_kinds``: additionally emit one ``__k_{var}`` tinyint column
+    per variable carrying the binding struct's term kind (0 entity /
+    1 string literal / 2 numeric), so downstream layers (the SPARQL
+    JSON endpoint) can type terms exactly instead of re-sniffing
+    rendered lexical strings.
     """
     id2term = store.id2term()
     variables = variables or [
@@ -773,4 +780,10 @@ def materialize(
         )
         for v in variables
     ] + [F.col(k) for k in (keep or [])]
+    if with_kinds:
+        cols += [
+            F.col(v[1:] if v.startswith("?") else v)
+            .getField("kind").alias(f"__k_{v[1:] if v.startswith('?') else v}")
+            for v in variables
+        ]
     return out.select(*cols)

@@ -2262,8 +2262,50 @@ def _attach_bind_fns(store, blocks) -> None:
                 _attach_bind_fns(store, br.optional)
 
 
-def execute(store, query: str | Query) -> DataFrame:
-    """SPARQL text → materialized DataFrame (one string column per var)."""
+def _compat_join(
+    result: DataFrame,
+    step: DataFrame,
+    shared: list,
+    how: str,
+    require_overlap: bool,
+) -> DataFrame:
+    """Null-tolerant SPARQL-compatibility semi/anti join.
+
+    Two solutions are compatible when every commonly *bound* var agrees
+    (SPARQL 1.1 §8.3) — a NULL (unbound) side never disqualifies. MINUS
+    additionally requires ``require_overlap``: at least one shared var
+    bound on BOTH sides (disjoint domains remove nothing). The block
+    side is projected to the shared vars and deduplicated first, so the
+    nested-loop inner side is bounded by the block's distinct
+    shared-tuple count, not its full width × cardinality.
+    """
+    vars_ = [c for c in shared if not c.startswith("__")]
+    if not vars_:  # only internal sidecars shared — equality is exact
+        return result.join(step, on=shared, how=how)
+    blk = step.select(*vars_).dropDuplicates()
+    for v in vars_:
+        blk = blk.withColumnRenamed(v, f"__mx_{v}")
+    cond = F.lit(True)
+    for v in vars_:
+        b = F.col(f"__mx_{v}")
+        cond = cond & (F.col(v).isNull() | b.isNull() | (F.col(v) == b))
+    if require_overlap:
+        ov = F.lit(False)
+        for v in vars_:
+            ov = ov | (F.col(v).isNotNull() & F.col(f"__mx_{v}").isNotNull())
+        cond = cond & ov
+    return result.join(blk, cond, how)
+
+
+def execute(
+    store, query: str | Query, with_kinds: bool = False
+) -> DataFrame:
+    """SPARQL text → materialized DataFrame (one string column per var).
+
+    ``with_kinds`` (service layer): emit a hidden ``__k_{var}`` tinyint
+    column per projected SELECT variable carrying the binding's term
+    kind, so results-JSON typing is exact rather than string-sniffed.
+    """
     q = parse(query) if isinstance(query, str) else query
     _attach_bind_fns(store, q.optional)
     for chain in q.union_blocks:
@@ -2316,6 +2358,15 @@ def execute(store, query: str | Query) -> DataFrame:
                 "FILTER over variables not bound by any pattern"
             )
         result = None
+    elif not q.patterns and not q.optional and (q.values or q.binds):
+        # pattern-free group (e.g. `SELECT ?x WHERE { VALUES ?x {…} }`,
+        # valid SPARQL): seed the unit solution — one row, no columns —
+        # which the VALUES join / BINDs below extend (ADVICE r2). Any
+        # plain filter here references vars the VALUES/BIND stages bind,
+        # so defer them all.
+        if q.filters:
+            deferred = list(dict.fromkeys(list(deferred) + list(q.filters)))
+        result = store.spark.range(1).drop("id")
     else:
         result = execute_bgp(
             store, q.patterns, filters=list(q.filters),
@@ -2381,9 +2432,21 @@ def execute(store, query: str | Query) -> DataFrame:
     for f in deferred:
         result = _apply_deferred_filter(result, store, f)
 
+    # MINUS / EXISTS compatibility is defined over commonly BOUND vars
+    # (SPARQL 1.1 §8.3): an unbound (NULL) shared var never disqualifies
+    # a match. Plain column-equality joins get that wrong as soon as the
+    # outer group can produce unbound vars — NULL == x is NULL, so a
+    # solution the spec says to remove survives (ADVICE r2). The
+    # null-tolerant condition costs a nested-loop join, so it is used
+    # only when unbound shared vars are actually possible; the common
+    # all-bound case keeps the hash anti/semi join.
+    may_unbound = bool(
+        q.optional or q.union_blocks or q.values or q.subqueries or q.binds
+    )
+
     # MINUS: remove solutions compatible with the block on shared vars
-    # (disjoint domains remove nothing, per spec). NULL shared values
-    # (unbound optional vars) never match — kept.
+    # (disjoint domains remove nothing, per spec); removal additionally
+    # requires a non-empty bound overlap — dom(μ)∩dom(μ′) ≠ ∅.
     for blk in q.minus:
         local, foreign = _split_block_filters(blk)
         step = execute_bgp(
@@ -2410,7 +2473,12 @@ def execute(store, query: str | Query) -> DataFrame:
             step = step.drop(*nulled)
         shared = [c for c in step.columns if c in result.columns]
         if shared:
-            result = result.join(step, on=shared, how="left_anti")
+            if may_unbound or blk.optional:
+                result = _compat_join(
+                    result, step, shared, "left_anti", require_overlap=True
+                )
+            else:
+                result = result.join(step, on=shared, how="left_anti")
 
     # FILTER [NOT] EXISTS: correlated existence via semi/anti join;
     # uncorrelated blocks collapse to a global emptiness test. EXISTS
@@ -2445,7 +2513,14 @@ def execute(store, query: str | Query) -> DataFrame:
                 step = step.withColumnRenamed(v, f"__ex_{v}")
             cond = F.lit(True)
             for v in shared:
-                cond = cond & (F.col(v) == F.col(f"__ex_{v}"))
+                eqv = F.col(v) == F.col(f"__ex_{v}")
+                if may_unbound or blk.optional:
+                    eqv = (
+                        F.col(v).isNull()
+                        | F.col(f"__ex_{v}").isNull()
+                        | eqv
+                    )
+                cond = cond & eqv
             for f in correlated:
                 cond = cond & f.cond()
             # non-equi conjuncts force a nested-loop strategy; the
@@ -2454,7 +2529,12 @@ def execute(store, query: str | Query) -> DataFrame:
             # same shape Catalyst gives a correlated SQL EXISTS
             result = result.join(step, cond, how)
         elif shared:
-            result = result.join(step, on=shared, how=how)
+            if may_unbound or blk.optional:
+                result = _compat_join(
+                    result, step, shared, how, require_overlap=False
+                )
+            else:
+                result = result.join(step, on=shared, how=how)
         else:
             if positive != (not step.isEmpty()):
                 result = result.limit(0)
@@ -2504,6 +2584,7 @@ def execute(store, query: str | Query) -> DataFrame:
             + sorted(
                 f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
             ),
+            with_kinds=with_kinds,
         )
         projected = [
             v[1:] for v in (
@@ -2513,6 +2594,10 @@ def execute(store, query: str | Query) -> DataFrame:
         out = out.select(
             *projected,
             *[c for c in out.columns if c.startswith("__ord_")],
+            *[
+                c for c in out.columns
+                if c.startswith("__k_") and c[4:] in projected
+            ],
         )
     else:
         variables = q.variables or [
@@ -2538,10 +2623,15 @@ def execute(store, query: str | Query) -> DataFrame:
             keep=sorted(
                 f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
             ),
+            with_kinds=with_kinds,
         )
     if q.distinct:
+        # __k_ sidecars are excluded from the DISTINCT key: two ids of
+        # different kinds rendering to one lexical string stay one
+        # solution (an arbitrary kind survives — JSON typing only)
         out = out.dropDuplicates(
-            [c for c in out.columns if not c.startswith("__ord_")]
+            [c for c in out.columns
+             if not c.startswith("__ord_") and not c.startswith("__k_")]
         )
     if q.order_by:
         # type-aware keys where the sidecars exist (pattern vars);

@@ -40,13 +40,51 @@ _NUM_RX = re.compile(r"^-?[0-9]+(\.[0-9]+(E-?[0-9]+)?)?$")
 XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 
 
-def _json_term(value) -> dict | None:
-    """Stored lexical form → SPARQL-results-JSON term object."""
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+# term kinds carried by the engine's __k_{var} sidecars
+# (functions/encoding.py: KIND_ENTITY, KIND_STRING, KIND_NUMERIC)
+_KIND_ENTITY, _KIND_STRING, _KIND_NUMERIC = 0, 1, 2
+
+
+def _json_term(value, kind: int | None = None) -> dict | None:
+    """Stored lexical form (+ optional exact term kind) → SPARQL-results-
+    JSON term object.
+
+    When the engine supplies ``kind`` (``execute(..., with_kinds=True)``)
+    classification is exact; without it (legacy direct callers,
+    aggregate scalar columns) the lexical heuristic applies — which can
+    mistype a plain literal shaped like "n/a" or "foo:bar" as a uri
+    (ADVICE r2), hence the sidecar path is what the service uses.
+    """
     if value is None:
         return None
     if isinstance(value, bool):
         return {"type": "literal", "value": "true" if value else "false"}
+    if isinstance(value, int):
+        return {"type": "literal", "value": str(value),
+                "datatype": XSD_INTEGER}
+    if isinstance(value, float):
+        return {"type": "literal", "value": repr(value),
+                "datatype": XSD_DOUBLE}
     s = str(value)
+    if kind == _KIND_ENTITY:
+        if s.startswith("_:"):
+            return {"type": "bnode", "value": s[2:]}
+        return {"type": "uri", "value": s}
+    if kind == _KIND_NUMERIC:
+        return {"type": "literal", "value": s, "datatype": XSD_DOUBLE}
+    if kind == _KIND_STRING:
+        m = _LANG_RX.match(s)
+        if m:
+            return {"type": "literal", "value": m.group(1),
+                    "xml:lang": m.group(2)}
+        m = _DT_RX.match(s)
+        if m:
+            return {"type": "literal", "value": m.group(1),
+                    "datatype": m.group(2)}
+        return {"type": "literal", "value": s}
+    # no kind available: lexical heuristic (legacy behavior)
     if s.startswith("_:"):
         return {"type": "bnode", "value": s[2:]}
     m = _LANG_RX.match(s)
@@ -62,17 +100,27 @@ def _json_term(value) -> dict | None:
     return {"type": "literal", "value": s}
 
 
-def results_json(df, max_rows: int = 10_000) -> dict:
-    """DataFrame (from KgEngine.sql) → SPARQL 1.1 JSON results dict."""
-    cols = df.columns
-    if cols == ["ask"]:
-        return {"head": {}, "boolean": bool(df.collect()[0]["ask"])}
+def results_json(df, max_rows: int = 10_000, is_ask: bool | None = None) -> dict:
+    """DataFrame (from KgEngine.sql) → SPARQL 1.1 JSON results dict.
+
+    ``is_ask`` keys the boolean response on the QUERY FORM (the service
+    passes it from the parsed query); ``None`` falls back to the legacy
+    column-name heuristic for direct callers. ``__k_{var}`` sidecar
+    columns, when present, type each term exactly and are never emitted.
+    """
+    cols = [c for c in df.columns if not c.startswith("__k_")]
+    if is_ask is None:
+        is_ask = cols == ["ask"] and dict(df.dtypes).get("ask") == "boolean"
+    if is_ask:
+        return {"head": {}, "boolean": bool(df.collect()[0][0])}
+    have_kind = {c for c in df.columns if c.startswith("__k_")}
     rows = df.limit(max_rows).collect()
     bindings = []
     for r in rows:
         b = {}
         for c in cols:
-            t = _json_term(r[c])
+            k = r[f"__k_{c}"] if f"__k_{c}" in have_kind else None
+            t = _json_term(r[c], kind=k)
             if t is not None:  # unbound (OPTIONAL) vars are omitted
                 b[c] = t
         bindings.append(b)
@@ -94,8 +142,15 @@ class SparqlService:
     # -- request handling ------------------------------------------------
     def _handle(self, query: str) -> tuple[int, dict]:
         try:
-            df = self.engine.sql(query)
-            return 200, results_json(df, self.max_rows)
+            from hbase_rdf_spark.plans.sparql import parse as _parse
+
+            q = _parse(query)
+            # exact per-term kinds for SELECT; ASK keyed on the parsed
+            # query form, not the output column name (ADVICE r2)
+            df = self.engine.sql(q, with_kinds=q.form == "select")
+            return 200, results_json(
+                df, self.max_rows, is_ask=q.form == "ask"
+            )
         except ValueError as ex:  # SparqlSyntaxError and semantic errors
             return 400, {"error": str(ex)}
         except Exception as ex:  # pragma: no cover - defensive

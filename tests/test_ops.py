@@ -974,3 +974,20 @@ def test_default_kernel_sniffs_real_formats(spark):
     assert np.array_equal(
         sniff.decode(fake), HashStubKernel().decode(fake)
     )
+
+
+def test_ivf_topk_string_query_ids(spark):
+    # ADVICE r2: the probe-table schema must follow the caller's id
+    # type — string query ids crashed the hardcoded "query_id long"
+    from hbase_rdf_spark.ops.similarity import ivf_topk, kmeans_fit
+
+    centers = [[10.0 if i == c else 0.0 for i in range(4)] for c in range(2)]
+    rows = [(j, [x + (j % 3) * 0.1 for x in centers[j % 2]]) for j in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, n_cells=2, iterations=3, seed="s")
+    q = emb.filter("vec_id < 2").selectExpr(
+        "concat('q', vec_id) as query_id", "embedding"
+    )
+    got = ivf_topk(emb, q, cents, k=3, nprobe=1, dim=4).collect()
+    assert {r.query_id for r in got} == {"q0", "q1"}
+    assert all(isinstance(r.query_id, str) for r in got)

@@ -18,6 +18,11 @@ NQ = [
     "<http://ex/b> <http://ex/knows> <http://ex/c> .",
     '<http://ex/a> <http://ex/name> "Alice"@en .',
     '<http://ex/a> <http://ex/age> "41"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    # plain literals whose lexical shapes used to fool the sniffing
+    # typer: slash, scheme-colon prefix, digits-only
+    '<http://ex/a> <http://ex/status> "n/a" .',
+    '<http://ex/b> <http://ex/status> "foo:bar" .',
+    '<http://ex/a> <http://ex/code> "12345" .',
 ]
 
 
@@ -111,3 +116,35 @@ def test_syntax_error_is_400(service):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(url)
     assert exc.value.code == 400
+
+
+def test_plain_literal_with_slash_not_uri(service):
+    # ADVICE r2: "n/a"-shaped and "scheme:"-shaped PLAIN LITERALS were
+    # sniffed as uris; the __k_ sidecar now types them exactly
+    q = 'SELECT ?s ?o WHERE { ?s <http://ex/status> ?o }'
+    out = _get(service, q)
+    bindings = out["results"]["bindings"]
+    assert bindings, "fixture triple missing"
+    for b in bindings:
+        assert b["o"]["type"] == "literal"
+        assert b["s"]["type"] == "uri"
+
+
+def test_digit_literal_not_double(service):
+    # a digit-only plain string literal stays an untyped literal
+    q = 'SELECT ?o WHERE { ?s <http://ex/code> ?o }'
+    out = _get(service, q)
+    (b,) = out["results"]["bindings"]
+    assert b["o"]["type"] == "literal"
+    assert "datatype" not in b["o"] or "double" not in b["o"]["datatype"]
+
+
+def test_select_var_named_ask_stays_select(service):
+    # ADVICE r2: a SELECT projecting ?ask must not become an ASK response
+    q = 'SELECT ?ask WHERE { <http://ex/a> <http://ex/knows> ?ask }'
+    out = _get(service, q)
+    assert "boolean" not in out
+    assert out["head"]["vars"] == ["ask"]
+    assert out["results"]["bindings"] == [
+        {"ask": {"type": "uri", "value": "http://ex/b"}}
+    ]
