@@ -587,6 +587,22 @@ def _q_sparql_values_undef(spark, sf):
         }""")
 
 
+def _q_sparql_from_named(spark, sf):
+    # dataset clauses (SPARQL 1.1 §13.2): the default graph is the
+    # MERGE of the FROM graphs, and GRAPH ?g iterates only the FROM
+    # NAMED set — each restriction is a constant-folded c-id IN filter
+    # pushed into the routed index scan. Word-store graph names are
+    # conv:{doc_id}. Reference gets dataset clauses free from ARQ
+    # (SURVEY J11).
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?s ?o ?g
+        FROM <1> FROM <2> FROM <3> FROM <4>
+        FROM <5> FROM <6> FROM <7> FROM <8>
+        FROM NAMED <9> FROM NAMED <10> FROM NAMED <11> FROM NAMED <12>
+        FROM NAMED <13> FROM NAMED <14> FROM NAMED <15> FROM NAMED <16>
+        WHERE { ?s <scan> ?x . GRAPH ?g { ?s <join> ?o } }""")
+
+
 def _q_sparql_subquery_topk(spark, sf):
     # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
     # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
@@ -1268,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_fingerprint": _q_fingerprint,
         # -- block B: new round-3 gates -----------------------------------
+        "kg_sparql_from_named": _q_sparql_from_named,
         # -- block C: representative round-2-green core --------------------
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
@@ -1950,6 +1967,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN (VALUES ('data', 'd'), (NULL, 'all')) AS v(y, tag)
               ON v.y IS NULL OR t.o = v.y
             WHERE t.s = 'spark' AND t.p = 'join'""",
+        "kg_sparql_from_named": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t1.s AS s, t2.o AS o,
+                   'conv:' || CAST(t2.doc_id AS VARCHAR) AS g
+            FROM triples t1 JOIN triples t2 ON t1.s = t2.s
+            WHERE t1.doc_id BETWEEN 1 AND 8 AND t1.p = 'scan'
+              AND t2.doc_id BETWEEN 9 AND 16 AND t2.p = 'join'""",
         "kg_sparql_subquery_topk": f"""{_TRIPLES_CTE}
             SELECT DISTINCT m.s AS y,
                    CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n,

@@ -89,6 +89,11 @@ class Bgp:
     g: Elem | None = None
     filtered: bool = False  # an attached FILTER bonus, per ReorderHeuristics
     path_mod: str | None = None  # property-path modifier: '+' | '*' | '?'
+    # dataset-clause graph-set restriction (SPARQL 1.1 §13.2), applied
+    # when ``g`` is None (FROM default-graph merge of ≥2 graphs) or a
+    # '?var' (FROM NAMED restriction on GRAPH ?var). The empty tuple
+    # is the empty graph — the pattern matches nothing.
+    g_in: tuple | None = None
 
 
 @dataclass
@@ -457,7 +462,7 @@ def _path_step(store, p: Bgp) -> DataFrame:
         path = Path("mod", (Path("atom", iri=p.p),), mod=p.path_mod)
     else:
         raise ValueError("not a path pattern")
-    df = _pairs(store, path, p.g)
+    df = _pairs(store, path, p.g if p.g is not None else p.g_in)
     if not is_var(p.s):
         df = _endpoint_filter(df, "a", p.s)
     if not is_var(p.o):
@@ -495,7 +500,11 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
         else ((p.o, KIND_ENTITY) if isinstance(p.o, str) else
               (p.o if isinstance(p.o, tuple) else None)),
         o_num=p.o if isinstance(p.o, (int, float)) and not isinstance(p.o, bool) else None,
-        c=None if (p.g is None or is_var(p.g)) else p.g,
+        c=(
+            p.g
+            if (p.g is not None and not is_var(p.g))
+            else p.g_in  # graph-set restriction (dataset clauses)
+        ),
     )
     df = scan(store, tp)
     bindings: list[tuple[str, Column]] = []

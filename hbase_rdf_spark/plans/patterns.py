@@ -47,7 +47,11 @@ class TriplePattern:
     o: Term | None = None
     o_num: float | None = None
     o_range: tuple[float | None, float | None] | None = None
-    c: str | None = None
+    # context/graph restriction: a single graph name, or a tuple of
+    # names meaning ``c IN set`` (SPARQL dataset clauses — a FROM
+    # default-graph merge or a FROM NAMED restriction); the empty
+    # tuple matches nothing (empty dataset part, per SPARQL 1.1 §13.2)
+    c: str | tuple[str, ...] | None = None
 
     @property
     def mask(self) -> str:
@@ -114,5 +118,14 @@ def scan(store, pattern: TriplePattern) -> DataFrame:
         if hi is not None:
             df = df.filter(F.col("o_num") <= hi)
     if pattern.c is not None:
-        df = df.filter(F.col("c") == encode_term(f"conv:{pattern.c}"))
+        if isinstance(pattern.c, tuple):
+            # graph-set restriction: OR of constant-folded id equalities
+            # — still a pushable parquet filter for small dataset
+            # clauses; () is the empty graph (matches nothing)
+            cond = F.lit(False)
+            for g in pattern.c:
+                cond = cond | (F.col("c") == encode_term(f"conv:{g}"))
+            df = df.filter(cond)
+        else:
+            df = df.filter(F.col("c") == encode_term(f"conv:{pattern.c}"))
     return df.select("s", "p", "o", "o_kind", "o_num", "c")

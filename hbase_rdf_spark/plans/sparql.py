@@ -260,6 +260,12 @@ class Query:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    # dataset clause (SPARQL 1.1 §13.2): None = no clause (query the
+    # whole store); otherwise (default_graphs, named_graphs) tuples —
+    # the default graph is the merge of default_graphs, and GRAPH
+    # iteration is restricted to named_graphs. Informational here (the
+    # restriction is baked into each Bgp's g/g_in at parse time).
+    dataset: tuple[tuple, tuple] | None = None
 
 
 class _Parser:
@@ -268,6 +274,10 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._bn_counter = 0
+        # dataset clause: None until a FROM / FROM NAMED is parsed,
+        # then (default_graphs, named_graphs) — consulted by
+        # _graph_slot when stamping graph scope onto patterns
+        self._dataset: tuple[tuple, tuple] | None = None
 
     def peek(self) -> str | None:
         return self.t[self.i] if self.i < len(self.t) else None
@@ -489,10 +499,26 @@ class _Parser:
         else:
             raise SparqlSyntaxError(f"unsupported query form {head}")
 
+        # dataset clause: any number of FROM / FROM NAMED (SPARQL 1.1
+        # §13.2). The default graph is the MERGE of all FROM graphs;
+        # GRAPH iteration is restricted to the FROM NAMED set. When a
+        # dataset clause is present, an absent part is the EMPTY graph
+        # (e.g. FROM NAMED only → patterns outside GRAPH match nothing).
         default_graph = None
-        if self.kw("FROM"):
+        defaults: list[str] = []
+        named: list[str] = []
+        while self.kw("FROM"):
+            is_named = self.kw("NAMED")
             g = self.next()
-            default_graph = g[1:-1] if g.startswith("<") else g
+            if g.startswith("<"):
+                g = g[1:-1]
+            elif ":" in g:
+                g = self._expand_pname(g)
+            (named if is_named else defaults).append(g)
+        if defaults or named:
+            self._dataset = (tuple(defaults), tuple(named))
+            q.dataset = self._dataset
+            default_graph = tuple(defaults)
         if q.form in ("select", "describe", "construct"):
             if q.form == "describe" and self.peek() is None:
                 return q  # DESCRIBE <iri> with no pattern
@@ -771,17 +797,41 @@ class _Parser:
                 if self.peek() == ".":
                     self.next()
 
+    def _graph_slot(self, graph) -> tuple:
+        """Map the threaded graph scope + dataset clause → (g, g_in).
+
+        ``graph`` is what parsing threaded down: None (no scope), a
+        tuple (FROM default-graph merge), '?var' / constant (GRAPH).
+        SPARQL 1.1 §13.2: FROM NAMED restricts GRAPH iteration; with a
+        dataset clause present but no FROM NAMED, GRAPH matches the
+        empty set; GRAPH <g> outside the named set matches nothing.
+        """
+        if graph is None:
+            return None, None
+        if isinstance(graph, tuple):  # FROM default-graph merge
+            if len(graph) == 1:
+                return graph[0], None  # exact single-graph pushdown
+            return None, graph  # () = empty default graph
+        if graph.startswith("?"):  # GRAPH ?var
+            named = self._dataset[1] if self._dataset is not None else None
+            return graph, named
+        if self._dataset is not None and graph not in self._dataset[1]:
+            return None, ()  # GRAPH <g> outside FROM NAMED
+        return graph, None
+
     def _emit_triple(self, q: Query, graph, s, p, o) -> None:
+        g, g_in = self._graph_slot(graph)
         if isinstance(p, Path):
             if p.op == "mod" and p.children[0].op == "atom":
                 # single-modifier shorthand — legacy Bgp form
                 q.patterns.append(
-                    Bgp(s, p.children[0].iri, o, g=graph, path_mod=p.mod)
+                    Bgp(s, p.children[0].iri, o, g=g, g_in=g_in,
+                        path_mod=p.mod)
                 )
             else:
-                q.patterns.append(Bgp(s, p, o, g=graph))
+                q.patterns.append(Bgp(s, p, o, g=g, g_in=g_in))
         else:
-            q.patterns.append(Bgp(s, p, o, g=graph))
+            q.patterns.append(Bgp(s, p, o, g=g, g_in=g_in))
 
     def _pred_obj_list(self, q: Query, graph, s) -> None:
         """Turtle-style predicateObjectList: ``p1 o1, o2 ; p2 o3``."""

@@ -377,3 +377,73 @@ def test_parse_errors():
         parse("SELECT ?x WHERE { ?x ?p ?o VALUES ?y { ?z } }")  # var in VALUES
     with pytest.raises(Exception):
         parse("PREFIX ex <http://ex/> SELECT ?x WHERE { ?x ex:p ?y }")
+
+
+# -- dataset clauses: multiple FROM / FROM NAMED (SPARQL 1.1 §13.2) ------
+
+
+def test_from_merge_two_graphs(spark, store):
+    out = execute(
+        store,
+        """SELECT ?o FROM <http://ex/wiki/Alabama> FROM <http://ex/wiki/Alaska>
+           WHERE { ?s <http://ex/name> ?o }""",
+    )
+    assert rows(out) == {("Alabama",), ("Alaska",)}
+
+
+def test_from_named_restricts_graph_iteration(spark, store):
+    out = execute(
+        store,
+        """SELECT ?g ?o FROM NAMED <http://ex/wiki/Alabama>
+           WHERE { GRAPH ?g { ?s <http://ex/name> ?o } }""",
+    )
+    assert rows(out) == {("conv:http://ex/wiki/Alabama", "Alabama")}
+
+
+def test_from_named_only_default_graph_is_empty(spark, store):
+    out = execute(
+        store,
+        """SELECT ?o FROM NAMED <http://ex/wiki/Alabama>
+           WHERE { ?s <http://ex/name> ?o }""",
+    )
+    assert rows(out) == set()
+
+
+def test_from_without_named_empties_graph_clause(spark, store):
+    out = execute(
+        store,
+        """SELECT ?g ?o FROM <http://ex/wiki/Alabama>
+           WHERE { GRAPH ?g { ?s <http://ex/name> ?o } }""",
+    )
+    assert rows(out) == set()
+
+
+def test_graph_constant_outside_from_named(spark, store):
+    out = execute(
+        store,
+        """SELECT ?o FROM NAMED <http://ex/wiki/Alabama>
+           WHERE { GRAPH <http://ex/wiki/Alaska> { ?s <http://ex/name> ?o } }""",
+    )
+    assert rows(out) == set()
+
+
+def test_graph_constant_inside_from_named(spark, store):
+    out = execute(
+        store,
+        """SELECT ?o FROM NAMED <http://ex/wiki/Alaska>
+           WHERE { GRAPH <http://ex/wiki/Alaska> { ?s <http://ex/name> ?o } }""",
+    )
+    assert rows(out) == {("Alaska",)}
+
+
+def test_from_merge_with_named_combo(spark, store):
+    # FROM scopes the default-graph pattern to the merge while FROM
+    # NAMED independently scopes the GRAPH clause
+    out = execute(
+        store,
+        """SELECT ?n ?g
+           FROM <http://ex/wiki/Alabama> FROM NAMED <http://ex/wiki/Alaska>
+           WHERE { ?s <http://ex/name> ?n .
+                   GRAPH ?g { ?t <http://ex/name> "Alaska" } }""",
+    )
+    assert rows(out) == {("Alabama", "conv:http://ex/wiki/Alaska")}
