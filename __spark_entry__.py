@@ -603,6 +603,101 @@ def _q_sparql_from_named(spark, sf):
         WHERE { ?s <scan> ?x . GRAPH ?g { ?s <join> ?o } }""")
 
 
+def _q_mm_image_features(spark, sf):
+    # REAL image-decode path as a driver gate: deterministic 16xH
+    # binary P5 PGM payloads (one per doc_id < 48; pixel is the closed
+    # form (id*31 + r*7 + c*13) % 256) -> PgmKernel decode ->
+    # Arrow-batched column-mean pooling (ops/multimodal.
+    # extract_features, size_balanced partitioning). The output
+    # un-pools each feature back to its exact integer column SUM
+    # (width 16 == feature_dim so np.resize is the identity), so the
+    # DuckDB oracle replays the math in closed form with zero float
+    # comparisons.
+    from hbase_rdf_spark.ops.multimodal import (
+        ASSET_SCHEMA,
+        PgmKernel,
+        extract_features,
+    )
+
+    rows = []
+    for i in range(48):
+        h = 4 + i % 5
+        raster = bytes(
+            (i * 31 + r * 7 + c * 13) % 256
+            for r in range(h)
+            for c in range(16)
+        )
+        payload = b"P5\n16 %d\n255\n" % h + raster
+        rows.append((i, "image", bytearray(payload), (16, h, 0, 0)))
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = extract_features(
+        assets, feature_dim=16, kernels={"image": PgmKernel()}
+    )
+    hcol = (F.lit(4) + F.col("asset_id") % 5).cast("double")
+    return feats.select(
+        "asset_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feature").alias("dim", "f"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("f") * F.lit(255.0) * hcol).cast("long").alias("colsum"),
+    )
+
+
+_CHAIN_STORE = {}
+
+
+def _chain_store(spark):
+    """Deterministic deep-reachability store: edges n{i} -<a>-> n{i+3}
+    for i<94 plus skip edges n{i} -<b>-> n{i+10} for i%4==0, i<88 —
+    the (<a>|<b>)+ closure from n0 needs ~30 frontier rounds, well past
+    the 2-hop depth the word-trigram graph reaches organically."""
+    st = _CHAIN_STORE.get("st")
+    if st is not None:
+        return st
+    import tempfile
+
+    from hbase_rdf_spark.functions.encoding import (
+        build_dictionaries,
+        encode_quads,
+    )
+    from hbase_rdf_spark.operators.materialize import TripleStore
+
+    rows = [(0, 0, f"n{i}", "a", f"n{i + 3}", 0) for i in range(94)]
+    rows += [
+        (0, 0, f"n{i}", "b", f"n{i + 10}", 0)
+        for i in range(0, 88, 4)
+    ]
+    resolved = spark.createDataFrame(
+        rows,
+        "conv_id long, turn_idx int, subj string, pred string, "
+        "obj string, obj_kind int",
+    )
+    st = TripleStore(
+        spark, tempfile.mkdtemp(prefix="chainstore_"), num_partitions=2
+    )
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "chain")
+    st.write_indexes(encode_quads(resolved), "chain")
+    _CHAIN_STORE["st"] = st
+    return st
+
+
+def _q_path_plus_deep(spark, sf):
+    # ~30-round transitive closure over an alternation path — exercises
+    # _closure's anti-join frontier (plans/bgp.py) far past the 2-hop
+    # organic depth of the word graph, vs a DuckDB recursive CTE over
+    # the same closed-form edge list.
+    from hbase_rdf_spark.plans.sparql import execute
+
+    return execute(
+        _chain_store(spark),
+        "SELECT ?y WHERE { <n0> (<a>|<b>)+ ?y }",
+    )
+
+
 def _q_sparql_subquery_topk(spark, sf):
     # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
     # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
@@ -1285,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         # -- block B: new round-3 gates -----------------------------------
         "kg_sparql_from_named": _q_sparql_from_named,
+        "mm_image_features": _q_mm_image_features,
+        "kg_path_plus_deep": _q_path_plus_deep,
         # -- block C: representative round-2-green core --------------------
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
@@ -1973,6 +2070,36 @@ def oracle_sql() -> dict[str, str]:
             FROM triples t1 JOIN triples t2 ON t1.s = t2.s
             WHERE t1.doc_id BETWEEN 1 AND 8 AND t1.p = 'scan'
               AND t2.doc_id BETWEEN 9 AND 16 AND t2.p = 'join'""",
+        "kg_path_plus_deep": """
+            WITH RECURSIVE edges AS (
+              SELECT 'n' || CAST(i AS VARCHAR) AS a,
+                     'n' || CAST(i + 3 AS VARCHAR) AS b
+              FROM generate_series(0, 93) AS s(i)
+              UNION ALL
+              SELECT 'n' || CAST(i AS VARCHAR),
+                     'n' || CAST(i + 10 AS VARCHAR)
+              FROM generate_series(0, 87) AS s(i) WHERE i % 4 = 0
+            ), reach AS (
+              SELECT b AS y FROM edges WHERE a = 'n0'
+              UNION
+              SELECT e.b FROM reach r JOIN edges e ON e.a = r.y
+            )
+            SELECT y FROM reach""",
+        "mm_image_features": """
+            WITH ids AS (
+              SELECT doc_id AS asset_id, 4 + doc_id % 5 AS h
+              FROM documents WHERE doc_id < 48
+            )
+            SELECT CAST(i.asset_id AS BIGINT) AS asset_id,
+                   CAST(12 + 16 * i.h AS BIGINT) AS n_bytes,
+                   CAST(gc.c AS BIGINT) AS dim,
+                   CAST(SUM((i.asset_id * 31 + gr.r * 7 + gc.c * 13) % 256)
+                        AS BIGINT) AS colsum
+            FROM ids i
+            CROSS JOIN generate_series(0, 15) AS gc(c)
+            CROSS JOIN generate_series(0, 7) AS gr(r)
+            WHERE gr.r < i.h
+            GROUP BY i.asset_id, i.h, gc.c""",
         "kg_sparql_subquery_topk": f"""{_TRIPLES_CTE}
             SELECT DISTINCT m.s AS y,
                    CAST(CAST(m.n AS DOUBLE) AS VARCHAR) AS n,

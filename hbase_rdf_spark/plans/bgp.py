@@ -348,21 +348,25 @@ def _graph_nodes(store, g: str | None) -> DataFrame:
 def _closure(base: DataFrame) -> DataFrame:
     """Transitive closure of a pair set: pairs reachable in ≥ 1 steps.
 
-    Frontier expansion with distinct + anti-join (only NEW pairs join
-    next round), ``localCheckpoint`` per round to cut lineage — the same
-    iterative-DataFrame discipline as connected components
-    (operators/cc.py). Cycles terminate naturally: a revisited pair is
-    filtered by the anti-join. Literal endpoints are terminal by
-    construction (their kind-tagged hash ids never appear in the
-    ``a`` position of a forward step; numeric endpoints have NULL ids
-    and drop out of the equi-join).
+    Iterative SQUARING (closure ⋈ closure) with distinct + anti-join
+    (only genuinely NEW pairs extend the set), ``localCheckpoint`` per
+    round to cut lineage — the same iterative-DataFrame discipline as
+    connected components (operators/cc.py). Round k covers all paths
+    of length ≤ 2^k, so convergence takes O(log₂ diameter) shuffle
+    rounds instead of O(diameter) — the property that keeps deep
+    chains (supply graphs, citation chains) tractable at cluster
+    scale; PATH_MAX_ITERS=30 therefore bounds path length at 2^30.
+    Cycles terminate naturally: a revisited pair is filtered by the
+    anti-join. Literal endpoints are terminal by construction (their
+    kind-tagged hash ids never appear in the ``a`` position of a
+    forward step; numeric endpoints have NULL ids and drop out of the
+    equi-join).
     """
-    base = base.distinct().localCheckpoint(eager=True)
-    closure, frontier = base, base
+    closure = base.distinct().localCheckpoint(eager=True)
     for _ in range(PATH_MAX_ITERS):
         nxt = (
-            frontier.alias("f")
-            .join(base.alias("e"), F.col("f.b") == F.col("e.a"))
+            closure.alias("f")
+            .join(closure.alias("e"), F.col("f.b") == F.col("e.a"))
             .select(
                 F.col("f.a").alias("a"),
                 F.col("f.a_kind").alias("a_kind"),
@@ -377,7 +381,6 @@ def _closure(base: DataFrame) -> DataFrame:
         if new.isEmpty():
             break
         closure = closure.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
     else:
         raise RuntimeError(f"path closure did not converge in {PATH_MAX_ITERS} rounds")
     return closure

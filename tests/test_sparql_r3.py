@@ -506,3 +506,27 @@ def test_construct_where_rejects_property_paths(store):
         parse("CONSTRUCT WHERE { ?x <http://ex/p>+ ?y }")
     with pytest.raises(SparqlSyntaxError):
         parse("CONSTRUCT { ?x <http://ex/p>+ ?y } WHERE { ?x <http://ex/p> ?y }")
+
+
+def test_path_closure_deep_chain(spark):
+    """_closure's anti-join frontier past toy depth: a 40-hop linear
+    chain — every node is reachable from the head via <next>+ and the
+    closure terminates exactly when the frontier empties."""
+    nq = [
+        f"<http://ex/n{i}> <http://ex/next> <http://ex/n{i + 1}> ."
+        for i in range(40)
+    ]
+    lines = spark.createDataFrame([(l,) for l in nq], "value string")
+    resolved = quads(parse_lines(lines))
+    import tempfile
+
+    st = TripleStore(spark, tempfile.mkdtemp(prefix="deepchain_"), num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "chain")
+    st.write_indexes(encode_quads(resolved), "chain")
+    out = execute(
+        st,
+        "SELECT ?y WHERE { <http://ex/n0> <http://ex/next>+ ?y }",
+    )
+    got = {r[0] for r in out.collect()}
+    assert got == {f"http://ex/n{i}" for i in range(1, 41)}
