@@ -481,12 +481,38 @@ class WavKernel:
         raise NotImplementedError("audio re-encode not needed by any operator")
 
 
+class AviMjpegKernel:
+    """REAL video decode: MJPEG-in-AVI demux (ops/video.py RIFF
+    walker) + in-repo baseline-JPEG frame decode (ops/jpeg.py).
+    ``decode`` returns the first frame's luma plane so the shared
+    pooled-feature math applies unchanged; per-frame access goes
+    through :func:`sample_frames`."""
+
+    def decode(self, payload: bytes, meta=None) -> np.ndarray:
+        from hbase_rdf_spark.ops.jpeg import decode_luma
+        from hbase_rdf_spark.ops.video import demux_avi
+
+        stream = demux_avi(bytes(payload))
+        if not stream.frames:
+            raise ValueError("AVI payload contains no video frames")
+        return decode_luma(stream.frames[0])
+
+    def encode(self, arr: np.ndarray, meta=None) -> bytes:
+        from hbase_rdf_spark.ops.jpeg import encode_gray
+        from hbase_rdf_spark.ops.video import mux_avi
+
+        h, w = arr.shape
+        return mux_avi([encode_gray(arr)], w, h, fps=1)
+
+
 class SniffingKernel:
     """Default kernel: dispatch DECODE on payload magic bytes to the
-    matching REAL codec (PNG/GIF/JPEG/PGM/PPM/WAV); unknown payloads
-    (e.g. the synthetic test fixtures) fall back to the deterministic
-    hash stub. Encode: PNG for images (real + lossless), stub
-    otherwise — re-encode format needs no source-format knowledge."""
+    matching REAL codec (PNG/GIF/JPEG/PGM/PPM/WAV/AVI); unknown
+    payloads (e.g. the synthetic test fixtures) fall back to the
+    deterministic hash stub. Encode: PNG for images (real + lossless),
+    stub otherwise — re-encode format needs no source-format
+    knowledge. RIFF disambiguates on the format tag at offset 8
+    (``AVI `` vs ``WAVE``)."""
 
     def __init__(self, encode_kernel: object | None = None):
         self._kernels = [
@@ -495,13 +521,16 @@ class SniffingKernel:
             ((b"\xff\xd8",), JpegKernel()),
             ((b"P5", b"P2"), PgmKernel()),
             ((b"P6", b"P3"), PpmKernel()),
-            ((b"RIFF",), WavKernel()),
         ]
+        self._wav = WavKernel()
+        self._avi = AviMjpegKernel()
         self._stub = HashStubKernel()
         self._enc = encode_kernel
 
     def _route(self, payload: bytes):
-        head = bytes(payload[:8])
+        head = bytes(payload[:12])
+        if head.startswith(b"RIFF"):
+            return self._avi if head[8:12] == b"AVI " else self._wav
         for magics, kern in self._kernels:
             if head.startswith(magics):
                 return kern
@@ -516,13 +545,15 @@ class SniffingKernel:
     resample = staticmethod(PgmKernel.resample)
 
 
-#: default kernel registry — image/audio decode REAL formats via magic-
-#: byte sniffing (PNG/GIF/JPEG/PGM/PPM real; unknown → deterministic
-#: stub); video stays stubbed (needs ffmpeg/pyav, absent here)
+#: default kernel registry — every modality decodes REAL formats via
+#: magic-byte sniffing (image: PNG/GIF/JPEG/PGM/PPM; audio: PCM WAV;
+#: video: MJPEG-in-AVI); unknown payloads (synthetic fixtures, codecs
+#: not in this container like H.264/MP4) fall back to the
+#: deterministic hash stub
 DEFAULT_KERNELS: dict[str, object] = {
     "image": SniffingKernel(),
     "audio": SniffingKernel(),
-    "video": HashStubKernel(),
+    "video": SniffingKernel(),
 }
 
 
@@ -567,20 +598,40 @@ def extract_features(
 
 
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame.
+    """Video frame sampling: one output row per sampled frame.
 
-    STUB kernel — frame extraction is a deterministic hash per frame
-    index; the real implementation swaps in an ffmpeg/pyav call with the
-    identical batch contract.
+    MJPEG-in-AVI payloads take the REAL path: RIFF demux
+    (ops/video.py), pick every ``every_ms``-th frame from the stream's
+    own fps, JPEG-decode it (ops/jpeg.py) and hash the decoded luma
+    plane — so ``frame_hash`` identifies frame CONTENT, invariant to
+    container re-muxing. Other containers (H.264/MP4 — codecs absent
+    here) keep the deterministic payload-hash stub with the identical
+    batch contract.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hbase_rdf_spark.ops.jpeg import decode_luma
+        from hbase_rdf_spark.ops.video import demux_avi, is_avi
+
         for b in batches:
             rows = []
             for aid, payload, meta in zip(b["asset_id"], b["media"], b["meta"]):
+                payload = bytes(payload)
+                if is_avi(payload):
+                    stream = demux_avi(payload)
+                    step = max(
+                        1, round(every_ms * stream.fps / 1000.0)
+                    ) if stream.fps else 1
+                    for i in range(0, len(stream.frames), step):
+                        luma = decode_luma(stream.frames[i])
+                        h = hashlib.sha256(
+                            luma.astype(np.uint8).tobytes()
+                        ).hexdigest()[:16]
+                        rows.append((int(aid), i, h))
+                    continue
                 dur = (meta or {}).get("duration_ms") or 0
                 n = max(1, dur // every_ms)
-                base = hashlib.sha256(bytes(payload)).hexdigest()[:16]
+                base = hashlib.sha256(payload).hexdigest()[:16]
                 for i in range(int(n)):
                     rows.append((int(aid), i, f"{base}-{i}"))
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_hash"])

@@ -991,3 +991,61 @@ def test_ivf_topk_string_query_ids(spark):
     got = ivf_topk(emb, q, cents, k=3, nprobe=1, dim=4).collect()
     assert {r.query_id for r in got} == {"q0", "q1"}
     assert all(isinstance(r.query_id, str) for r in got)
+
+
+def test_video_avi_roundtrip_and_real_frame_sampling(spark):
+    """MJPEG-in-AVI real path: mux → demux roundtrip preserves frames,
+    dims, fps; sample_frames decodes REAL frame content (hash is
+    container-invariant); extract_features sniffs the AVI kernel."""
+    import numpy as np
+
+    from hbase_rdf_spark.ops.jpeg import decode_luma
+    from hbase_rdf_spark.ops.multimodal import extract_features, sample_frames
+    from hbase_rdf_spark.ops.video import demux_avi, mux_avi, synthesize_avi
+
+    payload = synthesize_avi(asset_id=7, n_frames=6, width=32, height=24, fps=4)
+    stream = demux_avi(payload)
+    assert len(stream.frames) == 6
+    assert (stream.width, stream.height) == (32, 24)
+    assert stream.fps == 4.0
+    assert stream.duration_ms == 1500
+
+    assets = spark.createDataFrame(
+        [
+            (7, "video", bytearray(payload), (32, 24, 0, stream.duration_ms)),
+            # non-AVI payload keeps the deterministic stub path
+            (8, "video", bytearray(b"\x00" * 64), (0, 0, 0, 2000)),
+        ],
+        "asset_id bigint, modality string, media binary, "
+        "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>",
+    )
+    got = {
+        (r["asset_id"], r["frame_idx"]): r["frame_hash"]
+        for r in sample_frames(assets, every_ms=1000).collect()
+    }
+    # fps=4, every 1000 ms → every 4th frame: indexes 0 and 4
+    assert {k for k in got if k[0] == 7} == {(7, 0), (7, 4)}
+    assert {k for k in got if k[0] == 8} == {(8, 0), (8, 1)}
+    # content hash: identical frames re-muxed at a different fps hash
+    # identically (frame 0 of both containers is the same image)
+    remux = mux_avi(list(stream.frames), 32, 24, fps=1)
+    got2 = {
+        (r["asset_id"], r["frame_idx"]): r["frame_hash"]
+        for r in sample_frames(
+            spark.createDataFrame(
+                [(7, "video", bytearray(remux), (32, 24, 0, 6000))],
+                "asset_id bigint, modality string, media binary, "
+                "meta struct<width:int, height:int, sample_rate:int, "
+                "duration_ms:int>",
+            ),
+            every_ms=1000,
+        ).collect()
+    }
+    assert got2[(7, 0)] == got[(7, 0)]
+
+    # extract_features routes video → AviMjpegKernel: feature equals the
+    # pooled first-frame luma
+    feats = {r["asset_id"]: r for r in extract_features(assets, feature_dim=8).collect()}
+    luma0 = decode_luma(stream.frames[0])
+    expect = (np.resize(luma0.mean(axis=0), 8) / 255.0).astype(np.float32)
+    assert np.allclose(np.array(feats[7]["feature"], dtype=np.float32), expect)
