@@ -698,6 +698,14 @@ def _q_path_plus_deep(spark, sf):
     )
 
 
+def _q_sparql_construct(spark, sf):
+    # CONSTRUCT query form: template instantiated per binding, union of
+    # per-pattern projections, set semantics (stock-ARQ parity, J11)
+    return _sparql(spark, sf, """
+        CONSTRUCT { ?s <joins> ?o . ?o <joinedBy> ?s }
+        WHERE { ?s <join> ?o }""")
+
+
 def _q_sparql_subquery_topk(spark, sf):
     # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
     # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
@@ -1382,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_from_named": _q_sparql_from_named,
         "mm_image_features": _q_mm_image_features,
         "kg_path_plus_deep": _q_path_plus_deep,
+        "kg_sparql_construct": _q_sparql_construct,
         # -- block C: representative round-2-green core --------------------
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
@@ -2070,6 +2079,12 @@ def oracle_sql() -> dict[str, str]:
             FROM triples t1 JOIN triples t2 ON t1.s = t2.s
             WHERE t1.doc_id BETWEEN 1 AND 8 AND t1.p = 'scan'
               AND t2.doc_id BETWEEN 9 AND 16 AND t2.p = 'join'""",
+        "kg_sparql_construct": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT s, 'joins' AS p, o
+            FROM triples WHERE p = 'join'
+            UNION
+            SELECT DISTINCT o AS s, 'joinedBy' AS p, s AS o
+            FROM triples WHERE p = 'join'""",
         "kg_path_plus_deep": """
             WITH RECURSIVE edges AS (
               SELECT 'n' || CAST(i AS VARCHAR) AS a,

@@ -114,6 +114,10 @@ def results_json(df, max_rows: int = 10_000, is_ask: bool | None = None) -> dict
     if is_ask:
         return {"head": {}, "boolean": bool(df.collect()[0][0])}
     have_kind = {c for c in df.columns if c.startswith("__k_")}
+    # LIMIT is part of the plan (CollectLimit), not a post-collect
+    # truncation: executors stop producing past max_rows, so a query
+    # endpoint fronting a huge result ships at most max_rows rows to
+    # the driver.
     rows = df.limit(max_rows).collect()
     bindings = []
     for r in rows:
