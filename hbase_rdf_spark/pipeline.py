@@ -169,7 +169,15 @@ def build_kg(
         links = build_links(mentions(extracted), gazetteer).localCheckpoint(eager=True)
         _mark("link", t0)
         t0 = _time.time()
-        resolved = resolve_surfaces(extracted, links).localCheckpoint(eager=True)
+        # resolve stays LAZY: it is two map-side broadcast joins over
+        # the persisted `extracted` (links itself is checkpointed), so
+        # each downstream consumer fuses them into its own scan for
+        # ~free. An eager localCheckpoint here wrote the full resolved
+        # triple set to executor-local disk — at N executors per host
+        # that write serializes on the one shared disk and was the
+        # worst-scaling stage of the 1M-conv scaling runs (1.75x at
+        # 1->4 executors, BENCH/BASELINE.md r3).
+        resolved = resolve_surfaces(extracted, links)
         _mark("resolve", t0)
 
         t0 = _time.time()

@@ -1357,11 +1357,47 @@ class _Parser:
             while self.peek() is not None and self.peek().startswith("?"):
                 q.group_by.append(self.next())
             if self.kw("HAVING"):
-                # HAVING ( ?aggAlias op number ) — post-aggregation filter
+                # HAVING ( ?aggAlias op number ) or the standard direct
+                # form HAVING ( FUNC(?v) op number ) — post-aggregation
+                # filter. A direct aggregate reuses an identical SELECT
+                # aggregate when one exists; otherwise it aggregates
+                # under a hidden __having alias that the final
+                # projection never emits.
                 self.expect("(")
-                v = self.next()
-                if not v.startswith("?"):
-                    raise SparqlSyntaxError("HAVING operand must be a var")
+                if (self.peek() or "").upper() in _AGG_FUNCS:
+                    func = self.next().upper()
+                    self.expect("(")
+                    distinct = self.kw("DISTINCT")
+                    av = None
+                    if self.peek() == "*":
+                        self.next()
+                        if func != "COUNT":
+                            raise SparqlSyntaxError(f"{func}(*) is not valid")
+                    else:
+                        av = self.next()
+                        if not av.startswith("?"):
+                            raise SparqlSyntaxError(
+                                "aggregate argument must be a var"
+                            )
+                    self.expect(")")
+                    v = next(
+                        (
+                            a.alias
+                            for a in q.aggregates
+                            if (a.func, a.var, a.distinct)
+                            == (func, av, distinct)
+                        ),
+                        None,
+                    )
+                    if v is None:
+                        v = f"?__having_{len(q.aggregates)}"
+                        q.aggregates.append(
+                            Aggregate(func, av, v, distinct)
+                        )
+                else:
+                    v = self.next()
+                    if not v.startswith("?"):
+                        raise SparqlSyntaxError("HAVING operand must be a var")
                 op = self.next()
                 num = self.term()
                 if not isinstance(num, (int, float)):

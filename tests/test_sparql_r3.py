@@ -530,3 +530,27 @@ def test_path_closure_deep_chain(spark):
     )
     got = {r[0] for r in out.collect()}
     assert got == {f"http://ex/n{i}" for i in range(1, 41)}
+
+
+def test_having_direct_aggregate(store):
+    """Standard HAVING (COUNT(?o) > n) form — no SELECT alias needed;
+    the hidden aggregate never appears in the projection."""
+    out = execute(
+        store,
+        """SELECT ?s WHERE { ?s ?p ?o }
+           GROUP BY ?s HAVING (COUNT(?o) > 3)""",
+    )
+    assert out.columns == ["s"]
+    got = {r[0] for r in out.collect()}
+    assert got == {"http://ex/a"}  # 5 triples; every other subject <= 3
+
+
+def test_having_direct_aggregate_reuses_select_alias(store):
+    out = execute(
+        store,
+        """SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?s HAVING (COUNT(?o) > 3)""",
+    )
+    rows = out.collect()
+    assert [r["s"] for r in rows] == ["http://ex/a"]
+    assert float(rows[0]["n"]) == 5.0
