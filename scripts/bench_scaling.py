@@ -82,18 +82,38 @@ def run_leg(cores: int, n_convs: int, pyz: str) -> dict:
     # thing the north rule scales, and per-executor aux threads
     # (GC/shuffle/parquet/netty) stay constant across legs.
     n_execs = max(1, cores // CORES_PER_EXEC)
+    # Shuffle scratch goes to tmpfs when the host has one: the sandbox
+    # runs every executor against ONE virtual block device, so at 4
+    # executors the shuffle+write traffic serializes on a resource a
+    # real cluster scales per-node (each worker its own disks). tmpfs
+    # restores the per-node-disk assumption; both legs use the same
+    # medium, so the comparison stays fair.
+    local_dir = (
+        f"/dev/shm/spark_scaling_{cores}"
+        if os.path.isdir("/dev/shm")
+        else ""
+    )
     cmd = [
         "spark-submit",
         "--master", f"local-cluster[{n_execs},{CORES_PER_EXEC},{EXEC_MEM_MB}]",
         "--driver-memory", "8g",
         "--conf", "spark.executor.memory=3g",
+        *(["--conf", f"spark.local.dir={local_dir}"] if local_dir else []),
         "--py-files", pyz,
         os.path.join(REPO, "scripts", "scaling_runner.py"),
         str(n_execs * CORES_PER_EXEC), str(n_convs),
     ]
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3000
-    )
+    # generous: a 2-core leg at 2M convs (corpus gen + warmup +
+    # best-of-3 timed builds) legitimately needs ~40 min
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=6000
+        )
+    finally:
+        if local_dir.startswith("/dev/shm/"):
+            import shutil as _sh
+
+            _sh.rmtree(local_dir, ignore_errors=True)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{") and '"tps"' in line:

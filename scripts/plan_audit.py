@@ -388,6 +388,40 @@ def main() -> None:
                             "Scan parquet")),
     ))
 
+    # --- round-3 surfaces -------------------------------------------------
+    p24 = eng.sql(
+        "SELECT ?x ?y FROM <c1> FROM <c2> FROM <c3> "
+        "WHERE { ?x <rel:works_at> ?y }"
+    )
+    sections.append((
+        "Dataset clause (multiple FROM) — graph-set pushdown",
+        "The FROM default-graph merge becomes an OR of constant-folded "
+        "c-id equalities (each graph IRI xxhash64-ed at plan time) that "
+        "reaches parquet as a pushed Or filter — the scan reads only "
+        "row groups whose c min-max overlaps the dataset, never the "
+        "whole store. FROM NAMED restricts GRAPH ?g scans identically.",
+        trim(plan_of(p24), ("PushedFilters", "Filter", "Scan parquet",
+                            "WholeStageCodegen")),
+    ))
+
+    p25 = eng.sql(
+        "SELECT ?x ?c WHERE { ?x <rel:works_at> ?y . "
+        "OPTIONAL { ?x <rel:lives_in> ?c } "
+        "MINUS { ?z <rel:age> ?a . ?z <rel:lives_in> ?c } }"
+    )
+    sections.append((
+        "MINUS after OPTIONAL — null-tolerant compatibility anti join",
+        "The outer group can leave ?c unbound, so MINUS uses the SPARQL "
+        "compatibility condition (NULL never disqualifies; removal "
+        "requires at least one bound overlap) instead of plain column "
+        "equality — a nested-loop anti join against the block's "
+        "DEDUPLICATED shared-var projection, so the inner side is "
+        "bounded by distinct shared tuples, not block cardinality. "
+        "All-bound outer groups keep the hash LeftAnti fast path.",
+        trim(plan_of(p25), ("Join", "LeftAnti", "BroadcastNestedLoop",
+                            "HashAggregate", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

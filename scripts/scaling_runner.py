@@ -52,9 +52,16 @@ def main() -> None:
         build_gazetteer(), "alias string, entity_id string, kind string"
     ).select("alias", "entity_id")
 
-    warm = tempfile.mkdtemp(prefix="scalewarm_")
-    data = tempfile.mkdtemp(prefix="scaledata_")
-    roots = [tempfile.mkdtemp(prefix=f"scale{i}_") for i in range(3)]
+    # scratch on tmpfs when available: the sandbox backs every path
+    # with ONE virtual disk, so corpus reads + 3-index parquet writes
+    # from 4 executors serialize on a device a real cluster scales
+    # per-node; tmpfs restores that assumption for both legs equally
+    import os as _os
+
+    shm = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    warm = tempfile.mkdtemp(prefix="scalewarm_", dir=shm)
+    data = tempfile.mkdtemp(prefix="scaledata_", dir=shm)
+    roots = [tempfile.mkdtemp(prefix=f"scale{i}_", dir=shm) for i in range(3)]
     try:
         # corpus to parquet first (untimed): the pipeline under test READS
         # transcripts from columnar storage, per the input contract —
