@@ -706,6 +706,20 @@ def _q_sparql_construct(spark, sf):
         WHERE { ?s <join> ?o }""")
 
 
+def _q_sparql_having(spark, sf):
+    # standard direct-aggregate HAVING (no SELECT alias needed): the
+    # hidden aggregate filters groups and never reaches the projection
+    return _sparql(spark, sf, """
+        SELECT ?s WHERE { ?s <merge> ?o }
+        GROUP BY ?s HAVING (COUNT(?o) > 2)""")
+
+
+def _q_sparql_ask(spark, sf):
+    # ASK query form: boolean existence result
+    return _sparql(spark, sf, """
+        ASK { <spark> <join> ?y . ?y <scan> ?z }""")
+
+
 def _q_sparql_subquery_topk(spark, sf):
     # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
     # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
@@ -1443,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_optional_union": _q_sparql_optional_union,
         "kg_sparql_optional_bind": _q_sparql_optional_bind,
+        "kg_sparql_having": _q_sparql_having,
+        "kg_sparql_ask": _q_sparql_ask,
     }
 
 
@@ -2079,6 +2095,15 @@ def oracle_sql() -> dict[str, str]:
             FROM triples t1 JOIN triples t2 ON t1.s = t2.s
             WHERE t1.doc_id BETWEEN 1 AND 8 AND t1.p = 'scan'
               AND t2.doc_id BETWEEN 9 AND 16 AND t2.p = 'join'""",
+        "kg_sparql_having": f"""{_TRIPLES_CTE}
+            SELECT s FROM triples WHERE p = 'merge'
+            GROUP BY s HAVING COUNT(o) > 2""",
+        "kg_sparql_ask": f"""{_TRIPLES_CTE}
+            SELECT EXISTS(
+              SELECT 1 FROM triples t1
+              JOIN triples t2 ON t1.o = t2.s
+              WHERE t1.s = 'spark' AND t1.p = 'join' AND t2.p = 'scan'
+            ) AS ask""",
         "kg_sparql_construct": f"""{_TRIPLES_CTE}
             SELECT DISTINCT s, 'joins' AS p, o
             FROM triples WHERE p = 'join'
