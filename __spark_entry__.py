@@ -720,6 +720,87 @@ def _q_sparql_ask(spark, sf):
         ASK { <spark> <join> ?y . ?y <scan> ?z }""")
 
 
+def _q_sparql_having_expr(spark, sf):
+    # arbitrary boolean HAVING (SPARQL 1.1 grammar [21] — the reference
+    # inherits full HAVING from Sesame/ARQ, SURVEY SE2): `||`/`&&`/`!`
+    # over aggregate comparisons, incl. a DISTINCT aggregate, compiled
+    # to ONE boolean Column over the aggregated frame
+    return _sparql(spark, sf, """
+        SELECT ?s WHERE { ?s <merge> ?o }
+        GROUP BY ?s
+        HAVING (COUNT(?o) > 4 ||
+                (COUNT(DISTINCT ?o) = 2 && !(COUNT(?o) > 3)))""")
+
+
+def _q_sparql_path_optional(spark, sf):
+    # property path INSIDE an OPTIONAL block (VERDICT r3 #3): the
+    # closure pair set left-joins onto the required bindings — rows
+    # with no <join>+ successor survive with ?z unbound. Oracle is a
+    # recursive CTE left-joined the same way.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?z WHERE {
+          <spark> <sort> ?y .
+          OPTIONAL { ?y <join>+ ?z }
+        }""")
+
+
+def _q_sparql_graph_var_path(spark, sf):
+    # property path under GRAPH ?var × FROM NAMED (VERDICT r3 #3/#7):
+    # the transitive closure is evaluated PER NAMED GRAPH (the context
+    # id rides the pair algebra as an extra join key — a path never
+    # crosses graphs, SPARQL 1.1 §13.3), and FROM NAMED bounds the
+    # iterated graph set. Word-store graph names are conv:{doc_id}.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?g ?x ?y
+        FROM NAMED <1> FROM NAMED <2> FROM NAMED <3> FROM NAMED <4>
+        FROM NAMED <5> FROM NAMED <6> FROM NAMED <7> FROM NAMED <8>
+        WHERE { GRAPH ?g { ?x <join>+ ?y } }""")
+
+
+def _q_stream_dedup(spark, sf):
+    # Structured Streaming surface as a DRIVER gate (VERDICT r3 #5),
+    # made deterministic: one availableNow run of the watermark-bounded
+    # streaming dedup (streaming/dedup.py dropDuplicatesWithinWatermark)
+    # over the events parquet, keyed on (md5(event_type), user_id). The
+    # watermark delay exceeds the corpus time span, so no key's state
+    # evicts mid-run and the emitted key SET is exactly the batch
+    # distinct — only the key columns are projected (which PHYSICAL row
+    # arrives first per key is scheduler-dependent; the key set is not).
+    import tempfile
+
+    from hbase_rdf_spark.streaming.dedup import dedup_stream
+
+    path = f"{sf}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source needs a DIRECTORY basePath; testdata tables
+    # are single files — stream the parent dir with a glob filter.
+    # Watermarks require TIMESTAMP (with tz); the parquet column is NTZ.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = dedup_stream(
+        stream,
+        text_col="event_type",
+        ts_col="ts",
+        delay="3650 days",
+        extra_keys=("user_id",),
+    )
+    outdir = tempfile.mkdtemp(prefix="streamdedup_")
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", f"{outdir}/out")
+        .option("checkpointLocation", f"{outdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{outdir}/out")
+
+
 def _q_sparql_subquery_topk(spark, sf):
     # ORDER BY … LIMIT inside a subquery: top-3 merge fan-out, joined
     # back on the shared var. Catalyst lowers to TakeOrderedAndProject.
@@ -1354,15 +1435,20 @@ def _q_fingerprint(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Entry ORDER matters: the driver's correctness gate scores only the
-    # first 50 dict entries.  Round-2 verdict: 35 entries (positions
-    # 51-85) never received a driver verdict.  Round-3 ordering policy:
-    #   block A — the 35 previously-unverified entries, first;
-    #   block B — new round-3 gates;
-    #   block C — a representative core of round-2-green entries
-    #             (incl. the two epoch_us-fixed events_* rows) filling
-    #             the window to 50;
-    #   block D — the remaining round-2-green entries (verified r2,
-    #             re-checkable locally via scripts/check_entry.py).
+    # first 50 dict entries.  Round-4 ordering policy (round-3 verdict
+    # tasks 2-5): blocks A+B (the 39 round-3-green rows) stay, block C
+    # rotates — kg_sparql_having/kg_sparql_ask (the only 2 of 91 gates
+    # never driver-scored) move INTO the window along with the four new
+    # round-4 gates (having-expr, path-in-OPTIONAL, GRAPH ?var × path
+    # × FROM NAMED, deterministic streaming dedup); six multiply-green
+    # block-C rows (kg_extract_svo, kg_dictionary, kg_encode_triples,
+    # kg_bgp_join, kg_sparql_optional_group, dedup_exact — each green
+    # r2 AND r3) rotate out to block D. The two events_* rows stay in:
+    # their oracles carry this round's HUGEINT→BIGINT cast fix and need
+    # a green driver verdict; dedup_embedding_cosine stays in because
+    # its broadcast-budget guard changed this round.
+    # Block D = driver-green in an earlier round, re-checkable locally
+    # via scripts/check_entry.py (which scores ALL entries).
     return {
         # -- block A: driver-unverified in round 2 ------------------------
         "kg_sparql_union_bind": _q_sparql_union_bind,
@@ -1405,19 +1491,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": _q_mm_image_features,
         "kg_path_plus_deep": _q_path_plus_deep,
         "kg_sparql_construct": _q_sparql_construct,
-        # -- block C: representative round-2-green core --------------------
+        # -- block C: rotating window seats ---------------------------------
+        "kg_sparql_having": _q_sparql_having,
+        "kg_sparql_ask": _q_sparql_ask,
+        "kg_sparql_having_expr": _q_sparql_having_expr,
+        "kg_sparql_path_optional": _q_sparql_path_optional,
+        "kg_sparql_graph_var_path": _q_sparql_graph_var_path,
+        "stream_dedup": _q_stream_dedup,
+        "events_sessionize": _q_sessionize,
+        "events_interval_errors": _q_events_interval,
+        "dedup_embedding_cosine": _q_embedding_neardup,
+        "text_pii_redact": _q_pii_redact,
+        "ann_ivf_topk": _q_ann_ivf,
+        # -- block D: driver-green in an earlier round, outside the window --
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
         "kg_bgp_join": _q_bgp_join,
         "kg_sparql_optional_group": _q_sparql_optional_group,
-        "events_sessionize": _q_sessionize,
-        "events_interval_errors": _q_events_interval,
         "dedup_exact": _q_dedup_exact,
-        "dedup_embedding_cosine": _q_embedding_neardup,
-        "text_pii_redact": _q_pii_redact,
-        "ann_ivf_topk": _q_ann_ivf,
-        # -- block D: round-2-green, outside the driver window -------------
         "kg_pattern_s": lambda sp, sf: _pattern(sp, sf, s="spark"),
         "kg_pattern_p": lambda sp, sf: _pattern(sp, sf, p="merge"),
         "kg_pattern_o": lambda sp, sf: _pattern(sp, sf, o="data"),
@@ -1457,8 +1549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_optional_union": _q_sparql_optional_union,
         "kg_sparql_optional_bind": _q_sparql_optional_bind,
-        "kg_sparql_having": _q_sparql_having,
-        "kg_sparql_ask": _q_sparql_ask,
     }
 
 
@@ -2008,10 +2098,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
+              -- CAST: DuckDB windowed sum() is HUGEINT → pandas
+              -- float64 → driver hashes "3.0" vs Spark's "3"
               SELECT user_id, ts,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id)
-                       AS session_idx
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                          AS BIGINT) AS session_idx
               FROM g
             ), sess AS (
               SELECT user_id, session_idx,
@@ -2098,6 +2190,40 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_having": f"""{_TRIPLES_CTE}
             SELECT s FROM triples WHERE p = 'merge'
             GROUP BY s HAVING COUNT(o) > 2""",
+        "kg_sparql_having_expr": f"""{_TRIPLES_CTE}
+            SELECT s FROM triples WHERE p = 'merge'
+            GROUP BY s
+            HAVING count(o) > 4
+                OR (count(DISTINCT o) = 2 AND NOT (count(o) > 3))""",
+        "kg_sparql_path_optional": f"""{
+            _TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+            , ys AS (
+              SELECT DISTINCT o AS y FROM triples
+              WHERE s = 'spark' AND p = 'sort'
+            ), e AS (
+              SELECT DISTINCT s, o FROM triples WHERE p = 'join'
+            ), reach AS (
+              SELECT s AS a, o AS b FROM e
+              UNION
+              SELECT r.a, e.o FROM reach r JOIN e ON e.s = r.b
+            )
+            SELECT DISTINCT ys.y AS y, r.b AS z
+            FROM ys LEFT JOIN reach r ON r.a = ys.y""",
+        "kg_sparql_graph_var_path": f"""{
+            _TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+            , e AS (
+              SELECT DISTINCT doc_id, s, o FROM triples
+              WHERE p = 'join' AND doc_id BETWEEN 1 AND 8
+            ), reach AS (
+              SELECT doc_id, s AS x, o AS y FROM e
+              UNION
+              SELECT r.doc_id, r.x, e.o FROM reach r
+              JOIN e ON e.doc_id = r.doc_id AND e.s = r.y
+            )
+            SELECT DISTINCT 'conv:' || CAST(doc_id AS VARCHAR) AS g, x, y
+            FROM reach""",
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
         "kg_sparql_ask": f"""{_TRIPLES_CTE}
             SELECT EXISTS(
               SELECT 1 FROM triples t1
@@ -2390,7 +2516,12 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ts, event_id) AS session_idx
               FROM g
             )
-            SELECT user_id, max(session_idx) AS n_sessions,
+            SELECT user_id,
+                   -- windowed sum() is HUGEINT in DuckDB; .df() maps
+                   -- HUGEINT to float64 and the driver would hash
+                   -- "3.0" vs Spark's bigint "3" (same defect as the
+                   -- round-1 kg_degrees_topk fix) — cast to BIGINT
+                   CAST(max(session_idx) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id""",
     }

@@ -141,11 +141,19 @@ def main() -> None:
     slim.pop("regressions_vs_prev_round", None)
     slim["queries_full"] = "BENCH/last_run.json"
     names = list(qtimes)
+    # seed with the minimal (empty-queries) line so the print below can
+    # never NameError on empty qtimes, and never emit a stale over-long
+    # candidate if the shrink loop exhausts (ADVICE r3, low)
+    slim["queries"] = {}
+    line = json.dumps(slim, separators=(",", ":"))
     keep = min(50, len(names))
     while keep > 0:
-        slim["queries"] = {n: qtimes[n] for n in names[:keep]}
-        line = json.dumps(slim, separators=(",", ":"))
-        if len(line) <= 1900:
+        candidate_map = {n: qtimes[n] for n in names[:keep]}
+        candidate = json.dumps(
+            {**slim, "queries": candidate_map}, separators=(",", ":")
+        )
+        if len(candidate) <= 1900:
+            slim["queries"], line = candidate_map, candidate
             break
         keep -= 5
     print(line)

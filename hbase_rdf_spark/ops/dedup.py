@@ -312,8 +312,18 @@ def embedding_near_duplicates(
         )
 
     est = _plan_size_bytes(base)
-    if est is None:
-        # optimizer had no estimate: one combined scan gets rows AND dim
+    # Inflation from plan-stat bytes to in-driver pandas float64 bytes:
+    # 2× covers float32→float64, but dictionary/RLE-encoded parquet
+    # vector columns can expand far beyond that (ADVICE r3, low). When
+    # the 2× estimate clears the budget but a conservative 16× parquet
+    # decompression bound does not, fall through to the exact (one-job)
+    # rows×dim probe instead of trusting the estimate.
+    if est is not None and est * 2 > broadcast_budget_bytes:
+        return _route_lsh()
+    if est is None or est * 16 > broadcast_budget_bytes:
+        # no usable estimate, or estimate is near the budget under the
+        # worst-case compression bound: one combined scan gets the
+        # EXACT rows AND dim
         row = base.agg(
             F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("d")
         ).head()
@@ -322,8 +332,6 @@ def embedding_near_duplicates(
                 vectors, dim=int(row["d"] or 0), threshold=threshold,
                 id_col=id_col, vec_col=vec_col,
             )
-    elif est * 2 > broadcast_budget_bytes:
-        return _route_lsh()
     id_type = base.schema["id"].dataType.simpleString()
     build = base.toPandas()
     b_ids = build["id"].to_numpy()

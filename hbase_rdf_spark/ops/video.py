@@ -84,6 +84,15 @@ def demux_avi(payload: bytes) -> AviStream:
                         "<II", payload, body_lo + 20
                     )
             elif fourcc[2:4] in (b"dc", b"db"):
+                if i + 8 + sz > hi:
+                    # a frame chunk whose declared size extends past the
+                    # enclosing list/file bound is structural truncation
+                    # — raise rather than clip a partial JPEG payload
+                    # into the frame decoder (ADVICE r3, low)
+                    raise ValueError(
+                        f"truncated AVI: frame chunk at {i} declares "
+                        f"{sz} bytes but only {hi - i - 8} remain"
+                    )
                 frames.append(payload[body_lo:body_hi])
             i = body_lo + sz + (sz & 1)  # chunks pad to even offsets
 

@@ -256,20 +256,62 @@ PATH_MAX_ITERS = 30
 _PAIR_COLS = ["a", "a_kind", "a_num", "b", "b_kind", "b_num"]
 
 
-def _atom_pairs(store, iri: str, g: str | None) -> DataFrame:
+def _merged_graph_dedup(df: DataFrame, g) -> DataFrame:
+    """FROM default-graph merge = RDF merge (set union for ground
+    triples): a triple asserted in ≥2 FROM graphs contributes ONE edge
+    to path evaluation, not one per containing graph (ADVICE r3)."""
+    if isinstance(g, tuple) and len(g) > 1:
+        return df.distinct()
+    return df
+
+
+def _named_graphs_only(e: DataFrame) -> DataFrame:
+    """Restrict a scan to NAMED graphs: GRAPH ?g iterates the named
+    graphs of the dataset (SPARQL 1.1 §13.3) — the default-context
+    sentinel rows (sources/ntriples.py DEFAULT_CONTEXT) are not one."""
+    from hbase_rdf_spark.plans.patterns import encode_term
+    from hbase_rdf_spark.sources.ntriples import DEFAULT_CONTEXT
+
+    return e.filter(F.col("c") != encode_term(f"conv:{DEFAULT_CONTEXT}"))
+
+
+def _pair_select(e: DataFrame, per_graph: bool, swap: bool = False) -> DataFrame:
+    """Project a quad scan to the pair-set shape; in per-graph mode the
+    context id rides along as ``g`` so every downstream join/closure
+    stays within one named graph."""
+    if swap:
+        cols = [
+            F.col("o").alias("a"),
+            F.col("o_kind").alias("a_kind"),
+            F.col("o_num").alias("a_num"),
+            F.col("s").alias("b"),
+            F.lit(0).cast("tinyint").alias("b_kind"),
+            F.lit(None).cast("double").alias("b_num"),
+        ]
+    else:
+        cols = [
+            F.col("s").alias("a"),
+            F.lit(0).cast("tinyint").alias("a_kind"),
+            F.lit(None).cast("double").alias("a_num"),
+            F.col("o").alias("b"),
+            F.col("o_kind").alias("b_kind"),
+            F.col("o_num").alias("b_num"),
+        ]
+    if per_graph:
+        cols.append(F.col("c").alias("g"))
+        e = _named_graphs_only(e)
+    return e.select(*cols)
+
+
+def _atom_pairs(store, iri: str, g, per_graph: bool = False) -> DataFrame:
     """Single-hop pairs of one predicate (optionally graph-restricted)."""
     e = scan(store, TriplePattern(p=iri, c=g))
-    return e.select(
-        F.col("s").alias("a"),
-        F.lit(0).cast("tinyint").alias("a_kind"),
-        F.lit(None).cast("double").alias("a_num"),
-        F.col("o").alias("b"),
-        F.col("o_kind").alias("b_kind"),
-        F.col("o_num").alias("b_num"),
-    )
+    if per_graph:
+        return _pair_select(e, True)
+    return _merged_graph_dedup(_pair_select(e, False), g)
 
 
-def _neg_pairs(store, members: tuple, g: str | None) -> DataFrame:
+def _neg_pairs(store, members: tuple, g, per_graph: bool = False) -> DataFrame:
     """Negated property set ``!(p1|^q1|…)``: scans with the member ids
     excluded. The inequality conjuncts constant-fold (plan-time
     xxhash64 of each IRI) and push into the parquet scan — work is
@@ -289,24 +331,7 @@ def _neg_pairs(store, members: tuple, g: str | None) -> DataFrame:
             lambda a, b: a & b,
             (F.col("p") != encode_term(m.iri) for m in excluded),
         )
-        e = e.filter(cond)
-        if swap:
-            return e.select(
-                F.col("o").alias("a"),
-                F.col("o_kind").alias("a_kind"),
-                F.col("o_num").alias("a_num"),
-                F.col("s").alias("b"),
-                F.lit(0).cast("tinyint").alias("b_kind"),
-                F.lit(None).cast("double").alias("b_num"),
-            )
-        return e.select(
-            F.col("s").alias("a"),
-            F.lit(0).cast("tinyint").alias("a_kind"),
-            F.lit(None).cast("double").alias("a_num"),
-            F.col("o").alias("b"),
-            F.col("o_kind").alias("b_kind"),
-            F.col("o_num").alias("b_num"),
-        )
+        return _pair_select(e.filter(cond), per_graph, swap=swap)
 
     parts = []
     if fwd:
@@ -314,34 +339,55 @@ def _neg_pairs(store, members: tuple, g: str | None) -> DataFrame:
     if rev:
         parts.append(nps(rev, swap=True))
     if len(parts) == 1:
-        return parts[0]
+        if per_graph:
+            return parts[0]
+        return _merged_graph_dedup(parts[0], g)
     # mixed set = alt() of the two NPS parts → set semantics like 'alt'
     return parts[0].unionByName(parts[1]).distinct()
 
 
-def _graph_nodes(store, g: str | None) -> DataFrame:
+def _graph_nodes(store, g, per_graph: bool = False) -> DataFrame:
     """All terms occurring in the graph as identity pairs (a=b) — the
-    zero-length path endpoints for * and ? modifiers."""
+    zero-length path endpoints for * and ? modifiers. In per-graph
+    mode, the node sets are computed per NAMED graph (a node in two
+    graphs is a zero-length endpoint in each)."""
     spo = scan(store, TriplePattern(c=g))
+    if per_graph:
+        spo = _named_graphs_only(spo)
+    gcol = [F.col("c").alias("g")] if per_graph else []
     subs = spo.select(
         F.col("s").alias("b"),
         F.lit(0).cast("tinyint").alias("b_kind"),
         F.lit(None).cast("double").alias("b_num"),
+        *gcol,
     )
     objs = spo.select(
         F.col("o").alias("b"),
         F.col("o_kind").alias("b_kind"),
         F.col("o_num").alias("b_num"),
+        *gcol,
     )
     return (
         subs.unionByName(objs)
-        .dropDuplicates(["b"])
+        .dropDuplicates(["b", "g"] if per_graph else ["b"])
         .select(
             F.col("b").alias("a"),
             F.col("b_kind").alias("a_kind"),
             F.col("b_num").alias("a_num"),
             "b", "b_kind", "b_num",
+            *(["g"] if per_graph else []),
         )
+    )
+
+
+def _pair_key(per_graph: bool = False) -> Column:
+    """Null-safe dedup key over all pair columns: NULLs (numeric
+    endpoints carry NULL ids, IRI endpoints NULL nums) coalesce to a
+    sentinel so identical pairs compare equal in a plain equi-join."""
+    cols = _PAIR_COLS + (["g"] if per_graph else [])
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
     )
 
 
@@ -362,11 +408,17 @@ def _closure(base: DataFrame) -> DataFrame:
     forward step; numeric endpoints have NULL ids and drop out of the
     equi-join).
     """
+    per_graph = "g" in base.columns
     closure = base.distinct().localCheckpoint(eager=True)
     for _ in range(PATH_MAX_ITERS):
+        cond = F.col("f.b") == F.col("e.a")
+        if per_graph:
+            # per-named-graph closure (GRAPH ?var): a step never
+            # crosses graphs — join keys are (node, graph)
+            cond = cond & (F.col("f.g") == F.col("e.g"))
         nxt = (
             closure.alias("f")
-            .join(closure.alias("e"), F.col("f.b") == F.col("e.a"))
+            .join(closure.alias("e"), cond)
             .select(
                 F.col("f.a").alias("a"),
                 F.col("f.a_kind").alias("a_kind"),
@@ -374,26 +426,54 @@ def _closure(base: DataFrame) -> DataFrame:
                 F.col("e.b").alias("b"),
                 F.col("e.b_kind").alias("b_kind"),
                 F.col("e.b_num").alias("b_num"),
+                *([F.col("f.g").alias("g")] if per_graph else []),
             )
             .distinct()
         )
-        new = nxt.join(closure, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+        # null-SAFE anti-join: numeric-literal endpoints reached at
+        # depth ≥ 2 carry NULL b ids (their value lives in b_num), and
+        # a null-unsafe key never matches itself — such pairs would
+        # re-emerge as "new" every round and the loop would never
+        # converge (ADVICE r3, high). A single computed key coalescing
+        # every pair column (NULL → sentinel) keeps the anti-join an
+        # ordinary single-column hash join instead of a 4-way
+        # eqNullSafe condition (which Spark also fails to resolve on
+        # this self-referential lineage — "key not found: a_kind").
+        new = (
+            nxt.withColumn("__pk", _pair_key(per_graph))
+            .join(
+                closure.select(_pair_key(per_graph).alias("__pk")).distinct(),
+                "__pk",
+                "left_anti",
+            )
+            .drop("__pk")
+            .localCheckpoint(eager=True)
+        )
         if new.isEmpty():
             break
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        # no checkpoint on the union itself: both inputs are already
+        # checkpointed LogicalRDDs (union tree depth ≤ PATH_MAX_ITERS),
+        # and Spark 4.1's LogicalRDD.rewriteStatsAndConstraints crashes
+        # on Union plans whose constraints mention pruned attributes
+        # ("key not found: a_kind").
+        closure = closure.unionByName(new)
     else:
         raise RuntimeError(f"path closure did not converge in {PATH_MAX_ITERS} rounds")
     return closure
 
 
-def _pairs(store, path: Path, g: str | None) -> DataFrame:
-    """Evaluate a path expression to its (a, b) pair set."""
+def _pairs(store, path: Path, g, per_graph: bool = False) -> DataFrame:
+    """Evaluate a path expression to its (a, b) pair set.
+
+    ``per_graph=True`` (GRAPH ?var, SPARQL 1.1 §13.3): every frame
+    carries the context id as ``g`` and each named graph is evaluated
+    independently — one extra join key, no extra shuffles."""
     if path.op == "atom":
-        return _atom_pairs(store, path.iri, g)
+        return _atom_pairs(store, path.iri, g, per_graph)
     if path.op == "neg":
-        return _neg_pairs(store, path.children, g)
+        return _neg_pairs(store, path.children, g, per_graph)
     if path.op == "inv":
-        inner = _pairs(store, path.children[0], g)
+        inner = _pairs(store, path.children[0], g, per_graph)
         return inner.select(
             F.col("b").alias("a"),
             F.col("b_kind").alias("a_kind"),
@@ -401,14 +481,18 @@ def _pairs(store, path: Path, g: str | None) -> DataFrame:
             F.col("a").alias("b"),
             F.col("a_kind").alias("b_kind"),
             F.col("a_num").alias("b_num"),
+            *(["g"] if per_graph else []),
         )
     if path.op == "seq":
-        acc = _pairs(store, path.children[0], g)
+        acc = _pairs(store, path.children[0], g, per_graph)
         for child in path.children[1:]:
-            nxt = _pairs(store, child, g)
+            nxt = _pairs(store, child, g, per_graph)
+            cond = F.col("l.b") == F.col("r.a")
+            if per_graph:
+                cond = cond & (F.col("l.g") == F.col("r.g"))
             acc = (
                 acc.alias("l")
-                .join(nxt.alias("r"), F.col("l.b") == F.col("r.a"))
+                .join(nxt.alias("r"), cond)
                 .select(
                     F.col("l.a").alias("a"),
                     F.col("l.a_kind").alias("a_kind"),
@@ -416,22 +500,24 @@ def _pairs(store, path: Path, g: str | None) -> DataFrame:
                     F.col("r.b").alias("b"),
                     F.col("r.b_kind").alias("b_kind"),
                     F.col("r.b_num").alias("b_num"),
+                    *([F.col("l.g").alias("g")] if per_graph else []),
                 )
             )
         return acc
     if path.op == "alt":
-        out = _pairs(store, path.children[0], g)
+        out = _pairs(store, path.children[0], g, per_graph)
         for child in path.children[1:]:
-            out = out.unionByName(_pairs(store, child, g))
+            out = out.unionByName(_pairs(store, child, g, per_graph))
         return out.distinct()
     if path.op == "mod":
-        inner = _pairs(store, path.children[0], g)
+        inner = _pairs(store, path.children[0], g, per_graph)
+        nodes = lambda: _graph_nodes(store, g, per_graph)  # noqa: E731
         if path.mod == "+":
             return _closure(inner)
         if path.mod == "*":
-            return _closure(inner).unionByName(_graph_nodes(store, g)).distinct()
+            return _closure(inner).unionByName(nodes()).distinct()
         if path.mod == "?":
-            return inner.unionByName(_graph_nodes(store, g)).distinct()
+            return inner.unionByName(nodes()).distinct()
         raise ValueError(f"unknown path modifier {path.mod!r}")
     raise ValueError(f"unknown path op {path.op!r}")
 
@@ -451,12 +537,15 @@ def _endpoint_filter(df: DataFrame, col: str, value) -> DataFrame:
 
 
 def _path_step(store, p: Bgp) -> DataFrame:
-    """Binding step for a pattern whose predicate is a path expression."""
-    if is_var(p.g):
-        raise ValueError(
-            "property paths inside GRAPH ?var are not supported — "
-            "bind the graph to a constant"
-        )
+    """Binding step for a pattern whose predicate is a path expression.
+
+    ``GRAPH ?var { … path … }`` runs the pair algebra in per-graph
+    mode: the context id threads through every combinator as an extra
+    join key (closures never cross graphs, SPARQL 1.1 §13.3) and binds
+    the graph variable from the surviving ``g`` column. The reference
+    gets this for free from ARQ's per-graph dataset iteration
+    (optimizer/HBaseOptimize.java:28-124 path flattening)."""
+    per_graph = is_var(p.g)
     if isinstance(p.p, Path):
         path = p.p
     elif p.path_mod:
@@ -465,17 +554,28 @@ def _path_step(store, p: Bgp) -> DataFrame:
         path = Path("mod", (Path("atom", iri=p.p),), mod=p.path_mod)
     else:
         raise ValueError("not a path pattern")
-    df = _pairs(store, path, p.g if p.g is not None else p.g_in)
+    if per_graph:
+        # p.g_in = FROM NAMED restriction on the iterated graph set
+        # (None = all named graphs; () = empty set — matches nothing)
+        df = _pairs(store, path, p.g_in, per_graph=True)
+    else:
+        df = _pairs(store, path, p.g if p.g is not None else p.g_in)
     if not is_var(p.s):
         df = _endpoint_filter(df, "a", p.s)
     if not is_var(p.o):
         df = _endpoint_filter(df, "b", p.o)
+    gcols = (
+        [_binding_struct(F.lit(0), F.col("g"), F.lit(None)).alias(p.g[1:])]
+        if per_graph
+        else []
+    )
     if is_var(p.s) and is_var(p.o) and p.s == p.o:
         # same var both ends: only cyclic reachability rows qualify
         return df.filter(F.col("a") == F.col("b")).select(
             _binding_struct(
                 F.col("a_kind"), F.col("a"), F.col("a_num")
-            ).alias(p.s[1:])
+            ).alias(p.s[1:]),
+            *gcols,
         )
     cols = []
     if is_var(p.s):
@@ -486,6 +586,7 @@ def _path_step(store, p: Bgp) -> DataFrame:
         cols.append(
             _binding_struct(F.col("b_kind"), F.col("b"), F.col("b_num")).alias(p.o[1:])
         )
+    cols.extend(gcols)
     if not cols:
         cols.append(F.lit(1).alias("__exists"))
     return df.select(*cols)
@@ -510,6 +611,14 @@ def _scan_pattern(store, p: Bgp) -> DataFrame:
         ),
     )
     df = scan(store, tp)
+    if p.g is None and isinstance(p.g_in, tuple) and len(p.g_in) > 1:
+        # FROM default-graph merge: SPARQL 1.1 §13.2 defines the
+        # default graph as the RDF MERGE (set union for ground
+        # triples) of the FROM graphs — a triple asserted in two of
+        # them must yield ONE solution, not one per containing graph
+        # (ADVICE r3, medium). The graph var is unbound here, so the
+        # c column is free to collapse.
+        df = df.dropDuplicates(["s", "p", "o", "o_kind", "o_num"])
     bindings: list[tuple[str, Column]] = []
     if is_var(p.s):
         bindings.append((p.s[1:], _binding_struct(F.lit(0), F.col("s"), F.lit(None))))

@@ -67,8 +67,13 @@ GROUP_CONCAT/SAMPLE, which export kind-1 structs with a lexical
 sidecar) with GROUP BY/HAVING and DISTINCT, plus ORDER BY …
 LIMIT/OFFSET top-k slices (numeric sort keys — aggregate aliases or
 vars with numeric bindings; Catalyst lowers sort+limit to
-TakeOrderedAndProject, no full sort); deeper nesting and subqueries
-inside OPTIONAL/GRAPH/UNION raise.
+TakeOrderedAndProject, no full sort); subqueries nest one level into
+OPTIONAL/GRAPH/UNION (deeper nesting raises). Property paths work in
+every group position — top level, OPTIONAL, UNION branches, GRAPH
+with a constant, and GRAPH ?var (per-named-graph pair algebra: the
+context id rides the closure as an extra join key, plans/bgp.py
+``_path_step``) — matching ARQ's path flattening in the reference
+(optimizer/HBaseOptimize.java:28-124).
 
 Unsupported (deliberately): correlated label-space filters inside
 EXISTS blocks, BIND vars reused in graph patterns (requires in-group
@@ -1351,59 +1356,108 @@ class _Parser:
             return _TermFilter(lhs, op, rhs)
         raise SparqlSyntaxError(f"unsupported FILTER on {rhs!r}")
 
+    # -- HAVING ----------------------------------------------------------
+    # having_expr := having_and ('||' having_and)*
+    # having_and  := having_unary ('&&' having_unary)*
+    # having_unary:= '!' having_unary | '(' having_expr ')' | having_cmp
+    # having_cmp  := (AGG '(' [DISTINCT] (?v | '*') ')' | ?aggAlias) op num
+    # Produces a tuple tree (("and"/"or", parts) | ("not", x) |
+    # ("cmp", alias, op, num)) that `_having_col` compiles to one Spark
+    # Column over the aggregated frame.
+    def _having_bracketed(self, q: Query) -> tuple:
+        self.expect("(")
+        e = self._having_or(q)
+        self.expect(")")
+        return e
+
+    def _having_or(self, q: Query) -> tuple:
+        parts = [self._having_and(q)]
+        while self.peek() == "||":
+            self.next()
+            parts.append(self._having_and(q))
+        return parts[0] if len(parts) == 1 else ("or", tuple(parts))
+
+    def _having_and(self, q: Query) -> tuple:
+        parts = [self._having_unary(q)]
+        while self.peek() == "&&":
+            self.next()
+            parts.append(self._having_unary(q))
+        return parts[0] if len(parts) == 1 else ("and", tuple(parts))
+
+    def _having_unary(self, q: Query) -> tuple:
+        if self.peek() == "!":
+            self.next()
+            return ("not", self._having_unary(q))
+        if self.peek() == "(":
+            # parenthesized sub-expression vs. a comparison whose LHS
+            # merely follows — the grammar above has no parenthesized
+            # operands, so '(' here always opens a boolean group
+            self.next()
+            e = self._having_or(q)
+            self.expect(")")
+            return e
+        return self._having_cmp(q)
+
+    def _having_cmp(self, q: Query) -> tuple:
+        if (self.peek() or "").upper() in _AGG_FUNCS:
+            func = self.next().upper()
+            self.expect("(")
+            distinct = self.kw("DISTINCT")
+            av = None
+            if self.peek() == "*":
+                self.next()
+                if func != "COUNT":
+                    raise SparqlSyntaxError(f"{func}(*) is not valid")
+            else:
+                av = self.next()
+                if not av.startswith("?"):
+                    raise SparqlSyntaxError("aggregate argument must be a var")
+            self.expect(")")
+            v = next(
+                (
+                    a.alias
+                    for a in q.aggregates
+                    if (a.func, a.var, a.distinct) == (func, av, distinct)
+                ),
+                None,
+            )
+            if v is None:
+                v = f"?__having_{len(q.aggregates)}"
+                q.aggregates.append(Aggregate(func, av, v, distinct))
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlSyntaxError("HAVING operand must be a var")
+        op = self.next()
+        if op not in ("<", "<=", ">", ">=", "=", "!="):
+            raise SparqlSyntaxError(f"bad HAVING comparison operator {op!r}")
+        num = self.term()
+        if isinstance(num, bool) or not isinstance(num, (int, float)):
+            raise SparqlSyntaxError("HAVING comparison must be numeric")
+        return ("cmp", v, op, float(num))
+
     def _modifiers(self, q: Query) -> None:
         if self.kw("GROUP"):
             self.expect("BY")
             while self.peek() is not None and self.peek().startswith("?"):
                 q.group_by.append(self.next())
             if self.kw("HAVING"):
-                # HAVING ( ?aggAlias op number ) or the standard direct
-                # form HAVING ( FUNC(?v) op number ) — post-aggregation
-                # filter. A direct aggregate reuses an identical SELECT
-                # aggregate when one exists; otherwise it aggregates
-                # under a hidden __having alias that the final
-                # projection never emits.
-                self.expect("(")
-                if (self.peek() or "").upper() in _AGG_FUNCS:
-                    func = self.next().upper()
-                    self.expect("(")
-                    distinct = self.kw("DISTINCT")
-                    av = None
-                    if self.peek() == "*":
-                        self.next()
-                        if func != "COUNT":
-                            raise SparqlSyntaxError(f"{func}(*) is not valid")
-                    else:
-                        av = self.next()
-                        if not av.startswith("?"):
-                            raise SparqlSyntaxError(
-                                "aggregate argument must be a var"
-                            )
-                    self.expect(")")
-                    v = next(
-                        (
-                            a.alias
-                            for a in q.aggregates
-                            if (a.func, a.var, a.distinct)
-                            == (func, av, distinct)
-                        ),
-                        None,
-                    )
-                    if v is None:
-                        v = f"?__having_{len(q.aggregates)}"
-                        q.aggregates.append(
-                            Aggregate(func, av, v, distinct)
-                        )
-                else:
-                    v = self.next()
-                    if not v.startswith("?"):
-                        raise SparqlSyntaxError("HAVING operand must be a var")
-                op = self.next()
-                num = self.term()
-                if not isinstance(num, (int, float)):
-                    raise SparqlSyntaxError("HAVING comparison must be numeric")
-                self.expect(")")
-                q.having = (v, op, float(num))
+                # HAVING HavingCondition+ (SPARQL 1.1 grammar [21]):
+                # each condition is a bracketed boolean expression over
+                # aggregate calls / aggregate aliases — arbitrary
+                # `&&`/`||`/`!` combinations of numeric comparisons
+                # (the reference inherits full HAVING from Sesame/ARQ,
+                # SURVEY SE2). A direct aggregate reuses an identical
+                # SELECT aggregate when one exists; otherwise it
+                # aggregates under a hidden __having alias the final
+                # projection never emits. Multiple bracketed
+                # conditions conjoin.
+                conds = [self._having_bracketed(q)]
+                while self.peek() == "(":
+                    conds.append(self._having_bracketed(q))
+                q.having = (
+                    conds[0] if len(conds) == 1 else ("and", tuple(conds))
+                )
         if self.kw("ORDER"):
             self.expect("BY")
             while True:
@@ -2041,6 +2095,24 @@ _CMP = {
 }
 
 
+def _having_col(h: tuple):
+    """Compile a HAVING expression tree to one boolean Column over the
+    aggregated frame (aggregate aliases are plain scalar columns here).
+    NULL comparisons evaluate to NULL and the filter drops the group —
+    SPARQL's expression-error-eliminates-solution semantics."""
+    kind = h[0]
+    if kind == "cmp":
+        _, v, op, num = h
+        return _CMP[op](F.col(v[1:]), num)
+    if kind == "and":
+        return _reduce(lambda a, b: a & b, (_having_col(c) for c in h[1]))
+    if kind == "or":
+        return _reduce(lambda a, b: a | b, (_having_col(c) for c in h[1]))
+    if kind == "not":
+        return ~_having_col(h[1])
+    raise ValueError(f"unknown HAVING node {h!r}")
+
+
 def _subquery_out_names(sub: Query) -> list[str]:
     """Projected column names (no '?') of a subquery."""
     if sub.aggregates:
@@ -2114,8 +2186,7 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         aggs = [_agg_expr(a) for a in sub.aggregates]
         res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
         if sub.having:
-            v, op, num = sub.having
-            res = res.filter(_CMP[op](F.col(v[1:]), num))
+            res = res.filter(_having_col(sub.having))
     if sub.order_by:
         agg_aliases = {a.alias[1:] for a in sub.aggregates}
 
@@ -2654,14 +2725,7 @@ def execute(
             result.groupBy(*gvars).agg(*aggs) if gvars else result.agg(*aggs)
         )
         if q.having:
-            v, op, num = q.having
-            col = F.col(v[1:])
-            grouped = grouped.filter(
-                {
-                    "<": col < num, "<=": col <= num, ">": col > num,
-                    ">=": col >= num, "=": col == num, "!=": col != num,
-                }[op]
-            )
+            grouped = grouped.filter(_having_col(q.having))
         grouped, ordered_vars = _add_order_sidecars(grouped, q.order_by)
         # materialize group vars; aggregate columns pass through verbatim
         out = materialize(

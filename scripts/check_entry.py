@@ -39,6 +39,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def dtype_drift(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns where the oracle came back float but Spark is integral
+    (or vice versa). The driver hashes raw values, so `3.0` vs `3`
+    hash-mismatches even though ``normalize``'s astype(object) compare
+    tolerates it — the classic DuckDB HUGEINT→pandas-float64 round-trip
+    (windowed sum(), count(*) arithmetic). Flag it locally so the
+    defect can never be local-green again (VERDICT r3 task 1)."""
+    bad = []
+    g = {c.lower(): got[c].dtype for c in got.columns}
+    w = {c.lower(): want[c].dtype for c in want.columns}
+    for c in set(g) & set(w):
+        gi = pd.api.types.is_integer_dtype(g[c])
+        gf = pd.api.types.is_float_dtype(g[c])
+        wi = pd.api.types.is_integer_dtype(w[c])
+        wf = pd.api.types.is_float_dtype(w[c])
+        if (gi and wf) or (gf and wi):
+            bad.append(f"{c}: spark={g[c]} oracle={w[c]}")
+    return sorted(bad)
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="check-entry")
@@ -70,6 +90,14 @@ def main() -> int:
             want = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        drift = dtype_drift(got, want)
+        if drift:
+            print(
+                f"FAIL {name}: int/float dtype drift (driver would "
+                f"hash-mismatch — CAST the oracle column): {drift}"
+            )
             failures += 1
             continue
         g, w = normalize(got), normalize(want)
