@@ -409,7 +409,17 @@ def _closure(base: DataFrame) -> DataFrame:
     equi-join).
     """
     per_graph = "g" in base.columns
-    closure = base.distinct().localCheckpoint(eager=True)
+    # __pk rides the closure as a MATERIALIZED column: computed once per
+    # row when the row first appears, persisted by the per-round
+    # localCheckpoint, never recomputed over the (growing) closure again.
+    # The previous form re-derived the key over the full closure and
+    # distinct()ed it every round — an O(|closure|) extra shuffle per
+    # round that dominated deep-chain wall time.
+    closure = (
+        base.withColumn("__pk", _pair_key(per_graph))
+        .dropDuplicates(["__pk"])
+        .localCheckpoint(eager=True)
+    )
     for _ in range(PATH_MAX_ITERS):
         cond = F.col("f.b") == F.col("e.a")
         if per_graph:
@@ -428,7 +438,6 @@ def _closure(base: DataFrame) -> DataFrame:
                 F.col("e.b_num").alias("b_num"),
                 *([F.col("f.g").alias("g")] if per_graph else []),
             )
-            .distinct()
         )
         # null-SAFE anti-join: numeric-literal endpoints reached at
         # depth ≥ 2 carry NULL b ids (their value lives in b_num), and
@@ -439,14 +448,11 @@ def _closure(base: DataFrame) -> DataFrame:
         # ordinary single-column hash join instead of a 4-way
         # eqNullSafe condition (which Spark also fails to resolve on
         # this self-referential lineage — "key not found: a_kind").
+        # dropDuplicates on the key doubles as the squaring distinct.
         new = (
             nxt.withColumn("__pk", _pair_key(per_graph))
-            .join(
-                closure.select(_pair_key(per_graph).alias("__pk")).distinct(),
-                "__pk",
-                "left_anti",
-            )
-            .drop("__pk")
+            .dropDuplicates(["__pk"])
+            .join(closure.select("__pk"), "__pk", "left_anti")
             .localCheckpoint(eager=True)
         )
         if new.isEmpty():
@@ -459,7 +465,7 @@ def _closure(base: DataFrame) -> DataFrame:
         closure = closure.unionByName(new)
     else:
         raise RuntimeError(f"path closure did not converge in {PATH_MAX_ITERS} rounds")
-    return closure
+    return closure.drop("__pk")
 
 
 def _pairs(store, path: Path, g, per_graph: bool = False) -> DataFrame:
