@@ -757,6 +757,41 @@ def _q_sparql_graph_var_path(spark, sf):
         WHERE { GRAPH ?g { ?x <join>+ ?y } }""")
 
 
+def _q_sparql_optional_algebra(spark, sf):
+    # FULL group algebra inside OPTIONAL (round 4): the block carries
+    # MINUS and FILTER EXISTS alongside its pattern — evaluated as one
+    # GroupGraphPattern (plans/sparql.py _group_bindings) and
+    # left-joined as a unit, so an ?y pruned by MINUS/EXISTS keeps its
+    # outer row with ?o unbound. The reference gets this free from
+    # ARQ's algebra; our parser previously raised.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?x ?o WHERE {
+          ?x <join> ?y .
+          OPTIONAL {
+            ?y <scan> ?o
+            MINUS { ?y <sort> ?z }
+            FILTER EXISTS { ?y <merge> ?w }
+          }
+        }""")
+
+
+def _q_sparql_subquery_union(spark, sf):
+    # full-algebra subquery WHERE body (round 4): the subquery
+    # aggregates over a UNION of two edge sets — bag union per SPARQL,
+    # so a ?z reachable via both <merge> and <scan> counts twice —
+    # then joins back to the outer pattern on ?y. Previously
+    # _execute_subquery raised on any non-BGP algebra in the body; the
+    # body now routes through the full GroupGraphPattern evaluator
+    # (plans/sparql.py _group_bindings).
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n ?l WHERE {
+          ?y <toklen> ?l .
+          { SELECT ?y (COUNT(?z) AS ?n) WHERE {
+              { ?y <merge> ?z } UNION { ?y <scan> ?z }
+            } GROUP BY ?y }
+        }""")
+
+
 def _q_stream_dedup(spark, sf):
     # Structured Streaming surface as a DRIVER gate (VERDICT r3 #5),
     # made deterministic: one availableNow run of the watermark-bounded
@@ -1438,12 +1473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 dict entries.  Round-4 ordering policy (round-3 verdict
     # tasks 2-5): blocks A+B (the 39 round-3-green rows) stay, block C
     # rotates — kg_sparql_having/kg_sparql_ask (the only 2 of 91 gates
-    # never driver-scored) move INTO the window along with the four new
+    # never driver-scored) move INTO the window along with the six new
     # round-4 gates (having-expr, path-in-OPTIONAL, GRAPH ?var × path
-    # × FROM NAMED, deterministic streaming dedup); six multiply-green
-    # block-C rows (kg_extract_svo, kg_dictionary, kg_encode_triples,
-    # kg_bgp_join, kg_sparql_optional_group, dedup_exact — each green
-    # r2 AND r3) rotate out to block D. The two events_* rows stay in:
+    # × FROM NAMED, deterministic streaming dedup, full-algebra
+    # OPTIONAL, full-algebra subquery body); eight green block-C rows
+    # rotate out to block D (kg_extract_svo, kg_dictionary,
+    # kg_encode_triples, kg_bgp_join, kg_sparql_optional_group,
+    # dedup_exact — each green r2 AND r3 — plus ann_ivf_topk and
+    # sample_fraction, green r3 with ops/similarity.py and
+    # ops/sampling.py untouched this round). The two events_* rows
+    # stay in:
     # their oracles carry this round's HUGEINT→BIGINT cast fix and need
     # a green driver verdict; dedup_embedding_cosine stays in because
     # its broadcast-budget guard changed this round.
@@ -1480,7 +1519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "sample_stratified": _q_sample_stratified,
-        "sample_fraction": _q_sample_fraction,
         "sample_shards": _q_sample_shards,
         "pack_context_windows": _q_pack_windows,
         "sample_mixture": _q_sample_mixture,
@@ -1498,12 +1536,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_optional": _q_sparql_path_optional,
         "kg_sparql_graph_var_path": _q_sparql_graph_var_path,
         "stream_dedup": _q_stream_dedup,
+        "kg_sparql_optional_algebra": _q_sparql_optional_algebra,
+        "kg_sparql_subquery_union": _q_sparql_subquery_union,
         "events_sessionize": _q_sessionize,
         "events_interval_errors": _q_events_interval,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "text_pii_redact": _q_pii_redact,
-        "ann_ivf_topk": _q_ann_ivf,
         # -- block D: driver-green in an earlier round, outside the window --
+        "ann_ivf_topk": _q_ann_ivf,
+        "sample_fraction": _q_sample_fraction,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2224,6 +2265,40 @@ def oracle_sql() -> dict[str, str]:
             FROM reach""",
         "stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
+        # OPTIONAL block carrying MINUS + FILTER EXISTS: the block is a
+        # derived table (scan-edges minus sort-subjects, semi-joined on
+        # merge-subjects) LEFT-joined onto the join-edge bindings
+        "kg_sparql_optional_algebra": f"""{_TRIPLES_CTE}
+            , xs AS (
+              SELECT DISTINCT s AS x, o AS y FROM triples
+              WHERE p = 'join'
+            ), blk AS (
+              SELECT DISTINCT t.s AS y, t.o AS o FROM triples t
+              WHERE t.p = 'scan'
+                AND NOT EXISTS (SELECT 1 FROM triples m
+                                WHERE m.p = 'sort' AND m.s = t.s)
+                AND EXISTS (SELECT 1 FROM triples e
+                            WHERE e.p = 'merge' AND e.s = t.s)
+            )
+            SELECT DISTINCT xs.x AS x, blk.o AS o
+            FROM xs LEFT JOIN blk ON blk.y = xs.y""",
+        # subquery with a UNION body: bag union per SPARQL (a ?z
+        # reachable via both predicates counts twice); each branch
+        # scans the statement-level quad view (one row per containing
+        # doc graph — the engine's RDF4J-parity default view, same bag
+        # the kg_sparql_having / kg_bgp_join oracles count)
+        "kg_sparql_subquery_union": f"""{_TRIPLES_CTE}
+            , deg AS (
+              SELECT y, count(*) AS n FROM (
+                SELECT s AS y, o FROM triples WHERE p = 'merge'
+                UNION ALL
+                SELECT s AS y, o FROM triples WHERE p = 'scan'
+              ) GROUP BY y
+            )
+            SELECT DISTINCT deg.y AS y,
+                   CAST(CAST(deg.n AS DOUBLE) AS VARCHAR) AS n,
+                   CAST(CAST(length(deg.y) AS DOUBLE) AS VARCHAR) AS l
+            FROM deg""",
         "kg_sparql_ask": f"""{_TRIPLES_CTE}
             SELECT EXISTS(
               SELECT 1 FROM triples t1

@@ -121,6 +121,12 @@ class OptionalBlock:
     subquery: object = None
     out_names: tuple = ()
     step_fn: object = None
+    # a full-algebra OPTIONAL group (carries VALUES / MINUS / FILTER
+    # EXISTS / subqueries mixed with patterns): the SPARQL layer stores
+    # the parsed sub-Query here and attaches a ``step_fn`` that runs
+    # the complete GroupGraphPattern evaluator over it — bgp.py
+    # left-joins the resulting solutions like any other block step
+    group: object = None
 
 
 @dataclass

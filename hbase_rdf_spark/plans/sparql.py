@@ -62,7 +62,9 @@ assignment).
 Subqueries: nested ``{ SELECT … }`` blocks evaluate bottom-up in ID
 SPACE and join the enclosing group on shared variables — the standard
 analytic shape (per-group aggregate joined back to detail rows).
-Surface: BGP/FILTER/OPTIONAL + aggregates (incl. the label-space
+Surface: the full group algebra in the WHERE body (BGP/FILTER/
+OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS/nested subqueries)
++ aggregates (incl. the label-space
 GROUP_CONCAT/SAMPLE, which export kind-1 structs with a lexical
 sidecar) with GROUP BY/HAVING and DISTINCT, plus ORDER BY …
 LIMIT/OFFSET top-k slices (numeric sort keys — aggregate aliases or
@@ -73,7 +75,25 @@ every group position — top level, OPTIONAL, UNION branches, GRAPH
 with a constant, and GRAPH ?var (per-named-graph pair algebra: the
 context id rides the closure as an extra join key, plans/bgp.py
 ``_path_step``) — matching ARQ's path flattening in the reference
-(optimizer/HBaseOptimize.java:28-124).
+(optimizer/HBaseOptimize.java:28-124). Every group position accepts
+the FULL group algebra — VALUES, MINUS, FILTER [NOT] EXISTS,
+subqueries mixed with patterns, and nested UNION chains mixed with
+other content ({ {A} UNION {B} . C } — joins distribute over the
+union): an OPTIONAL block, a UNION branch, a MINUS block, an EXISTS
+block, or a bare braced group carrying any of these becomes a
+``group``-backed block evaluated through the same GroupGraphPattern
+evaluator as a top-level WHERE clause (``_group_bindings``) and
+combined (left-/anti-/semi-joined) as a unit.
+
+Dataset semantics: with no dataset clause, patterns scan the
+STATEMENT-LEVEL quad view — one solution per containing named graph,
+the RDF4J/Sesame repository default the reference's sail layer exposes
+(sail/HBaseSailConnection.java getStatements over all contexts). A
+triple asserted in k graphs therefore contributes k to non-DISTINCT
+aggregates, exactly like the direct BGP API. ``FROM`` switches to the
+SPARQL 1.1 §13.2 RDF-merge default graph (set union for ground
+triples, dedup in the scan — plans/bgp.py ``_scan_pattern``);
+``GRAPH``/``FROM NAMED`` bind or bound the context explicitly.
 
 Unsupported (deliberately): correlated label-space filters inside
 EXISTS blocks, BIND vars reused in graph patterns (requires in-group
@@ -174,6 +194,8 @@ class Aggregate:
     var: str | None  # None = COUNT(*)
     alias: str
     distinct: bool = False
+    # GROUP_CONCAT(?v; SEPARATOR="…") — SPARQL 1.1 §18.5.1.7
+    separator: str = " "
 
 
 @dataclass
@@ -200,6 +222,11 @@ class GroupBlock:
     # join the rest of the combo on shared vars
     subquery: object = None
     out_names: tuple = ()
+    # a full-algebra branch (nested UNION mixed with other content,
+    # VALUES/MINUS/EXISTS/subqueries inside the branch): the parsed
+    # sub-Query, evaluated through _group_bindings and joined to the
+    # rest of the combo on shared vars
+    group: object = None
 
 
 class _Undef:
@@ -601,13 +628,14 @@ class _Parser:
                     v = self.next()
                     if not v.startswith("?"):
                         raise SparqlSyntaxError("aggregate argument must be a var")
+                sep = self._agg_separator(func)
                 self.expect(")")
                 self.expect("AS")
                 alias = self.next()
                 if not alias.startswith("?"):
                     raise SparqlSyntaxError("aggregate alias must be a var")
                 self.expect(")")
-                q.aggregates.append(Aggregate(func, v, alias, distinct))
+                q.aggregates.append(Aggregate(func, v, alias, distinct, sep))
                 q.variables.append(alias)
             else:
                 break
@@ -678,18 +706,13 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                if sub.subqueries:
-                    # supported as the block's SOLE content: the
-                    # subquery's solutions left-join on shared vars
-                    if (len(sub.subqueries) != 1 or sub.patterns
-                            or sub.filters or sub.lang_filters
-                            or sub.optional or sub.union_blocks
-                            or sub.binds or sub.values or sub.minus
-                            or sub.exists):
-                        raise SparqlSyntaxError(
-                            "a subquery inside OPTIONAL must be the "
-                            "block's only content"
-                        )
+                if (len(sub.subqueries) == 1 and not sub.patterns
+                        and not sub.filters and not sub.lang_filters
+                        and not sub.optional and not sub.union_blocks
+                        and not sub.binds and not sub.values
+                        and not sub.minus and not sub.exists):
+                    # subquery as the block's sole content: its
+                    # solutions left-join directly on shared vars
                     sq = sub.subqueries[0]
                     q.optional.append(
                         OptionalBlock(
@@ -698,10 +721,27 @@ class _Parser:
                         )
                     )
                     continue
-                if sub.values or sub.minus or sub.exists:
-                    raise SparqlSyntaxError(
-                        "VALUES/MINUS/EXISTS inside OPTIONAL are not supported"
+                complex_branch = any(
+                    getattr(br, "group", None) is not None
+                    or getattr(br, "subquery", None) is not None
+                    for chain in sub.union_blocks
+                    for br in chain
+                )
+                if (sub.values or sub.minus or sub.exists
+                        or sub.subqueries or complex_branch):
+                    # full-algebra group: VALUES / MINUS / FILTER
+                    # EXISTS / a subquery mixed with other content, or
+                    # a UNION chain whose branch needs the full
+                    # evaluator — run through the complete
+                    # GroupGraphPattern evaluator (_group_bindings)
+                    # via step_fn
+                    q.optional.append(
+                        OptionalBlock(
+                            group=sub,
+                            out_names=tuple(sorted(_query_scope_vars(sub))),
+                        )
                     )
+                    continue
                 # the whole group left-joins as a unit, its FILTERs
                 # applied inside the block (SPARQL LeftJoin semantics);
                 # UNION chains expand per branch combination, BINDs
@@ -779,12 +819,20 @@ class _Parser:
                     self._subgroup(alt, graph)
                     self.expect("}")
                     branches.extend(self._branchify(alt))
-                if len(branches) == 1:
-                    b = branches[0]
+                b = branches[0]
+                if (len(branches) == 1
+                        and getattr(b, "group", None) is None
+                        and getattr(b, "subquery", None) is None):
+                    # plain group: splice into the enclosing group
                     q.patterns.extend(b.patterns)
                     q.filters.extend(b.filters)
                     q.optional.extend(b.optional)
+                    q.binds.extend(b.binds)
                 else:
+                    # a full-algebra single branch ({ {A} UNION {B} . C }
+                    # or a braced group carrying VALUES/MINUS/EXISTS/
+                    # subqueries) evaluates as a unit through the union
+                    # combo machinery — a 1-branch chain
                     q.union_blocks.append(branches)
             elif tok == ".":
                 self.next()
@@ -910,12 +958,15 @@ class _Parser:
         return [self._as_branch(sub)]
 
     def _as_branch(self, sub: "Query") -> GroupBlock:
-        if sub.union_blocks:
-            raise SparqlSyntaxError("nested UNION chains are not supported")
-        if sub.values or sub.minus or sub.exists or sub.subqueries:
-            raise SparqlSyntaxError(
-                "VALUES/MINUS/EXISTS/subqueries nested inside a group "
-                "are not supported"
+        if (sub.union_blocks or sub.values or sub.minus or sub.exists
+                or sub.subqueries):
+            # full-algebra branch: a nested UNION mixed with other
+            # content ({ {A} UNION {B} . C } — joins distribute over
+            # unions, evaluated as a unit), or VALUES/MINUS/EXISTS/
+            # subqueries inside the branch; _group_bindings evaluates
+            # the whole sub-group
+            return GroupBlock(
+                group=sub, out_names=tuple(sorted(_query_scope_vars(sub)))
             )
         for b in sub.binds:
             if b.var in pattern_vars(sub.patterns):
@@ -929,6 +980,28 @@ class _Parser:
             optional=sub.optional,
             binds=sub.binds,
         )
+
+    def _agg_separator(self, func: str) -> str:
+        """Optional ``; SEPARATOR="…"`` tail inside the aggregate's
+        parens (SPARQL 1.1 §18.5.1.7, GROUP_CONCAT only)."""
+        if self.peek() != ";":
+            return " "
+        self.next()
+        w = self.next()
+        if w.upper() != "SEPARATOR":
+            raise SparqlSyntaxError(f"expected SEPARATOR, got {w}")
+        if func != "GROUP_CONCAT":
+            raise SparqlSyntaxError(
+                "SEPARATOR is only valid on GROUP_CONCAT"
+            )
+        self.expect("=")
+        tok = self.next()
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"$', tok) or re.match(
+            r"^'((?:[^'\\]|\\.)*)'$", tok
+        )
+        if not m:
+            raise SparqlSyntaxError("SEPARATOR must be a string literal")
+        return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
 
     def _values_block(self) -> ValuesBlock:
         multi = self.peek() == "("
@@ -1594,7 +1667,9 @@ def _agg_expr(a: Aggregate):
         if a.func == "SAMPLE":
             return F.min(lbl).alias(a.alias[1:])
         members = F.collect_set(lbl) if a.distinct else F.collect_list(lbl)
-        return F.concat_ws(" ", F.sort_array(members)).alias(a.alias[1:])
+        return F.concat_ws(
+            getattr(a, "separator", " "), F.sort_array(members)
+        ).alias(a.alias[1:])
     num = F.col(a.var[1:]).getField("num")
     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[a.func]
     return fn(num).alias(a.alias[1:])
@@ -1602,10 +1677,18 @@ def _agg_expr(a: Aggregate):
 
 def _attach_labels(result, store, var_names):
     """Join the lexical label for each var (numeric fallback) as
-    ``__{v}_lbl`` — needed by label-space aggregates BEFORE grouping."""
+    ``__{v}_lbl`` — needed by label-space aggregates BEFORE grouping.
+    A var carrying a ``__{v}_vlex`` sidecar (BIND-produced string,
+    VALUES literal) uses it first: its in-plan hash id is not in the
+    dictionary, so the id2term join would miss."""
     for v in var_names:
         d = store.id2term().select(
             F.col("id").alias(f"__{v}_aid"), F.col("label").alias(f"__{v}_albl")
+        )
+        side = (
+            [F.col(f"__{v}_vlex")]
+            if f"__{v}_vlex" in result.columns
+            else []
         )
         result = (
             result.join(
@@ -1614,6 +1697,7 @@ def _attach_labels(result, store, var_names):
             .withColumn(
                 f"__{v}_lbl",
                 F.coalesce(
+                    *side,
                     F.col(f"__{v}_albl"),
                     F.col(v).getField("num").cast("string"),
                 ),
@@ -2113,6 +2197,29 @@ def _having_col(h: tuple):
     raise ValueError(f"unknown HAVING node {h!r}")
 
 
+def _query_scope_vars(sub: Query) -> set[str]:
+    """Every variable a group can bind: pattern vars, UNION branch
+    vars, OPTIONAL-nested vars, BIND targets, VALUES vars, subquery
+    projections. Used as the visible-var set (``out_names``) of a
+    full-algebra OPTIONAL group."""
+    names = pattern_vars(sub.patterns)
+    for blk in sub.optional:
+        names |= _block_vars(blk)
+    for chain in sub.union_blocks:
+        for br in chain:
+            names |= pattern_vars(br.patterns)
+            names |= set(getattr(br, "out_names", ()) or ())
+            names |= {b.var for b in getattr(br, "binds", ()) or ()}
+            for blk in br.optional:
+                names |= _block_vars(blk)
+    names |= {b.var for b in sub.binds}
+    for vb in sub.values:
+        names |= set(vb.vars)
+    for sq in sub.subqueries:
+        names |= set(_subquery_out_names(sq))
+    return {n for n in names if not n.startswith("__bn_")}
+
+
 def _subquery_out_names(sub: Query) -> list[str]:
     """Projected column names (no '?') of a subquery."""
     if sub.aggregates:
@@ -2121,13 +2228,11 @@ def _subquery_out_names(sub: Query) -> list[str]:
         ]
     if sub.variables:
         return [v[1:] for v in sub.variables]
-    # SELECT *: every visible variable of the group (patterns +
-    # OPTIONAL blocks), in sorted order for determinism; blank-node
-    # vars are non-projectable (SPARQL 1.1 §4.1.4)
-    names = pattern_vars(sub.patterns)
-    for blk in sub.optional:
-        names |= _block_vars(blk)
-    names = {n for n in names if not n.startswith("__bn_")}
+    # SELECT *: every visible variable of the group (patterns,
+    # OPTIONAL blocks, UNION branches, BIND/VALUES vars, nested
+    # subquery projections), in sorted order for determinism;
+    # blank-node vars are non-projectable (SPARQL 1.1 §4.1.4)
+    names = _query_scope_vars(sub)
     if not names:
         raise SparqlSyntaxError("SELECT * subquery binds no variables")
     return sorted(names)
@@ -2140,7 +2245,10 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
     outputs become kind-2 numeric structs (they render via the numeric
     fallback, e.g. COUNT → \"3.0\").
 
-    Surface: BGP + FILTER + OPTIONAL, [DISTINCT], aggregates (incl.
+    Surface: the full GroupGraphPattern algebra in the WHERE body —
+    BGP + FILTER + OPTIONAL, plus UNION / VALUES / BIND / MINUS /
+    FILTER [NOT] EXISTS / nested subqueries via ``_group_bindings``
+    (round 4) —, [DISTINCT], aggregates (incl.
     label-space GROUP_CONCAT/SAMPLE → kind-1 structs with a lexical
     sidecar) with GROUP BY/HAVING, and ORDER BY … LIMIT/OFFSET top-k
     slices. Sort keys are evaluated numerically — an aggregate alias
@@ -2151,11 +2259,6 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
     partition top-k plus a driver merge of k-row heads, no full sort
     at any scale.
     """
-    if (sub.union_blocks or sub.values or sub.minus or sub.exists
-            or sub.binds or sub.subqueries):
-        raise SparqlSyntaxError(
-            "subqueries support only BGP/FILTER/OPTIONAL + aggregates"
-        )
     if sub.order_by and sub.limit is None and sub.offset is None:
         # ORDER without a slice is algebraically unobservable through
         # the enclosing join — reject rather than silently ignore
@@ -2164,12 +2267,20 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         )
     from hbase_rdf_spark.plans.bgp import _binding_struct
 
-    _attach_bind_fns(store, sub.optional)
-    res = execute_bgp(
-        store, sub.patterns, filters=list(sub.filters),
-        optional=list(sub.optional),
-        dedup=sub.distinct and not sub.aggregates,
-    )
+    if (sub.union_blocks or sub.values or sub.minus or sub.exists
+            or sub.binds or sub.subqueries):
+        # full-algebra WHERE body (UNION / VALUES / BIND / MINUS /
+        # FILTER EXISTS / nested subqueries): the complete
+        # GroupGraphPattern evaluator; bag semantics inside — DISTINCT
+        # applies to the projection below, per spec
+        res = _group_bindings(store, sub, False)
+    else:
+        _attach_bind_fns(store, sub.optional)
+        res = execute_bgp(
+            store, sub.patterns, filters=list(sub.filters),
+            optional=list(sub.optional),
+            dedup=sub.distinct and not sub.aggregates,
+        )
     label_aggs: list[str] = []
     if sub.aggregates:
         label_vars = sorted({
@@ -2184,6 +2295,14 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         ]
         gvars = [v[1:] for v in sub.group_by]
         aggs = [_agg_expr(a) for a in sub.aggregates]
+        # a grouped BIND/VALUES string var carries its lexical sidecar
+        # through the groupBy (the struct id is the hash OF the
+        # lexical, so first() is exact per group)
+        aggs += [
+            F.first(F.col(f"__{gv}_vlex")).alias(f"__{gv}_vlex")
+            for gv in gvars
+            if f"__{gv}_vlex" in res.columns
+        ]
         res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
         if sub.having:
             res = res.filter(_having_col(sub.having))
@@ -2347,6 +2466,7 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     opts = list(q.optional)
     binds = []
     subs = []
+    grps = []
     for b in combo:
         pats += b.patterns
         filts += b.filters
@@ -2354,8 +2474,10 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
         binds += getattr(b, "binds", [])
         if getattr(b, "subquery", None) is not None:
             subs.append(b)
+        if getattr(b, "group", None) is not None:
+            grps.append(b)
     bind_vars = {bd.var for bd in binds}
-    sub_vars = {n for b in subs for n in b.out_names}
+    sub_vars = {n for b in subs + grps for n in b.out_names}
     scope = pattern_vars(pats) | bind_vars | sub_vars
     for blk in opts:
         scope |= _block_vars(blk)
@@ -2373,12 +2495,16 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
         result = execute_bgp(
             store, pats, filters=applicable, optional=opts, dedup=dedup
         )
-    elif not subs:
+    elif not subs and not grps:
         # pattern-free branch (pure BIND tagging): the unit solution —
         # one row, no columns — which the BINDs below then extend
         result = store.spark.range(1).drop("id")
-    for b in subs:
-        sdf = _execute_subquery(store, b.subquery)
+    for b in subs + grps:
+        sdf = (
+            _execute_subquery(store, b.subquery)
+            if getattr(b, "subquery", None) is not None
+            else _group_bindings(store, b.group, dedup)
+        )
         if result is None:
             result = sdf
             continue
@@ -2409,6 +2535,15 @@ def _attach_bind_fns(store, blocks) -> None:
             blk.step_fn = (
                 lambda sq: lambda: _execute_subquery(store, sq)
             )(blk.subquery)
+        if (getattr(blk, "group", None) is not None
+                and getattr(blk, "step_fn", None) is None):
+            # full-algebra OPTIONAL group (VALUES/MINUS/EXISTS/mixed
+            # subqueries): the block's solutions come from the complete
+            # GroupGraphPattern evaluator; bag semantics inside the
+            # block (dedup=False) — LeftJoin preserves multiplicities
+            blk.step_fn = (
+                lambda g: lambda: _group_bindings(store, g, False)
+            )(blk.group)
         if getattr(blk, "binds", None) and getattr(blk, "bind_fn", None) is None:
             blk.bind_fn = (
                 lambda b: lambda df: _apply_binds(df, store, b.binds)
@@ -2454,28 +2589,19 @@ def _compat_join(
     return result.join(blk, cond, how)
 
 
-def execute(
-    store, query: str | Query, with_kinds: bool = False
-) -> DataFrame:
-    """SPARQL text → materialized DataFrame (one string column per var).
-
-    ``with_kinds`` (service layer): emit a hidden ``__k_{var}`` tinyint
-    column per projected SELECT variable carrying the binding's term
-    kind, so results-JSON typing is exact rather than string-sniffed.
-    """
-    q = parse(query) if isinstance(query, str) else query
+def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
+    """Id-space solutions of one GroupGraphPattern: patterns, OPTIONAL
+    blocks, UNION chains, subqueries, VALUES, BIND, MINUS and FILTER
+    [NOT] EXISTS — the full group algebra before the solution
+    modifiers (aggregation / DISTINCT / ORDER / LIMIT) and before
+    materialization. ``execute`` runs it on the WHERE clause; a
+    full-algebra OPTIONAL group (``OptionalBlock.group``) closes over
+    it as the block's ``step_fn``, which is what lets VALUES / MINUS /
+    EXISTS / mixed subqueries appear inside OPTIONAL."""
     _attach_bind_fns(store, q.optional)
     for chain in q.union_blocks:
         for br in chain:
             _attach_bind_fns(store, br.optional)
-
-    if q.form == "describe" and not q.patterns and not q.union_blocks:
-        return _describe(store, q, None)
-
-    # set-semantics evaluation is sound exactly when only the solution
-    # SET can be observed: SELECT DISTINCT / ASK without aggregates
-    # (aggregates count multiplicities — must keep bags)
-    dedup = (q.distinct or q.form == "ask") and not q.aggregates
 
     # filters over vars produced AFTER the pattern joins (BIND targets,
     # subquery projections) are deferred until those vars exist
@@ -2605,11 +2731,18 @@ def execute(
     # (disjoint domains remove nothing, per spec); removal additionally
     # requires a non-empty bound overlap — dom(μ)∩dom(μ′) ≠ ∅.
     for blk in q.minus:
-        local, foreign = _split_block_filters(blk)
-        step = execute_bgp(
-            store, blk.patterns, filters=local,
-            optional=blk.optional, dedup=True,
-        )
+        if getattr(blk, "group", None) is not None:
+            # full-algebra MINUS block (UNION chain, VALUES, nested
+            # MINUS/EXISTS, subqueries): the complete group evaluator;
+            # a filter over vars bound only outside the block raises
+            # inside it (correlated full-algebra MINUS is out of scope)
+            step, foreign = _group_bindings(store, blk.group, True), []
+        else:
+            local, foreign = _split_block_filters(blk)
+            step = execute_bgp(
+                store, blk.patterns, filters=local,
+                optional=blk.optional, dedup=True,
+            )
         # spec: MINUS evaluates its pattern WITHOUT substitution, so a
         # filter var bound only outside the block is simply UNBOUND
         # inside it. Materializing those vars as NULL struct columns
@@ -2645,11 +2778,17 @@ def execute(
     # the block's copies of shared vars renamed out of the way so each
     # unqualified column name resolves to exactly one side.
     for positive, blk in q.exists:
-        local, correlated = _split_block_filters(blk)
-        step = execute_bgp(
-            store, blk.patterns, filters=local,
-            optional=blk.optional, dedup=True,
-        )
+        if getattr(blk, "group", None) is not None:
+            # full-algebra EXISTS block: complete group evaluator;
+            # correlation happens only through shared-var compatibility
+            # (a filter over outer-only vars raises inside)
+            step, correlated = _group_bindings(store, blk.group, True), []
+        else:
+            local, correlated = _split_block_filters(blk)
+            step = execute_bgp(
+                store, blk.patterns, filters=local,
+                optional=blk.optional, dedup=True,
+            )
         shared = [c for c in step.columns if c in result.columns]
         how = "left_semi" if positive else "left_anti"
         if correlated:
@@ -2695,6 +2834,29 @@ def execute(
         else:
             if positive != (not step.isEmpty()):
                 result = result.limit(0)
+
+    return result
+
+
+def execute(
+    store, query: str | Query, with_kinds: bool = False
+) -> DataFrame:
+    """SPARQL text → materialized DataFrame (one string column per var).
+
+    ``with_kinds`` (service layer): emit a hidden ``__k_{var}`` tinyint
+    column per projected SELECT variable carrying the binding's term
+    kind, so results-JSON typing is exact rather than string-sniffed.
+    """
+    q = parse(query) if isinstance(query, str) else query
+
+    if q.form == "describe" and not q.patterns and not q.union_blocks:
+        return _describe(store, q, None)
+
+    # set-semantics evaluation is sound exactly when only the solution
+    # SET can be observed: SELECT DISTINCT / ASK without aggregates
+    # (aggregates count multiplicities — must keep bags)
+    dedup = (q.distinct or q.form == "ask") and not q.aggregates
+    result = _group_bindings(store, q, dedup)
 
     if q.lang_filters:  # legacy Query-object API
         result = _apply_lang_filters(result, store, q.lang_filters)

@@ -869,15 +869,17 @@ def test_subquery_inside_optional_executes(store):
       OPTIONAL { { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
     }
     """).collect()
-    # a subquery MIXED with patterns in one OPTIONAL still raises
-    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
-        execute(store, """
-        SELECT ?i WHERE {
-          ?i <http://ex/item> <http://ex/yes> .
-          OPTIONAL { ?i <http://ex/label> ?l
-                     { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
-        }
-        """)
+    # since r4: a subquery MIXED with patterns in one OPTIONAL is a
+    # full-algebra group — the subquery inner-joins the block's
+    # patterns before the left join (tests/test_sparql_r4b.py covers
+    # the semantics; here just assert it plans and runs)
+    execute(store, """
+    SELECT ?i WHERE {
+      ?i <http://ex/item> <http://ex/yes> .
+      OPTIONAL { ?i <http://ex/label> ?l
+                 { SELECT ?i WHERE { ?i <http://ex/price> ?p } } }
+    }
+    """).collect()
 
 
 # -- BIND string functions ---------------------------------------------------

@@ -411,14 +411,16 @@ def test_subquery_inside_optional(store):
     }
 
 
-def test_subquery_in_optional_with_patterns_rejected(store):
-    with pytest.raises(SparqlSyntaxError):
-        parse("""
-            SELECT ?s WHERE {
-              ?s <http://ex/name> ?n .
-              OPTIONAL { ?s <http://ex/age> ?a
-                         { SELECT ?s WHERE { ?s <http://ex/city> ?c } } }
-            }""")
+def test_subquery_in_optional_with_patterns_accepted(store):
+    # since r4 a subquery mixed with patterns inside OPTIONAL is a
+    # full-algebra group (semantics in tests/test_sparql_r4b.py);
+    # here just assert it parses
+    parse("""
+        SELECT ?s WHERE {
+          ?s <http://ex/name> ?n .
+          OPTIONAL { ?s <http://ex/age> ?a
+                     { SELECT ?s WHERE { ?s <http://ex/city> ?c } } }
+        }""")
 
 
 def test_subquery_inside_graph(store):
