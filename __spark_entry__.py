@@ -792,6 +792,20 @@ def _q_sparql_subquery_union(spark, sf):
         }""")
 
 
+def _q_sparql_exists_label(spark, sf):
+    # correlated LABEL-SPACE filter inside EXISTS (round 4): regex over
+    # the OUTER-only var ?n rides the EXISTS join condition after a
+    # one-join id2term label attach on the outer side (substitution
+    # semantics, SPARQL 1.1 §8.1.1). ?n is a numeric literal, so its
+    # str() falls back to the num rendering ("3.0" for toklen 3).
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?n WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          FILTER EXISTS { ?y <merge> ?z . FILTER regex(?n, "^3") }
+        }""")
+
+
 def _q_stream_dedup(spark, sf):
     # Structured Streaming surface as a DRIVER gate (VERDICT r3 #5),
     # made deterministic: one availableNow run of the watermark-bounded
@@ -1545,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block D: driver-green in an earlier round, outside the window --
         "ann_ivf_topk": _q_ann_ivf,
         "sample_fraction": _q_sample_fraction,
+        "kg_sparql_exists_label": _q_sparql_exists_label,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2299,6 +2314,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(deg.n AS DOUBLE) AS VARCHAR) AS n,
                    CAST(CAST(length(deg.y) AS DOUBLE) AS VARCHAR) AS l
             FROM deg""",
+        # correlated label-space EXISTS: outer-only numeric var's
+        # str() renders via num ("3.0"); EXISTS block = merge edges
+        "kg_sparql_exists_label": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT t.o AS y,
+                   CAST(CAST(length(t.o) AS DOUBLE) AS VARCHAR) AS n
+            FROM triples t
+            WHERE t.s = 'spark' AND t.p = 'join'
+              AND regexp_matches(
+                    CAST(CAST(length(t.o) AS DOUBLE) AS VARCHAR), '^3')
+              AND EXISTS (SELECT 1 FROM triples m
+                          WHERE m.p = 'merge' AND m.s = t.o)""",
         "kg_sparql_ask": f"""{_TRIPLES_CTE}
             SELECT EXISTS(
               SELECT 1 FROM triples t1

@@ -48,7 +48,9 @@ outer-scope vars evaluate those vars as UNBOUND, per the spec's
 no-substitution rule — NULL struct columns + three-valued logic),
 ``FILTER [NOT] EXISTS`` (semi/anti join; uncorrelated → global
 emptiness test; correlated block filters join-condition-evaluate
-under substitution semantics, id/num space only), ``FILTER(?x [NOT]
+under substitution semantics — numeric/term comparisons AND
+label-space predicates, the latter via per-var id2term label
+attachment on the substituted side), ``FILTER(?x [NOT]
 IN (…))`` (OptimizeIn-style
 equality expansion), ``BIND(expr AS ?v)`` (constant terms, variable
 copies, numeric arithmetic ``+ - * /`` over vars/numbers, and the
@@ -67,9 +69,10 @@ OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS/nested subqueries)
 + aggregates (incl. the label-space
 GROUP_CONCAT/SAMPLE, which export kind-1 structs with a lexical
 sidecar) with GROUP BY/HAVING and DISTINCT, plus ORDER BY …
-LIMIT/OFFSET top-k slices (numeric sort keys — aggregate aliases or
-vars with numeric bindings; Catalyst lowers sort+limit to
-TakeOrderedAndProject, no full sort); subqueries nest one level into
+LIMIT/OFFSET top-k slices (type-aware sort keys — aggregate aliases
+sort natively, pattern vars on the SPARQL total order with a lexical
+tie-break; Catalyst lowers sort+limit to TakeOrderedAndProject, no
+full sort); subqueries nest one level into
 OPTIONAL/GRAPH/UNION (deeper nesting raises). Property paths work in
 every group position — top level, OPTIONAL, UNION branches, GRAPH
 with a constant, and GRAPH ?var (per-named-graph pair algebra: the
@@ -95,9 +98,8 @@ SPARQL 1.1 §13.2 RDF-merge default graph (set union for ground
 triples, dedup in the scan — plans/bgp.py ``_scan_pattern``);
 ``GRAPH``/``FROM NAMED`` bind or bound the context explicitly.
 
-Unsupported (deliberately): correlated label-space filters inside
-EXISTS blocks, BIND vars reused in graph patterns (requires in-group
-evaluation order), label-space ORDER keys inside subqueries.
+Unsupported (deliberately): BIND vars reused in graph patterns
+(requires in-group evaluation order).
 """
 
 from __future__ import annotations
@@ -119,6 +121,7 @@ from hbase_rdf_spark.plans.bgp import (
     materialize,
     pattern_vars,
     _apply_filter,
+    _attach_filter_labels,
     _block_vars,
 )
 from hbase_rdf_spark.plans.filters import (
@@ -2251,13 +2254,13 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
     (round 4) —, [DISTINCT], aggregates (incl.
     label-space GROUP_CONCAT/SAMPLE → kind-1 structs with a lexical
     sidecar) with GROUP BY/HAVING, and ORDER BY … LIMIT/OFFSET top-k
-    slices. Sort keys are evaluated numerically — an aggregate alias
-    sorts on its raw scalar, a pattern/group var on its binding's
-    ``num`` field (non-numeric terms sort as NULL; label-space
-    ordering inside a subquery is a documented non-goal). Catalyst
-    lowers the sort+limit to ``TakeOrderedAndProject`` — a per-
-    partition top-k plus a driver merge of k-row heads, no full sort
-    at any scale.
+    slices. Sort keys are type-aware (round 4): an aggregate alias
+    sorts on its raw scalar; a pattern/group var sorts on the SPARQL
+    total order — unbound < IRIs < literals, numerics by value,
+    lexical tie-break on the label (one id2term join per order var).
+    Catalyst lowers the sort+limit to ``TakeOrderedAndProject`` — a
+    per-partition top-k plus a driver merge of k-row heads, no full
+    sort at any scale.
     """
     if sub.order_by and sub.limit is None and sub.offset is None:
         # ORDER without a slice is algebraically unobservable through
@@ -2308,20 +2311,40 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
             res = res.filter(_having_col(sub.having))
     if sub.order_by:
         agg_aliases = {a.alias[1:] for a in sub.aggregates}
-
-        def _key(name: str):
-            # aggregate outputs are raw scalars at this point; binding
-            # structs expose their numeric value
+        lbl_vars = sorted({
+            v[1:] for v, _ in sub.order_by if v[1:] not in agg_aliases
+        })
+        # type-aware SPARQL total order for binding-struct keys
+        # (round 4 — previously numeric-only): unbound < IRIs <
+        # literals; numerics by value, string literals after/before
+        # them; lexical tie-break on the label — one id2term join per
+        # order var, bounded by the subquery's own cardinality (the
+        # same plumbing GROUP_CONCAT uses). Aggregate aliases are raw
+        # scalars and sort natively.
+        if lbl_vars:
+            res = _attach_labels(res, store, lbl_vars)
+        keys = []
+        for v, asc in sub.order_by:
+            name = v[1:]
             if name in agg_aliases:
-                return F.col(name)
-            return F.col(name).getField("num")
-
-        res = res.orderBy(
-            *[
-                _key(v[1:]).asc() if asc else _key(v[1:]).desc()
-                for v, asc in sub.order_by
+                keys.append(F.col(name).asc() if asc else F.col(name).desc())
+                continue
+            b = F.col(name)
+            rank = (
+                F.when(b.isNull(), F.lit(-1))
+                .when(b.getField("kind") == 0, F.lit(0))
+                .otherwise(F.lit(1))
+            )
+            num = b.getField("num")
+            lbl = F.col(f"__{name}_lbl")
+            keys += [
+                rank.asc() if asc else rank.desc(),
+                num.asc_nulls_last() if asc else num.desc_nulls_first(),
+                lbl.asc() if asc else lbl.desc(),
             ]
-        )
+        res = res.orderBy(*keys)
+        if lbl_vars:
+            res = res.drop(*[f"__{v}_lbl" for v in lbl_vars])
     if sub.offset:
         res = res.offset(sub.offset)
     if sub.limit is not None:
@@ -2793,18 +2816,29 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         how = "left_semi" if positive else "left_anti"
         if correlated:
             for f in correlated:
-                if f.label_vars():
-                    raise SparqlSyntaxError(
-                        "correlated label-space filters (regex/str()/"
-                        "lang/isIRI/isBlank) inside EXISTS are not "
-                        "supported — apply them outside the block"
-                    )
                 missing = f.vars() - set(step.columns) - set(result.columns)
                 if missing:
                     raise SparqlSyntaxError(
                         "EXISTS filter references variables bound "
                         f"nowhere: {sorted(missing)}"
                     )
+            # label-space correlated filters (regex/str()/langMatches/
+            # isIRI…): attach each referenced var's lexical label to
+            # the side that carries it through the join — the OUTER
+            # side for outer and shared vars (EXISTS substitutes the
+            # outer binding, SPARQL 1.1 §8.1.1), the block side for
+            # block-only vars. One id2term join per var, exactly the
+            # _apply_filter plumbing.
+            lbl_outer: list[str] = []
+            lvs = sorted(
+                set().union(set(), *(f.label_vars() for f in correlated))
+            )
+            for v in lvs:
+                if v in result.columns:
+                    result = _attach_filter_labels(store, result, [v])
+                    lbl_outer.append(f"__{v}_flbl")
+                else:
+                    step = _attach_filter_labels(store, step, [v])
             for v in shared:
                 step = step.withColumnRenamed(v, f"__ex_{v}")
             cond = F.lit(True)
@@ -2824,6 +2858,8 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             # shared vars exist, and the block side is dedup'd — the
             # same shape Catalyst gives a correlated SQL EXISTS
             result = result.join(step, cond, how)
+            if lbl_outer:
+                result = result.drop(*lbl_outer)
         elif shared:
             if may_unbound or blk.optional:
                 result = _compat_join(

@@ -77,7 +77,34 @@ CORES_PER_EXEC = 2
 EXEC_MEM_MB = 4096
 
 
-def run_leg(cores: int, n_convs: int, pyz: str) -> dict:
+def gen_corpus(n_convs: int, pyz: str) -> str:
+    """Pre-generate the benchmark corpus ONCE at full host parallelism
+    (untimed scaffolding — the legs read it; pure-Python row generation
+    would otherwise dominate the small leg's wall clock at 2M convs)."""
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = os.path.join(
+        shm or os.path.join(REPO, "_tmp"), f"scalecorpus_{n_convs}"
+    )
+    if os.path.isfile(os.path.join(out, "_SUCCESS")):
+        return out
+    cmd = [
+        "spark-submit",
+        "--master", "local[12]",
+        "--driver-memory", "8g",
+        "--py-files", pyz,
+        os.path.join(REPO, "scripts", "scaling_runner.py"),
+        "--gen", str(n_convs), out, "64",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                       timeout=3000)
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        raise RuntimeError(
+            f"corpus generation failed:\n{r.stdout[-1500:]}\n{r.stderr[-1500:]}"
+        )
+    return out
+
+
+def run_leg(cores: int, n_convs: int, pyz: str, corpus: str) -> dict:
     # E separate executor JVMs × 2 cores each — adding executors is the
     # thing the north rule scales, and per-executor aux threads
     # (GC/shuffle/parquet/netty) stay constant across legs.
@@ -101,7 +128,7 @@ def run_leg(cores: int, n_convs: int, pyz: str) -> dict:
         *(["--conf", f"spark.local.dir={local_dir}"] if local_dir else []),
         "--py-files", pyz,
         os.path.join(REPO, "scripts", "scaling_runner.py"),
-        str(n_execs * CORES_PER_EXEC), str(n_convs),
+        str(n_execs * CORES_PER_EXEC), str(n_convs), corpus,
     ]
     # generous: a 2-core leg at 2M convs (corpus gen + warmup +
     # best-of-3 timed builds) legitimately needs ~40 min
@@ -127,10 +154,16 @@ def main() -> None:
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     factor = n_big / n_small
     pyz = make_pyfiles_zip()
+    corpus = gen_corpus(n_convs, pyz)
     cap_small = cpu_capacity_probe(n_small)
     cap_big = cpu_capacity_probe(n_big)
-    r_small = run_leg(n_small, n_convs, pyz)
-    r_big = run_leg(n_big, n_convs, pyz)
+    try:
+        r_small = run_leg(n_small, n_convs, pyz, corpus)
+        r_big = run_leg(n_big, n_convs, pyz, corpus)
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(corpus, ignore_errors=True)
     eff = r_big["tps"] / (factor * r_small["tps"])
     hw_ceiling = round(cap_big / cap_small / factor, 3)
     e_small = max(1, n_small // CORES_PER_EXEC)

@@ -422,6 +422,60 @@ def main() -> None:
                             "HashAggregate", "Scan parquet")),
     ))
 
+    p26 = eng.sql(
+        "SELECT ?x ?c WHERE { ?x <rel:works_at> ?y . "
+        "OPTIONAL { ?x <rel:lives_in> ?c "
+        "MINUS { ?x <rel:age> ?a } "
+        "FILTER EXISTS { ?x <rel:works_at> ?w } } }"
+    )
+    sections.append((
+        "Full-algebra OPTIONAL group — one evaluator, one LeftOuter",
+        "An OPTIONAL block carrying MINUS + FILTER EXISTS (round 4) "
+        "evaluates through the same GroupGraphPattern evaluator as a "
+        "top-level WHERE — the block's anti/semi joins run INSIDE the "
+        "block subtree, and the whole thing left-joins the required "
+        "bindings once. No per-row re-evaluation, no driver loop: the "
+        "block is a single DataFrame the optimizer plans like any "
+        "other join input.",
+        trim(plan_of(p26), ("Join", "LeftAnti", "LeftSemi", "LeftOuter",
+                            "HashAggregate", "Scan parquet")),
+    ))
+
+    p27 = eng.sql(
+        "SELECT ?x ?n WHERE { ?x <rel:age> ?a . "
+        "{ SELECT ?x (COUNT(?y) AS ?n) WHERE { "
+        "{ ?x <rel:works_at> ?y } UNION { ?x <rel:lives_in> ?y } } "
+        "GROUP BY ?x } }"
+    )
+    sections.append((
+        "Full-algebra subquery body — union feeds one partial agg",
+        "A subquery aggregating over a UNION body (round 4) lowers to "
+        "Union → HashAggregate (partial, map-side) → shuffle on the "
+        "group key → HashAggregate (final), joined back on the shared "
+        "var. The union arms are independent parquet scans with their "
+        "own pushed predicate — no materialized intermediate, no "
+        "second shuffle for the join when the aggregate output is "
+        "broadcast-sized.",
+        trim(plan_of(p27), ("Union", "HashAggregate", "Join",
+                            "Scan parquet", "PushedFilters")),
+    ))
+
+    p28 = eng.sql(
+        "SELECT ?x WHERE { ?x <rel:works_at> ?y . "
+        "FILTER EXISTS { ?z <rel:age> ?a . FILTER regex(?x, \"^e\") } }"
+    )
+    sections.append((
+        "Correlated label-space EXISTS filter — one dictionary join",
+        "A regex over an OUTER var inside EXISTS (round 4) attaches "
+        "that var's lexical label to the outer side with ONE id2term "
+        "hash join (exactly the _apply_filter plumbing), then the "
+        "label predicate rides the EXISTS join condition. Label "
+        "attachment scales with the outer cardinality, not with "
+        "outer x block.",
+        trim(plan_of(p28), ("Join", "LeftSemi", "BroadcastNestedLoop",
+                            "Scan parquet", "PushedFilters")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

@@ -17,9 +17,43 @@ import tempfile
 import time
 
 
+def _gen_main() -> None:
+    """``--gen <n_convs> <out_dir> <n_files>``: write the benchmark
+    corpus once, at whatever parallelism the caller's --master gives.
+    The corpus is untimed scaffolding (the pipeline under test READS
+    transcripts from columnar storage, per the input contract) — at
+    2M conversations the pure-Python row generation dominates a
+    2-core leg's wall clock, so the caller generates it once at full
+    host parallelism and hands the path to every leg. Both legs then
+    read the IDENTICAL files, which also removes generator variance
+    from the comparison."""
+    n_convs, out, n_files = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("kg-scaling-gen")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from hbase_rdf_spark.sources.synthetic import transcripts_df
+
+    transcripts_df(spark, n_convs, seed=42).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out)
+    print(json.dumps({"gen": n_convs, "path": out}))
+    spark.stop()
+
+
 def main() -> None:
+    if sys.argv[1] == "--gen":
+        _gen_main()
+        return
     cores = int(sys.argv[1])
     n_convs = int(sys.argv[2])
+    corpus = sys.argv[3] if len(sys.argv) > 3 else None
 
     from pyspark.sql import SparkSession
 
@@ -63,16 +97,18 @@ def main() -> None:
     data = tempfile.mkdtemp(prefix="scaledata_", dir=shm)
     roots = [tempfile.mkdtemp(prefix=f"scale{i}_", dir=shm) for i in range(3)]
     try:
-        # corpus to parquet first (untimed): the pipeline under test READS
-        # transcripts from columnar storage, per the input contract —
-        # generator cost must not pollute the throughput metric
-        # write enough files that the timed read fans out to all cores
-        # (a 100 TB corpus has thousands of files; a few hundred MB in
-        # 4 files would serialize the scan on the big leg)
-        transcripts_df(spark, n_convs, seed=42).repartition(
-            max(4 * cores, 8)
-        ).write.mode("overwrite").parquet(data)
-        transcripts = spark.read.parquet(data)
+        # corpus parquet (untimed): normally pre-generated ONCE by the
+        # caller at full host parallelism and shared across legs (see
+        # _gen_main); the in-leg fallback generates at leg parallelism.
+        # Either way the file count fans the timed read out to every
+        # core (a 100 TB corpus has thousands of files; a few hundred
+        # MB in 4 files would serialize the scan on the big leg).
+        if corpus is None:
+            transcripts_df(spark, n_convs, seed=42).repartition(
+                max(4 * cores, 8)
+            ).write.mode("overwrite").parquet(data)
+            corpus = data
+        transcripts = spark.read.parquet(corpus)
 
         build_kg(spark, transcripts_df(spark, 300, seed=1), gaz, warm,
                  input_sig="warm:300:1")

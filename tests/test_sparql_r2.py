@@ -514,14 +514,24 @@ def test_exists_correlated_no_shared_vars(store):
     }
 
 
-def test_exists_correlated_label_space_raises(store):
-    with pytest.raises(SparqlSyntaxError, match="label-space"):
-        execute(store, """
-        SELECT ?i WHERE {
-          ?i <http://ex/price> ?p .
-          FILTER EXISTS { ?j <http://ex/item> ?y . FILTER regex(?p, "5") }
-        }
-        """)
+def test_exists_correlated_label_space_filter(store):
+    # correlated label-space filter inside EXISTS (supported since
+    # r4): regex over the OUTER var — its lexical label joins into
+    # the EXISTS condition under substitution semantics
+    q = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      FILTER EXISTS { ?j <http://ex/item> ?y . FILTER regex(?p, "^15") }
+    }
+    """
+    assert rows(execute(store, q)) == {("http://ex/i2",)}
+    q_not = """
+    SELECT ?i WHERE {
+      ?i <http://ex/price> ?p .
+      FILTER NOT EXISTS { ?j <http://ex/item> ?y . FILTER regex(?p, "^15") }
+    }
+    """
+    assert rows(execute(store, q_not)) == {("http://ex/i1",)}
 
 
 def test_exists_filter_unknown_var_raises(store):

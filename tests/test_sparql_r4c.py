@@ -26,6 +26,8 @@ NQ = [
     "<http://ex/b> <http://ex/name> \"Bob\" .",
     "<http://ex/c> <http://ex/name> \"Cara\" .",
     "<http://ex/b> <http://ex/banned> <http://ex/y> .",
+    '<http://ex/a> <http://ex/score> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://ex/b> <http://ex/score> "12"^^<http://www.w3.org/2001/XMLSchema#integer> .',
 ]
 
 
@@ -190,3 +192,34 @@ def test_group_concat_separator_top_level(store):
         ("http://ex/a", "http://ex/b"),
         ("http://ex/b", "http://ex/c"),
     ]
+
+
+def test_subquery_label_space_order_topk(store):
+    """ORDER BY a STRING var inside a subquery (round 4): lexical
+    total order via the per-var label attach, not the numeric-only
+    fallback (which sorted every string as NULL)."""
+    out = execute(
+        store,
+        """SELECT ?nm WHERE {
+             { SELECT ?nm WHERE { ?s <http://ex/name> ?nm }
+               ORDER BY DESC(?nm) LIMIT 2 }
+           }""",
+    )
+    assert sorted(r["nm"] for r in out.collect()) == ["Bob", "Cara"]
+
+
+def test_subquery_order_mixes_numeric_before_string(store):
+    """Type-aware subquery order: numeric literals sort by value ahead
+    of string literals (ascending)."""
+    out = execute(
+        store,
+        """SELECT ?v WHERE {
+             { SELECT ?v WHERE {
+                 { ?s <http://ex/name> ?v }
+                 UNION { ?s2 <http://ex/score> ?v }
+               } ORDER BY ?v LIMIT 3 }
+           }""",
+    )
+    vals = [r["v"] for r in out.collect()]
+    # numerics by value (7 < 12), then the lexically-first name
+    assert vals == ["7.0", "12.0", "Alice"]
