@@ -806,6 +806,15 @@ def _q_sparql_exists_label(spark, sf):
         }""")
 
 
+def _q_sparql_describe(spark, sf):
+    # DESCRIBE <iri>: every triple whose subject is the described
+    # resource, as a deduplicated GRAPH — the reference's
+    # subject-triples handler (examples/RunJenaHBase.java:93-98,
+    # execDescribeTriples). Numeric objects render via the num
+    # fallback ("5.0" for toklen 5).
+    return _sparql(spark, sf, "DESCRIBE <spark>")
+
+
 def _q_stream_dedup(spark, sf):
     # Structured Streaming surface as a DRIVER gate (VERDICT r3 #5),
     # made deterministic: one availableNow run of the watermark-bounded
@@ -1560,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "sample_fraction": _q_sample_fraction,
         "kg_sparql_exists_label": _q_sparql_exists_label,
+        "kg_sparql_describe": _q_sparql_describe,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2314,6 +2324,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(deg.n AS DOUBLE) AS VARCHAR) AS n,
                    CAST(CAST(length(deg.y) AS DOUBLE) AS VARCHAR) AS l
             FROM deg""",
+        # DESCRIBE <spark>: subject triples as a set; toklen is the
+        # only numeric object (len('spark') = 5 -> "5.0")
+        "kg_sparql_describe": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT s, p, o FROM triples WHERE s = 'spark'
+            UNION
+            SELECT 'spark' AS s, 'toklen' AS p,
+                   CAST(CAST(5 AS DOUBLE) AS VARCHAR) AS o""",
         # correlated label-space EXISTS: outer-only numeric var's
         # str() renders via num ("3.0"); EXISTS block = merge edges
         "kg_sparql_exists_label": f"""{_TRIPLES_CTE}
