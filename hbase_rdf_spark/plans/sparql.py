@@ -784,7 +784,17 @@ class _Parser:
                 sub = Query(variables=[])
                 self._subgroup(sub, graph)
                 self.expect("}")
-                q.minus.append(self._as_branch(sub))
+                br = self._as_branch(sub)
+                if getattr(br, "binds", None):
+                    # a BIND inside MINUS extends the block's solutions
+                    # BEFORE the compatibility anti-join; only the full
+                    # group evaluator applies block-local binds here
+                    # (the plain-branch path would silently drop them)
+                    br = GroupBlock(
+                        group=sub,
+                        out_names=tuple(sorted(_query_scope_vars(sub))),
+                    )
+                q.minus.append(br)
             elif tok == "{":
                 # braced block: a subquery, or a group / UNION chain
                 self.next()
@@ -1168,7 +1178,15 @@ class _Parser:
             sub = Query(variables=[])
             self._subgroup(sub, graph)
             self.expect("}")
-            q.exists.append((not neg, self._as_branch(sub)))
+            br = self._as_branch(sub)
+            if getattr(br, "binds", None):
+                # same as MINUS: block-local BINDs need the full group
+                # evaluator — the plain semi/anti path ignores them
+                br = GroupBlock(
+                    group=sub,
+                    out_names=tuple(sorted(_query_scope_vars(sub))),
+                )
+            q.exists.append((not neg, br))
             return
         if self.peek() == "(":
             self.next()
@@ -2762,6 +2780,7 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             step, foreign = _group_bindings(store, blk.group, True), []
         else:
             local, foreign = _split_block_filters(blk)
+            _attach_bind_fns(store, blk.optional)
             step = execute_bgp(
                 store, blk.patterns, filters=local,
                 optional=blk.optional, dedup=True,
@@ -2808,6 +2827,7 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             step, correlated = _group_bindings(store, blk.group, True), []
         else:
             local, correlated = _split_block_filters(blk)
+            _attach_bind_fns(store, blk.optional)
             step = execute_bgp(
                 store, blk.patterns, filters=local,
                 optional=blk.optional, dedup=True,

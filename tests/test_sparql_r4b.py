@@ -314,3 +314,33 @@ def test_values_inside_minus(store):
         ("http://ex/a1", "http://ex/b1"),
         ("http://ex/a3", "http://ex/b3"),
     ]
+
+
+def test_bind_inside_minus(store):
+    """A BIND inside MINUS extends the block's solutions BEFORE the
+    compatibility anti-join (previously silently dropped, removing
+    nothing). ?b is bound inside the block only via the BIND."""
+    out = execute(
+        store,
+        """SELECT ?a ?b WHERE {
+             ?a <http://ex/knows> ?b
+             MINUS { ?x <http://ex/banned> ?y
+                     BIND(?x AS ?b) }
+           }""",
+    )
+    assert _rows(out) == [
+        ("http://ex/a1", "http://ex/b1"),
+        ("http://ex/a3", "http://ex/b3"),
+    ]
+
+
+def test_bind_inside_exists(store):
+    out = execute(
+        store,
+        """SELECT ?a ?b WHERE {
+             ?a <http://ex/knows> ?b
+             FILTER EXISTS { ?x <http://ex/banned> ?y
+                             BIND(?x AS ?b) }
+           }""",
+    )
+    assert _rows(out) == [("http://ex/a2", "http://ex/b2")]
