@@ -40,7 +40,9 @@ alternative, and the ``+ * ?`` closures, freely composable with parens
 Blank nodes in queries (``_:b``, ``[]``) act as non-projectable
 variables, per spec.
 
-Solution-set clauses: ``VALUES`` (inline table joined on shared vars
+Solution-set clauses: ``VALUES`` (in-group and the trailing
+ValuesClause after the modifiers, SPARQL 1.1 grammar [28]; inline
+table joined on shared vars
 via SPARQL compatibility — ``UNDEF`` cells and OPTIONAL-null bindings
 match anything and the merge keeps the bound side; new vars extend
 bindings), ``MINUS`` (anti-join on shared vars; block filters over
@@ -1573,6 +1575,25 @@ class _Parser:
             q.limit = int(self.next())
         if self.kw("OFFSET"):
             q.offset = int(self.next())
+        if self.kw("VALUES"):
+            # trailing ValuesClause (SPARQL 1.1 grammar [28]): the
+            # inline table joins the query's solutions. For vars bound
+            # by graph patterns the in-group compatibility join is
+            # equivalent (group keys pass through aggregation
+            # unchanged; new vars extend every solution) — a VALUES
+            # over an aggregate alias or BIND output would need a
+            # post-projection join and is rejected explicitly.
+            vb = self._values_block()
+            post = {a.alias[1:] for a in q.aggregates} | {
+                b.var for b in q.binds
+            }
+            clash = sorted(set(vb.vars) & post)
+            if clash:
+                raise SparqlSyntaxError(
+                    "trailing VALUES over aggregate/BIND outputs is "
+                    f"not supported: {clash}"
+                )
+            q.values.append(vb)
 
 
 @dataclass

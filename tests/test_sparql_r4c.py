@@ -223,3 +223,30 @@ def test_subquery_order_mixes_numeric_before_string(store):
     vals = [r["v"] for r in out.collect()]
     # numerics by value (7 < 12), then the lexically-first name
     assert vals == ["7.0", "12.0", "Alice"]
+
+
+def test_trailing_values_clause(store):
+    """SPARQL 1.1 trailing ValuesClause: the inline table joins the
+    query's solutions (grammar [28]) — here restricting ?s."""
+    out = execute(
+        store,
+        """SELECT ?s ?o WHERE { ?s <http://ex/follows> ?o }
+           VALUES ?s { <http://ex/a> }""",
+    )
+    assert [(r["s"], r["o"]) for r in out.collect()] == [
+        ("http://ex/a", "http://ex/b")
+    ]
+
+
+def test_trailing_values_after_limit_with_aggregate_key(store):
+    """Trailing VALUES over a GROUP BY key restricts the groups."""
+    out = execute(
+        store,
+        """SELECT ?s (COUNT(?o) AS ?n)
+           WHERE { { ?s <http://ex/follows> ?o }
+                   UNION { ?s <http://ex/likes> ?o } }
+           GROUP BY ?s
+           VALUES ?s { <http://ex/a> <http://ex/c> }""",
+    )
+    got = sorted((r["s"], float(r["n"])) for r in out.collect())
+    assert got == [("http://ex/a", 2.0), ("http://ex/c", 1.0)]
