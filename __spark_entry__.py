@@ -1565,7 +1565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_errors": _q_events_interval,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "text_pii_redact": _q_pii_redact,
-        # -- block D: driver-green in an earlier round, outside the window --
+        # -- block D: outside the window. Most rows were driver-green in
+        # an earlier round; kg_sparql_exists_label / kg_sparql_describe
+        # are NEW in round 4 (oracle-checked locally only — first in
+        # line for round-5 window seats), everything re-checkable via
+        # scripts/check_entry.py, which scores ALL entries.
         "ann_ivf_topk": _q_ann_ivf,
         "sample_fraction": _q_sample_fraction,
         "kg_sparql_exists_label": _q_sparql_exists_label,

@@ -127,6 +127,11 @@ class OptionalBlock:
     # the complete GroupGraphPattern evaluator over it — bgp.py
     # left-joins the resulting solutions like any other block step
     group: object = None
+    # set by the SPARQL layer when the subquery/group step can emit
+    # UNBOUND shared vars (it contains OPTIONAL / VALUES / UNION /
+    # BIND) — the left join must then use compatibility semantics
+    # (``_merge_join``) instead of plain column equality
+    step_may_unbind: bool = False
 
 
 @dataclass
@@ -681,6 +686,48 @@ def _attach_filter_labels(store, df: DataFrame, names: list[str]) -> DataFrame:
     return df
 
 
+def _merge_join(
+    result: DataFrame, step: DataFrame, shared: list, how: str
+) -> DataFrame:
+    """SPARQL compatibility join WITH binding merge: two solutions are
+    compatible when every shared var bound on BOTH sides agrees
+    (SPARQL 1.1 §8.3); the merged solution takes the bound side — and
+    so does its ``__{v}_vlex`` lexical sidecar. Needed whenever a
+    shared var can be unbound on either side (an OPTIONAL miss, a
+    VALUES UNDEF cell, union branches of differing scope): the plain
+    column-equality join treats NULL as incompatible, silently
+    dropping (inner) or orphaning (left) rows the spec keeps. The
+    non-equi condition costs a nested-loop join, so callers keep the
+    hash join for the provably all-bound common case.
+
+    ``how``: "inner" (SPARQL Join) or "left" (LeftJoin).
+    """
+    for v in shared:
+        step = step.withColumnRenamed(v, f"__mj_{v}")
+        if f"__{v}_vlex" in step.columns:
+            step = step.withColumnRenamed(f"__{v}_vlex", f"__mj_{v}_vlex")
+    cond = F.lit(True)
+    for v in shared:
+        b = F.col(f"__mj_{v}")
+        cond = cond & (F.col(v).isNull() | b.isNull() | (F.col(v) == b))
+    out = result.join(step, cond, how)
+    for v in shared:
+        out = out.withColumn(
+            v, F.coalesce(F.col(v), F.col(f"__mj_{v}"))
+        ).drop(f"__mj_{v}")
+        if f"__mj_{v}_vlex" in out.columns:
+            if f"__{v}_vlex" in out.columns:
+                out = out.withColumn(
+                    f"__{v}_vlex",
+                    F.coalesce(
+                        F.col(f"__{v}_vlex"), F.col(f"__mj_{v}_vlex")
+                    ),
+                ).drop(f"__mj_{v}_vlex")
+            else:
+                out = out.withColumnRenamed(f"__mj_{v}_vlex", f"__{v}_vlex")
+    return out
+
+
 def _apply_filter(store, df: DataFrame, f) -> DataFrame:
     lv = sorted(f.label_vars())
     if lv:
@@ -828,6 +875,10 @@ def execute_bgp(
     for f in _ready(result, label_space=True):
         result = _apply_filter(store, result, f)
         pending.remove(f)
+    # vars that can be NULL on the result side after an earlier
+    # optional block (its extension is all-NULL on unmatched rows) —
+    # a later block sharing one needs the compatibility left join
+    opt_nullable: set[str] = set()
     for blk in blocks:
         bvars = _block_vars(blk)
         for f in blk.filters:
@@ -843,10 +894,29 @@ def execute_bgp(
             else _block_result(store, blk, dedup)
         )
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
+        # the block side can leave a shared var unbound when it has
+        # its own OPTIONAL / UNION / BIND content or is a
+        # subquery/group step flagged by the SPARQL layer; the result
+        # side when a previous optional introduced the var. Either way
+        # plain equality treats NULL as incompatible — SPARQL
+        # compatibility (§8.3) says it matches, and the merge takes
+        # the bound side.
+        step_unbind = bool(
+            getattr(blk, "step_may_unbind", False)
+            or blk.optional
+            or getattr(blk, "union", None)
+            or getattr(blk, "binds", None)
+        )
         if shared:
-            result = result.join(step, on=shared, how="left")
+            if step_unbind or (set(shared) & opt_nullable):
+                result = _merge_join(result, step, shared, "left")
+            else:
+                result = result.join(step, on=shared, how="left")
         else:
             result = result.join(step, F.lit(True), "left")
+        opt_nullable |= {
+            c for c in step.columns if not c.startswith("__")
+        }
     # filters whose vars only bind via optional blocks: SPARQL evaluates
     # them on the merged solution (unbound → type error → row dropped,
     # which SQL NULL comparison semantics reproduce exactly)

@@ -123,8 +123,8 @@ from hbase_rdf_spark.plans.bgp import (
     materialize,
     pattern_vars,
     _apply_filter,
-    _attach_filter_labels,
     _block_vars,
+    _merge_join,
 )
 from hbase_rdf_spark.plans.filters import (
     And,
@@ -1593,6 +1593,21 @@ class _Parser:
                     "trailing VALUES over aggregate/BIND outputs is "
                     f"not supported: {clash}"
                 )
+            if q.aggregates:
+                # SPARQL 18.2.4 joins the ValuesClause AFTER grouping:
+                # a non-group-key pattern var is unbound in the
+                # post-aggregation solutions (joins freely, counts
+                # unchanged) — folding it into the group would instead
+                # restrict the counted rows. Only group keys survive
+                # aggregation with their bindings, so only they may
+                # fold; reject the rest rather than silently mis-place.
+                gkeys = {v[1:] for v in q.group_by}
+                bad = sorted(set(vb.vars) - gkeys)
+                if bad:
+                    raise SparqlSyntaxError(
+                        "trailing VALUES in an aggregate query may "
+                        f"only reference GROUP BY keys: {bad}"
+                    )
             q.values.append(vb)
 
 
@@ -2561,7 +2576,15 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
         # pattern-free branch (pure BIND tagging): the unit solution —
         # one row, no columns — which the BINDs below then extend
         result = store.spark.range(1).drop("id")
+    # vars an OPTIONAL block in this combo can leave NULL on the
+    # result side — a subquery/group join over one needs SPARQL
+    # compatibility semantics, as does a step that can itself emit
+    # unbound shared vars
+    nullable = set()
+    for blk in opts:
+        nullable |= _block_vars(blk)
     for b in subs + grps:
+        sub_q = b.subquery if getattr(b, "subquery", None) is not None else b.group
         sdf = (
             _execute_subquery(store, b.subquery)
             if getattr(b, "subquery", None) is not None
@@ -2571,11 +2594,15 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
             result = sdf
             continue
         shared = [c for c in sdf.columns if c in result.columns]
-        result = (
-            result.join(sdf, on=shared, how="inner")
-            if shared
-            else result.crossJoin(sdf)
-        )
+        if not shared:
+            result = result.crossJoin(sdf)
+        elif _may_unbind(sub_q) or (set(shared) & nullable):
+            result = _merge_join(result, sdf, shared, "inner")
+        else:
+            result = result.join(sdf, on=shared, how="inner")
+        nullable |= set(
+            c for c in sdf.columns if not c.startswith("__")
+        ) if _may_unbind(sub_q) else set()
     if binds:
         result = _apply_binds(result, store, binds)
     for f in deferred:
@@ -2585,6 +2612,22 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
         # every solution of the branch is dropped; keep the schema
         return result.limit(0)
     return result
+
+
+def _may_unbind(q: Query) -> bool:
+    """True when the group/subquery can emit solutions with UNBOUND
+    projected vars: OPTIONAL misses, VALUES UNDEF cells, union
+    branches of differing scope, BIND's error→unbound rule, or a
+    nested subquery that can. Joins against such solutions need
+    SPARQL compatibility semantics (``_merge_join``) instead of plain
+    column equality."""
+    return bool(
+        q.optional
+        or q.union_blocks
+        or q.values
+        or q.binds
+        or any(_may_unbind(s) for s in q.subqueries)
+    )
 
 
 def _attach_bind_fns(store, blocks) -> None:
@@ -2597,8 +2640,10 @@ def _attach_bind_fns(store, blocks) -> None:
             blk.step_fn = (
                 lambda sq: lambda: _execute_subquery(store, sq)
             )(blk.subquery)
+            blk.step_may_unbind = _may_unbind(blk.subquery)
         if (getattr(blk, "group", None) is not None
                 and getattr(blk, "step_fn", None) is None):
+            blk.step_may_unbind = _may_unbind(blk.group)
             # full-algebra OPTIONAL group (VALUES/MINUS/EXISTS/mixed
             # subqueries): the block's solutions come from the complete
             # GroupGraphPattern evaluator; bag semantics inside the
@@ -2703,12 +2748,17 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
                 "FILTER over variables not bound by any pattern"
             )
         result = None
-    elif not q.patterns and not q.optional and (q.values or q.binds):
-        # pattern-free group (e.g. `SELECT ?x WHERE { VALUES ?x {…} }`,
-        # valid SPARQL): seed the unit solution — one row, no columns —
-        # which the VALUES join / BINDs below extend (ADVICE r2). Any
-        # plain filter here references vars the VALUES/BIND stages bind,
-        # so defer them all.
+    elif not q.patterns and not q.optional and (
+        q.values or q.binds or q.minus or q.exists
+    ):
+        # pattern-free group (e.g. `SELECT ?x WHERE { VALUES ?x {…} }`
+        # or a group whose only content is MINUS / FILTER EXISTS —
+        # both valid SPARQL): seed the unit solution — one row, no
+        # columns — which the VALUES join / BINDs below extend and the
+        # MINUS/EXISTS stages prune (ADVICE r2; round 4 for the
+        # MINUS/EXISTS-only shape, reachable through full-algebra
+        # groups). Any plain filter here references vars the
+        # VALUES/BIND stages bind, so defer them all.
         if q.filters:
             deferred = list(dict.fromkeys(list(deferred) + list(q.filters)))
         result = store.spark.range(1).drop("id")
@@ -2719,18 +2769,37 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         )
 
     # subqueries: bottom-up id-space evaluation, joined on shared vars
-    # (none shared = cartesian, per SPARQL join semantics)
+    # (none shared = cartesian, per SPARQL join semantics; a side that
+    # can leave shared vars unbound — OPTIONAL/UNION on the group
+    # side, OPTIONAL/UNION/VALUES/BIND inside the subquery — takes
+    # the compatibility merge join)
+    group_nullable = set()
+    for blk in q.optional:
+        group_nullable |= _block_vars(blk)
+    if q.union_blocks:
+        # unionByName fills branch-missing vars with NULL — any shared
+        # var may be unbound on the result side
+        group_nullable |= {
+            n
+            for chain in q.union_blocks
+            for br in chain
+            for n in (
+                pattern_vars(br.patterns)
+                | set(getattr(br, "out_names", ()) or ())
+            )
+        }
     for sub in q.subqueries:
         sdf = _execute_subquery(store, sub)
         if result is None:
             result = sdf
             continue
         shared = [c for c in sdf.columns if c in result.columns]
-        result = (
-            result.join(sdf, on=shared, how="inner")
-            if shared
-            else result.crossJoin(sdf)
-        )
+        if not shared:
+            result = result.crossJoin(sdf)
+        elif _may_unbind(sub) or (set(shared) & group_nullable):
+            result = _merge_join(result, sdf, shared, "inner")
+        else:
+            result = result.join(sdf, on=shared, how="inner")
 
     # VALUES: inline solution table joined on its shared vars (new vars
     # extend the bindings; no shared vars = cartesian, per spec). The
@@ -2868,18 +2937,19 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             # the side that carries it through the join — the OUTER
             # side for outer and shared vars (EXISTS substitutes the
             # outer binding, SPARQL 1.1 §8.1.1), the block side for
-            # block-only vars. One id2term join per var, exactly the
-            # _apply_filter plumbing.
+            # block-only vars. _attach_any_labels prefers a
+            # BIND/VALUES vlex sidecar (dictionary-absent term) over
+            # the id2term join — one join per var either way.
             lbl_outer: list[str] = []
             lvs = sorted(
                 set().union(set(), *(f.label_vars() for f in correlated))
             )
             for v in lvs:
                 if v in result.columns:
-                    result = _attach_filter_labels(store, result, [v])
-                    lbl_outer.append(f"__{v}_flbl")
+                    result, att = _attach_any_labels(result, store, [v])
+                    lbl_outer.extend(att)
                 else:
-                    step = _attach_filter_labels(store, step, [v])
+                    step, _ = _attach_any_labels(step, store, [v])
             for v in shared:
                 step = step.withColumnRenamed(v, f"__ex_{v}")
             cond = F.lit(True)

@@ -344,3 +344,75 @@ def test_bind_inside_exists(store):
            }""",
     )
     assert _rows(out) == [("http://ex/a2", "http://ex/b2")]
+
+
+def test_optional_group_left_merge_join(store):
+    """F4: a group-backed OPTIONAL whose inner OPTIONAL leaves a shared
+    var unbound — compatibility LeftJoin keeps the block row and the
+    outer binding (plain equality orphaned the row: ?t came back
+    unbound)."""
+    out = execute(
+        store,
+        """SELECT ?a ?t WHERE {
+             ?a <http://ex/knows> ?b .
+             ?b <http://ex/score> ?s .
+             OPTIONAL { ?b <http://ex/type> ?t
+                        OPTIONAL { ?t <http://ex/score> ?s }
+                        MINUS { ?b <http://ex/banned> ?x } }
+           }""",
+    )
+    assert _rows(out) == [("http://ex/a1", "http://ex/Member")]
+
+
+def test_group_join_merges_unbound_shared(store):
+    """F1: a full-algebra braced group emitting an unbound shared var
+    joins the enclosing combo through the compatibility merge join
+    (plain inner equality silently dropped the solution)."""
+    out = execute(
+        store,
+        """SELECT ?a ?s WHERE {
+             ?a <http://ex/knows> ?b .
+             ?b <http://ex/score> ?s .
+             { ?b <http://ex/type> ?t
+               OPTIONAL { ?t <http://ex/score> ?s }
+               MINUS { ?b <http://ex/banned> ?x } }
+           }""",
+    )
+    got = [(r["a"], float(r["s"])) for r in out.collect()]
+    assert got == [("http://ex/a1", 5.0)]
+
+
+def test_minus_only_optional_group_runs(store):
+    """F5: a group whose ONLY content is MINUS seeds the unit solution
+    instead of dying on the empty-BGP assertion; disjoint domains
+    remove nothing, so every outer row survives unchanged."""
+    out = execute(
+        store,
+        """SELECT ?a ?b WHERE {
+             ?a <http://ex/knows> ?b
+             OPTIONAL { MINUS { ?x <http://ex/banned> ?y } }
+           }""",
+    )
+    assert _rows(out) == [
+        ("http://ex/a1", "http://ex/b1"),
+        ("http://ex/a2", "http://ex/b2"),
+        ("http://ex/a3", "http://ex/b3"),
+    ]
+
+
+def test_exists_label_filter_over_bind_var(store):
+    """F2: a correlated label-space EXISTS filter over a BIND-produced
+    string var reads the vlex sidecar (the hash id is not in the
+    dictionary — the plain id2term attach evaluated it as unbound)."""
+    out = execute(
+        store,
+        """SELECT ?a WHERE {
+             ?a <http://ex/knows> ?b .
+             BIND("abc" AS ?m)
+             FILTER EXISTS { ?b <http://ex/type> ?t
+                             FILTER regex(?m, "^a") }
+           }""",
+    )
+    assert sorted(r[0] for r in out.collect()) == [
+        "http://ex/a1", "http://ex/a2",
+    ]

@@ -250,3 +250,17 @@ def test_trailing_values_after_limit_with_aggregate_key(store):
     )
     got = sorted((r["s"], float(r["n"])) for r in out.collect())
     assert got == [("http://ex/a", 2.0), ("http://ex/c", 1.0)]
+
+
+def test_trailing_values_non_group_key_rejected(store):
+    """F3: in an aggregate query the trailing ValuesClause joins AFTER
+    grouping (SPARQL 18.2.4) — folding a non-group-key var into the
+    group would silently change the counts, so it is rejected."""
+    from hbase_rdf_spark.plans.sparql import SparqlSyntaxError
+    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
+        execute(
+            store,
+            """SELECT ?s (COUNT(?o) AS ?n)
+               WHERE { ?s <http://ex/follows> ?o } GROUP BY ?s
+               VALUES ?o { <http://ex/b> }""",
+        )
