@@ -127,11 +127,12 @@ class OptionalBlock:
     # the complete GroupGraphPattern evaluator over it — bgp.py
     # left-joins the resulting solutions like any other block step
     group: object = None
-    # set by the SPARQL layer when the subquery/group step can emit
-    # UNBOUND shared vars (it contains OPTIONAL / VALUES / UNION /
-    # BIND) — the left join must then use compatibility semantics
-    # (``_merge_join``) instead of plain column equality
-    step_may_unbind: bool = False
+    # set by the SPARQL layer: the step's vars that can come back
+    # UNBOUND (from OPTIONAL / VALUES UNDEF / UNION asymmetry / BIND
+    # inside the subquery/group) — when one of these is a join key,
+    # the left join must use compatibility semantics (``_merge_join``)
+    # instead of plain column equality
+    step_nullable: tuple = ()
 
 
 @dataclass
@@ -894,21 +895,30 @@ def execute_bgp(
             else _block_result(store, blk, dedup)
         )
         shared = [c for c in step.columns if c in result.columns and c != "__exists"]
-        # the block side can leave a shared var unbound when it has
-        # its own OPTIONAL / UNION / BIND content or is a
-        # subquery/group step flagged by the SPARQL layer; the result
-        # side when a previous optional introduced the var. Either way
-        # plain equality treats NULL as incompatible — SPARQL
-        # compatibility (§8.3) says it matches, and the merge takes
-        # the bound side.
-        step_unbind = bool(
-            getattr(blk, "step_may_unbind", False)
-            or blk.optional
-            or getattr(blk, "union", None)
-            or getattr(blk, "binds", None)
-        )
+        # the block side can leave a shared var unbound when that var
+        # comes from its own OPTIONAL / UNION asymmetry / BIND, or
+        # from a subquery/group step (per-var set supplied by the
+        # SPARQL layer); the result side when a previous optional
+        # introduced the var. When a JOIN KEY is in either set, plain
+        # equality treats NULL as incompatible — SPARQL compatibility
+        # (§8.3) says it matches, and the merge takes the bound side.
+        step_null = set(getattr(blk, "step_nullable", ()) or ())
+        for ob in blk.optional:
+            step_null |= _block_vars(ob)
+        step_null |= {b.var for b in (getattr(blk, "binds", None) or ())}
+        for chain in getattr(blk, "union", None) or ():
+            sets_ = []
+            for br in chain:
+                bv = pattern_vars(br.patterns) | {
+                    b.var for b in (getattr(br, "binds", None) or ())
+                }
+                for ob in br.optional:
+                    step_null |= _block_vars(ob)
+                sets_.append(bv)
+            if len(sets_) > 1:
+                step_null |= set().union(*sets_) - set.intersection(*sets_)
         if shared:
-            if step_unbind or (set(shared) & opt_nullable):
+            if set(shared) & (step_null | opt_nullable):
                 result = _merge_join(result, step, shared, "left")
             else:
                 result = result.join(step, on=shared, how="left")

@@ -2594,15 +2594,14 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
             result = sdf
             continue
         shared = [c for c in sdf.columns if c in result.columns]
+        step_null = _nullable_vars(sub_q) & set(sdf.columns)
         if not shared:
             result = result.crossJoin(sdf)
-        elif _may_unbind(sub_q) or (set(shared) & nullable):
+        elif set(shared) & (step_null | nullable):
             result = _merge_join(result, sdf, shared, "inner")
         else:
             result = result.join(sdf, on=shared, how="inner")
-        nullable |= set(
-            c for c in sdf.columns if not c.startswith("__")
-        ) if _may_unbind(sub_q) else set()
+        nullable |= step_null
     if binds:
         result = _apply_binds(result, store, binds)
     for f in deferred:
@@ -2614,20 +2613,38 @@ def _combo_result(store, q: Query, combo, dedup: bool) -> DataFrame:
     return result
 
 
-def _may_unbind(q: Query) -> bool:
-    """True when the group/subquery can emit solutions with UNBOUND
-    projected vars: OPTIONAL misses, VALUES UNDEF cells, union
-    branches of differing scope, BIND's error→unbound rule, or a
-    nested subquery that can. Joins against such solutions need
-    SPARQL compatibility semantics (``_merge_join``) instead of plain
-    column equality."""
-    return bool(
-        q.optional
-        or q.union_blocks
-        or q.values
-        or q.binds
-        or any(_may_unbind(s) for s in q.subqueries)
-    )
+def _nullable_vars(q: Query) -> set:
+    """Which of the group's vars can come back UNBOUND: OPTIONAL
+    misses, VALUES UNDEF cells, union branches of differing scope,
+    BIND's error→unbound rule, or a nested subquery projecting such a
+    var. Joins keyed on one of these need SPARQL compatibility
+    semantics (``_merge_join``) instead of plain column equality. Lets joins keep the hash fast
+    path when the potentially-unbound vars are not among the join
+    keys (e.g. an OPTIONAL block whose BIND var is new — only the
+    always-bound pattern var is shared)."""
+    out: set = set()
+    for blk in q.optional:
+        out |= _block_vars(blk)
+    for vb in q.values:
+        out |= set(vb.vars)
+    out |= {b.var for b in q.binds}
+    for chain in q.union_blocks:
+        sets = []
+        for br in chain:
+            bv = pattern_vars(br.patterns) | set(
+                getattr(br, "out_names", ()) or ()
+            ) | {b.var for b in getattr(br, "binds", ()) or ()}
+            for blk in br.optional:
+                out |= _block_vars(blk)
+            if getattr(br, "group", None) is not None:
+                out |= _nullable_vars(br.group)
+            sets.append(bv)
+        if len(sets) > 1:
+            # a var missing from some branch is NULL in its rows
+            out |= set().union(*sets) - set.intersection(*sets)
+    for s in q.subqueries:
+        out |= _nullable_vars(s) & set(_subquery_out_names(s))
+    return out
 
 
 def _attach_bind_fns(store, blocks) -> None:
@@ -2640,10 +2657,13 @@ def _attach_bind_fns(store, blocks) -> None:
             blk.step_fn = (
                 lambda sq: lambda: _execute_subquery(store, sq)
             )(blk.subquery)
-            blk.step_may_unbind = _may_unbind(blk.subquery)
+            blk.step_nullable = tuple(
+                _nullable_vars(blk.subquery)
+                & set(_subquery_out_names(blk.subquery))
+            )
         if (getattr(blk, "group", None) is not None
                 and getattr(blk, "step_fn", None) is None):
-            blk.step_may_unbind = _may_unbind(blk.group)
+            blk.step_nullable = tuple(_nullable_vars(blk.group))
             # full-algebra OPTIONAL group (VALUES/MINUS/EXISTS/mixed
             # subqueries): the block's solutions come from the complete
             # GroupGraphPattern evaluator; bag semantics inside the
@@ -2773,30 +2793,17 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     # can leave shared vars unbound — OPTIONAL/UNION on the group
     # side, OPTIONAL/UNION/VALUES/BIND inside the subquery — takes
     # the compatibility merge join)
-    group_nullable = set()
-    for blk in q.optional:
-        group_nullable |= _block_vars(blk)
-    if q.union_blocks:
-        # unionByName fills branch-missing vars with NULL — any shared
-        # var may be unbound on the result side
-        group_nullable |= {
-            n
-            for chain in q.union_blocks
-            for br in chain
-            for n in (
-                pattern_vars(br.patterns)
-                | set(getattr(br, "out_names", ()) or ())
-            )
-        }
+    group_nullable = _nullable_vars(q)
     for sub in q.subqueries:
         sdf = _execute_subquery(store, sub)
         if result is None:
             result = sdf
             continue
         shared = [c for c in sdf.columns if c in result.columns]
+        step_null = _nullable_vars(sub) & set(sdf.columns)
         if not shared:
             result = result.crossJoin(sdf)
-        elif _may_unbind(sub) or (set(shared) & group_nullable):
+        elif set(shared) & (step_null | group_nullable):
             result = _merge_join(result, sdf, shared, "inner")
         else:
             result = result.join(sdf, on=shared, how="inner")
