@@ -886,6 +886,34 @@ def _q_sparql_bind(spark, sf):
         }""")
 
 
+def _q_sparql_bind_join(spark, sf):
+    # BIND var CONSUMED by later patterns — SPARQL's in-group
+    # evaluation order Join(Extend(G,?m,?n+1), P): the computed length
+    # seeds a pattern object, and the connected <scan> pattern travels
+    # with it into the post-Extend join (plans/sparql.py
+    # _post_bind_split; ids are content-addressed so the join is plain
+    # struct equality)
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y ?z WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+          BIND(?n + 1 AS ?m)
+          ?z <toklen> ?m .
+          ?z <scan> ?w .
+        }""")
+
+
+def _q_sparql_term_eq(spark, sf):
+    # RDFterm-equal (§17.4.1.1): plain ?y = ?z on non-numeric terms
+    # compares TERMS (struct equality), not numeric values
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          <spark> <sort> ?z .
+          FILTER(?y = ?z)
+        }""")
+
+
 def _q_sparql_optional_union(spark, sf):
     # UNION inside OPTIONAL: the group's solutions are the union of the
     # branches, left-joined onto the required bindings as one unit
@@ -1574,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fraction": _q_sample_fraction,
         "kg_sparql_exists_label": _q_sparql_exists_label,
         "kg_sparql_describe": _q_sparql_describe,
+        "kg_sparql_bind_join": _q_sparql_bind_join,
+        "kg_sparql_term_eq": _q_sparql_term_eq,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2449,6 +2479,16 @@ def oracle_sql() -> dict[str, str]:
             FROM triples
             WHERE s = 'spark' AND p = 'join'
               AND length(o) * 2 + 1 > 7""",
+        "kg_sparql_bind_join": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT j.o AS y, sc.s AS z
+            FROM triples j JOIN triples sc
+              ON sc.p = 'scan' AND length(sc.s) = length(j.o) + 1
+            WHERE j.s = 'spark' AND j.p = 'join'""",
+        "kg_sparql_term_eq": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT j.o AS y
+            FROM triples j JOIN triples s2
+              ON s2.s = 'spark' AND s2.p = 'sort' AND s2.o = j.o
+            WHERE j.s = 'spark' AND j.p = 'join'""",
         "kg_path_seq": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t2.o AS z
             FROM triples t1 JOIN triples t2

@@ -180,6 +180,15 @@ class VarFilter(Filter):
         return {self.var[1:], self.other[1:]}
 
     def cond(self) -> Column:
+        if self.op in ("=", "!=") and not self.offset:
+            # RDFterm-equal (SPARQL 1.1 §17.4.1.1): plain ``?a = ?b``
+            # compares TERMS, not numeric values — struct equality
+            # covers IRIs and literals alike (numeric terms carry the
+            # value in .num with a NULL id, so value-equal numbers of
+            # different lexical forms still compare equal). An unbound
+            # side is a type error → NULL → row dropped, per spec.
+            eq = F.col(self.var[1:]) == F.col(self.other[1:])
+            return eq if self.op == "=" else ~eq
         lhs = F.col(self.var[1:]).getField("num")
         rhs = F.col(self.other[1:]).getField("num") + self.offset
         return {

@@ -61,7 +61,15 @@ id2term join per referenced var, producing plain-literal bindings
 with the in-plan hash id + lexical sidecar; a NULL operand or
 division by zero leaves the var unbound, per the SPARQL error→unbound
 rule; FILTERs over BIND vars are deferred until after the
-assignment).
+assignment). A graph pattern AFTER the BIND may CONSUME its var —
+SPARQL's in-group evaluation order Join(Extend(G,v,expr), P): the
+consuming patterns (with their var-connected component and the
+filters they can answer) evaluate as a separate post-BGP and
+compatibility-join back after the Extend (``_post_bind_split``; term
+ids are content-addressed, so the computed term carries exactly its
+dictionary id and the join is plain struct equality). A consuming
+pattern BEFORE the BIND, a collision with an OPTIONAL/UNION/VALUES/
+subquery var, and circular input dependencies raise.
 
 Subqueries: nested ``{ SELECT … }`` blocks evaluate bottom-up in ID
 SPACE and join the enclosing group on shared variables — the standard
@@ -100,8 +108,6 @@ SPARQL 1.1 §13.2 RDF-merge default graph (set union for ground
 triples, dedup in the scan — plans/bgp.py ``_scan_pattern``);
 ``GRAPH``/``FROM NAMED`` bind or bound the context explicitly.
 
-Unsupported (deliberately): BIND vars reused in graph patterns
-(requires in-group evaluation order).
 """
 
 from __future__ import annotations
@@ -266,6 +272,12 @@ class BindAssign:
 
     var: str
     expr: tuple
+    # pattern count of the enclosing group at the BIND's parse
+    # position: patterns at index >= at may consume the var (they
+    # evaluate AFTER the Extend and join back — _post_bind_split).
+    # None = positionless (projection expressions, which evaluate
+    # after the whole group): consuming patterns stay an error.
+    at: int | None = None
 
 
 @dataclass
@@ -679,12 +691,17 @@ class _Parser:
                 self._subgroup(sub, g)
                 self.expect("}")
                 # everything parsed inside carried g on its patterns —
-                # splice it all into the enclosing group
+                # splice it all into the enclosing group (bind
+                # positions shift by the patterns already parsed)
+                off = len(q.patterns)
                 q.patterns.extend(sub.patterns)
                 q.optional.extend(sub.optional)
                 q.filters.extend(sub.filters)
                 q.lang_filters.extend(sub.lang_filters)
-                q.binds.extend(sub.binds)  # BIND is graph-agnostic
+                for b in sub.binds:  # BIND is graph-agnostic
+                    if b.at is not None:
+                        b.at += off
+                q.binds.extend(sub.binds)
                 q.union_blocks.extend(sub.union_blocks)
                 q.values.extend(sub.values)
                 q.minus.extend(sub.minus)
@@ -732,12 +749,18 @@ class _Parser:
                     for chain in sub.union_blocks
                     for br in chain
                 )
+                bind_consumed = any(
+                    b.var in pattern_vars(sub.patterns) for b in sub.binds
+                )
                 if (sub.values or sub.minus or sub.exists
-                        or sub.subqueries or complex_branch):
+                        or sub.subqueries or complex_branch
+                        or bind_consumed):
                     # full-algebra group: VALUES / MINUS / FILTER
-                    # EXISTS / a subquery mixed with other content, or
-                    # a UNION chain whose branch needs the full
-                    # evaluator — run through the complete
+                    # EXISTS / a subquery mixed with other content, a
+                    # UNION chain whose branch needs the full
+                    # evaluator, or a block pattern consuming a
+                    # block-local BIND var (in-group evaluation order
+                    # via _post_bind_split) — run through the complete
                     # GroupGraphPattern evaluator (_group_bindings)
                     # via step_fn
                     q.optional.append(
@@ -779,7 +802,9 @@ class _Parser:
                 if not v.startswith("?"):
                     raise SparqlSyntaxError("BIND alias must be a variable")
                 self.expect(")")
-                q.binds.append(BindAssign(v[1:], expr))
+                q.binds.append(
+                    BindAssign(v[1:], expr, at=len(q.patterns))
+                )
             elif up == "MINUS":
                 self.next()
                 self.expect("{")
@@ -839,9 +864,15 @@ class _Parser:
                         and getattr(b, "group", None) is None
                         and getattr(b, "subquery", None) is None):
                     # plain group: splice into the enclosing group
+                    # (bind positions shift by the patterns already
+                    # parsed)
+                    off = len(q.patterns)
                     q.patterns.extend(b.patterns)
                     q.filters.extend(b.filters)
                     q.optional.extend(b.optional)
+                    for bd in b.binds:
+                        if getattr(bd, "at", None) is not None:
+                            bd.at += off
                     q.binds.extend(b.binds)
                 else:
                     # a full-algebra single branch ({ {A} UNION {B} . C }
@@ -985,9 +1016,23 @@ class _Parser:
             )
         for b in sub.binds:
             if b.var in pattern_vars(sub.patterns):
-                raise SparqlSyntaxError(
-                    f"BIND var ?{b.var} is reused by a pattern in the "
-                    "same branch"
+                if getattr(b, "at", None) is None or any(
+                    i < b.at
+                    for i, p in enumerate(sub.patterns)
+                    if b.var in pattern_vars([p])
+                ):
+                    # used BEFORE the BIND: a genuine rebinding
+                    raise SparqlSyntaxError(
+                        f"BIND var ?{b.var} is reused by a pattern in "
+                        "the same branch"
+                    )
+                # a LATER pattern CONSUMES the branch-local BIND var:
+                # route the branch through the full group evaluator,
+                # whose _post_bind_split implements the in-group
+                # evaluation order (circular inputs raise there)
+                return GroupBlock(
+                    group=sub,
+                    out_names=tuple(sorted(_query_scope_vars(sub))),
                 )
         return GroupBlock(
             patterns=sub.patterns,
@@ -1643,11 +1688,14 @@ def _add_order_sidecars(df: DataFrame, order_by) -> tuple[DataFrame, set[str]]:
     SPARQL's total order is type-aware — lexicographic sort over the
     materialized strings would rank "150.0" before "50.0". The sidecars
     reproduce the spec order where it is defined and a deterministic
-    extension where it is not: unbound (-1) < entities/IRIs (0) <
-    literals (1); numeric literals compare by value and sort before
-    string literals (num NULL); remaining ties break on the
-    materialized lexical form. Blank-node-vs-IRI rank and language tags
-    are not distinguished (documented non-goal).
+    extension where it is not: unbound (-1) < blank nodes (-0.5,
+    refined at sort time from the rendered ``_:`` prefix) <
+    entities/IRIs (0) < literals (1); numeric literals compare by
+    value and sort before string literals (num NULL); remaining ties
+    break on the materialized lexical form — tagged/typed literals
+    render with their full ``"lex"@lang`` / ``"lex"^^<dt>`` wrapper,
+    so the tie-break distinguishes them deterministically where the
+    spec leaves the order undefined.
     """
     added: set[str] = set()
     structy = {
@@ -2451,7 +2499,8 @@ def _reject_template_paths(patterns: list) -> None:
 
 def _bind_scope_check(q: Query) -> None:
     """Parse-level guards that make post-hoc BIND evaluation exact."""
-    scope = pattern_vars(q.patterns)
+    pat_scope = pattern_vars(q.patterns)
+    scope = set(pat_scope)
     for blk in q.optional:
         scope |= _block_vars(blk)
     branch_binds: list[tuple[object, set[str]]] = []  # (bind, branch vars)
@@ -2488,10 +2537,29 @@ def _bind_scope_check(q: Query) -> None:
             )
     for b in q.binds:
         if b.var in scope:
-            raise SparqlSyntaxError(
-                f"BIND ?{b.var} would rebind a variable already in scope "
-                "(BIND vars reused in graph patterns are not supported)"
+            # a group pattern may CONSUME the var when every consuming
+            # pattern sits after the BIND's parse position — it then
+            # evaluates post-Extend and joins back (_post_bind_split).
+            # Anything else (a pattern before the BIND, an OPTIONAL /
+            # UNION / VALUES / subquery var, even one that ALSO
+            # appears in a later pattern) is a rebinding error.
+            at = getattr(b, "at", None)
+            forward_ok = (
+                at is not None
+                and b.var in pat_scope
+                and b.var not in _nonpattern_scope(q)
+                and all(
+                    i >= at
+                    for i, p in enumerate(q.patterns)
+                    if b.var in pattern_vars([p])
+                )
             )
+            if not forward_ok:
+                raise SparqlSyntaxError(
+                    f"BIND ?{b.var} would rebind a variable already in "
+                    "scope (only graph patterns AFTER the BIND may "
+                    "consume its variable)"
+                )
         used = _bind_expr_vars(b.expr)
         if not used <= scope:
             missing = ", ".join(f"?{v}" for v in sorted(used - scope))
@@ -2499,6 +2567,100 @@ def _bind_scope_check(q: Query) -> None:
                 f"BIND expression uses out-of-scope variable(s) {missing}"
             )
         scope.add(b.var)  # later BINDs may chain on earlier ones
+
+
+def _nonpattern_scope(q: Query) -> set[str]:
+    """Vars a group binds through anything OTHER than its own required
+    patterns: OPTIONAL blocks, UNION branches, VALUES, subqueries.
+    A BIND var colliding with one of these cannot take the
+    post-Extend-join path (those stages evaluate around the BIND in
+    ways a pattern split can't reorder)."""
+    out: set[str] = set()
+    for blk in q.optional:
+        out |= _block_vars(blk)
+    for chain in q.union_blocks:
+        for br in chain:
+            out |= pattern_vars(br.patterns) | set(
+                getattr(br, "out_names", ()) or ()
+            )
+            for blk in br.optional:
+                out |= _block_vars(blk)
+    for vb in q.values:
+        out |= set(vb.vars)
+    for sub in q.subqueries:
+        out |= set(_subquery_out_names(sub))
+    return out
+
+
+def _post_bind_split(q: Query) -> tuple[Query, list, list]:
+    """Split out the group patterns that CONSUME a BIND-introduced var
+    — SPARQL's in-group evaluation order, ``Join(Extend(G, v, expr),
+    P)``, the one shape post-hoc BIND evaluation can't express
+    directly.  Returns ``(q', post_patterns, post_filters)``: ``q'``
+    has those patterns (and the filters fully answerable by them)
+    removed; the caller evaluates the post BGP separately and
+    compatibility-joins it back AFTER ``_apply_binds`` (an
+    error→unbound BIND value is compatible with every post solution,
+    per §8.3).
+
+    The join needs no dictionary lookup: term ids are
+    content-addressed (``xxhash64(kind, lexical)``,
+    functions/encoding.py:30), so a BIND-computed term carries exactly
+    the id its dictionary entry would have and the join is plain
+    struct equality.  Patterns var-connected to a consuming pattern
+    move with it, keeping the pre-BGP free of induced cross joins;
+    patterns that bind a BIND input var always stay pre (the Extend
+    must see them)."""
+    bind_vars = {
+        b.var for b in q.binds if getattr(b, "at", None) is not None
+    }
+    if not bind_vars or not q.patterns:
+        return q, [], []
+    pv = [pattern_vars([p]) for p in q.patterns]
+    post = {i for i, vs in enumerate(pv) if vs & bind_vars}
+    if not post:
+        return q, [], []
+    expr_vars = set().union(
+        *[_bind_expr_vars(b.expr) for b in q.binds]
+    )
+    changed = True
+    while changed:
+        changed = False
+        post_vars = set().union(*[pv[i] for i in post])
+        for j, vs in enumerate(pv):
+            if j in post or not (vs & post_vars) or (vs & expr_vars):
+                continue
+            post.add(j)
+            changed = True
+    pre_vars = pattern_vars(
+        [p for i, p in enumerate(q.patterns) if i not in post]
+    )
+    post_vars = set().union(*[pv[i] for i in post])
+    only_post = post_vars - pre_vars - bind_vars
+    for b in q.binds:
+        circular = _bind_expr_vars(b.expr) & only_post
+        if circular:
+            missing = ", ".join(f"?{v}" for v in sorted(circular))
+            raise SparqlSyntaxError(
+                f"BIND ?{b.var} reads {missing}, which is bound only by "
+                "a pattern that consumes a BIND variable (circular "
+                "in-group dependency)"
+            )
+    post_pats = [q.patterns[i] for i in sorted(post)]
+    # filters fully answerable inside the post BGP push into it (a
+    # shared var is equalized by the join, so post-side filtering is
+    # equivalent); filters touching a post-only var but spanning both
+    # sides defer until after the join (caller routes them through the
+    # deferred-filter stage)
+    post_filts = [
+        f for f in q.filters if f.vars() and f.vars() <= post_vars
+    ]
+    q = _dc_replace(
+        q,
+        patterns=[p for i, p in enumerate(q.patterns) if i not in post],
+        filters=[f for f in q.filters if f not in post_filts],
+    )
+    return q, post_pats, post_filts
 
 
 def _bind_expr_vars(expr: tuple) -> set[str]:
@@ -2741,9 +2903,17 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         for chain in q.union_blocks
         for br in chain
     )
+    post_pats: list = []
+    post_filts: list = []
     if q.binds or has_branch_binds:
         _bind_scope_check(q)
+        # patterns consuming a BIND var evaluate after the Extend —
+        # pull them (and their filters) out; they join back after
+        # _apply_binds below
+        q, post_pats, post_filts = _post_bind_split(q)
         post_vars |= {b.var for b in q.binds}
+        if post_pats:
+            post_vars |= pattern_vars(post_pats)
     if post_vars:
         # label-space deferred filters read the BIND var's vlex sidecar
         # (or an id2term join for id-space subquery vars) — see
@@ -2845,11 +3015,32 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             else:
                 result = result.withColumnRenamed(f"__{v}_vvlex", f"__{v}_vlex")
 
-    # BIND: extend each solution (post-pattern evaluation is exact —
-    # _bind_scope_check guarantees no pattern consumes a BIND var);
-    # deferred filters apply once BIND/subquery vars exist
+    # BIND: extend each solution (post-hoc evaluation is exact —
+    # _bind_scope_check / _post_bind_split guarantee every pattern
+    # still in q.patterns predates the BINDs); patterns that CONSUME a
+    # BIND var join back here, compatibility semantics because an
+    # error→unbound BIND value matches every post solution (§8.3);
+    # deferred filters apply once BIND / subquery / post-pattern vars
+    # exist
     if q.binds:
         result = _apply_binds(result, store, q.binds)
+    if post_pats:
+        pdf = execute_bgp(store, post_pats, filters=post_filts, dedup=dedup)
+        shared = [c for c in pdf.columns if c in result.columns]
+        # hybrid join: only rows where a shared var is actually NULL
+        # (an error→unbound BIND value, or an OPTIONAL-null var the
+        # post component also touches) need the non-equi compatibility
+        # join — everything else keeps the plain hash equi-join, the
+        # shape that survives two large sides at scale (the
+        # compatibility leg would otherwise be a nested-loop /
+        # cartesian join over the FULL input). The post side itself is
+        # all required scans — never unbound.
+        null_any = _reduce(
+            lambda a, b: a | b, (F.col(c).isNull() for c in shared)
+        )
+        bound = result.filter(~null_any).join(pdf, on=shared, how="inner")
+        rest = _merge_join(result.filter(null_any), pdf, shared, "inner")
+        result = bound.unionByName(rest, allowMissingColumns=True)
     for f in deferred:
         result = _apply_deferred_filter(result, store, f)
 
@@ -3107,9 +3298,16 @@ def execute(
             name = v[1:]
             if f"__ord_{name}_k" in out.columns:
                 num = F.col(f"__ord_{name}_n")
+                # §15.1 rank: unbound(-1) < blank nodes(-0.5) <
+                # IRIs(0) < literals(1). Blank nodes are recognized by
+                # the rendered `_:` prefix (an IRI can never render
+                # so), refining the id-space kind rank at sort time.
+                k = F.col(f"__ord_{name}_k").cast("double")
+                k = F.when(
+                    (k == 0) & F.col(name).startswith("_:"), F.lit(-0.5)
+                ).otherwise(k)
                 keys += [
-                    F.col(f"__ord_{name}_k").asc() if asc
-                    else F.col(f"__ord_{name}_k").desc(),
+                    k.asc() if asc else k.desc(),
                     # numerics by value; string literals (NULL num)
                     # after them ascending, before them descending
                     num.asc_nulls_last() if asc else num.desc_nulls_first(),
