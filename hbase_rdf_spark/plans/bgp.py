@@ -704,14 +704,68 @@ def _merge_join(
     (SPARQL 1.1 §8.3); the merged solution takes the bound side — and
     so does its ``__{v}_vlex`` lexical sidecar. Needed whenever a
     shared var can be unbound on either side (an OPTIONAL miss, a
-    VALUES UNDEF cell, union branches of differing scope): the plain
-    column-equality join treats NULL as incompatible, silently
-    dropping (inner) or orphaning (left) rows the spec keeps. The
-    non-equi condition costs a nested-loop join, so callers keep the
-    hash join for the provably all-bound common case.
+    VALUES UNDEF cell, union branches of differing scope, a BIND
+    error): the plain column-equality join treats NULL as
+    incompatible, silently dropping (inner) or orphaning (left) rows
+    the spec keeps.
+
+    Decomposed for scale: a join key is NULL only on the (usually
+    tiny or empty) slice of rows where an OPTIONAL missed / a VALUES
+    cell was UNDEF / a BIND errored. Splitting both sides on
+    key-completeness turns the bound×bound quadrant — almost all of
+    the data — into a plain hash/merge EQUI join; only the null-key
+    slices keep the non-equi compatibility condition (inherently a
+    partial cross product: per spec an unbound var matches
+    everything), so the nested-loop legs see slices, never the full
+    inputs. The three quadrant legs partition result×step exactly, so
+    bag multiplicities are preserved; unmatched left rows surface
+    once via an anti-anti residual.
 
     ``how``: "inner" (SPARQL Join) or "left" (LeftJoin).
     """
+    if not shared:
+        return result.join(step, F.lit(True), how)
+    r_null = _reduce(
+        lambda a, b: a | b, (F.col(v).isNull() for v in shared)
+    )
+    r_bound, r_nulls = result.filter(~r_null), result.filter(r_null)
+    s_bound, s_nulls = step.filter(~r_null), step.filter(r_null)
+    legs = [
+        # bound × bound: pure equality — Catalyst picks a hash join
+        _compat_pairs(r_bound, s_bound, shared, "inner", equi=True),
+        # bound × null-slice: compatibility, but only over the slice
+        _compat_pairs(r_bound, s_nulls, shared, "inner", equi=False),
+        # null-slice × everything: full compatibility over the slice
+        _compat_pairs(r_nulls, step, shared, how, equi=False),
+    ]
+    if how == "left":
+        # bound rows with no partner in EITHER leg surface once,
+        # null-extended (the r_nulls leg already handles its own)
+        unmatched = r_bound.join(
+            s_bound.select(*shared), on=shared, how="left_anti"
+        )
+        sn = s_nulls.select(
+            *[F.col(v).alias(f"__mj_{v}") for v in shared]
+        )
+        anti_cond = _reduce(
+            lambda a, b: a & b,
+            (
+                F.col(f"__mj_{v}").isNull() | (F.col(v) == F.col(f"__mj_{v}"))
+                for v in shared
+            ),
+        )
+        legs.append(unmatched.join(sn, anti_cond, "left_anti"))
+    return _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), legs
+    )
+
+
+def _compat_pairs(
+    result: DataFrame, step: DataFrame, shared: list, how: str, equi: bool
+) -> DataFrame:
+    """One quadrant leg of ``_merge_join``: join + binding/sidecar
+    merge, with either plain equality (``equi`` — hash-joinable) or
+    the null-tolerant compatibility condition."""
     for v in shared:
         step = step.withColumnRenamed(v, f"__mj_{v}")
         if f"__{v}_vlex" in step.columns:
@@ -719,7 +773,10 @@ def _merge_join(
     cond = F.lit(True)
     for v in shared:
         b = F.col(f"__mj_{v}")
-        cond = cond & (F.col(v).isNull() | b.isNull() | (F.col(v) == b))
+        if equi:
+            cond = cond & (F.col(v) == b)
+        else:
+            cond = cond & (F.col(v).isNull() | b.isNull() | (F.col(v) == b))
     out = result.join(step, cond, how)
     for v in shared:
         out = out.withColumn(

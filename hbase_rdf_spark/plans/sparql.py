@@ -2864,6 +2864,41 @@ def _compat_join(
     if not vars_:  # only internal sidecars shared — equality is exact
         return result.join(step, on=shared, how=how)
     blk = step.select(*vars_).dropDuplicates()
+    # quadrant decomposition (same idea as bgp._merge_join): between
+    # two all-bound sides, compatibility IS equality (and MINUS's
+    # domain-overlap requirement is trivially met), so the bulk takes
+    # a hash semi/anti join; only null-key slices keep the non-equi
+    # condition, bounding the nested-loop legs by the slices instead
+    # of the full outer × distinct-block product.
+    null_of = lambda cols: _reduce(  # noqa: E731
+        lambda a, b: a | b, (F.col(v).isNull() for v in cols)
+    )
+    b_bound = blk.filter(~null_of(vars_))
+    b_nulls = blk.filter(null_of(vars_))
+    r_bound = result.filter(~null_of(vars_))
+    r_nulls = result.filter(null_of(vars_))
+    if how == "left_anti":
+        out_b = r_bound.join(b_bound, on=vars_, how="left_anti")
+        out_b = _nl_compat(out_b, b_nulls, vars_, how, require_overlap)
+        out_n = _nl_compat(r_nulls, blk, vars_, how, require_overlap)
+        return out_b.unionByName(out_n)
+    # left_semi: legs must stay disjoint (a row matching both the
+    # bound and the null-slice quadrant may only surface once)
+    m1 = r_bound.join(b_bound, on=vars_, how="left_semi")
+    rest = r_bound.join(b_bound, on=vars_, how="left_anti")
+    m2 = _nl_compat(rest, b_nulls, vars_, how, require_overlap)
+    m3 = _nl_compat(r_nulls, blk, vars_, how, require_overlap)
+    return m1.unionByName(m2).unionByName(m3)
+
+
+def _nl_compat(
+    result: DataFrame, blk: DataFrame, vars_: list, how: str,
+    require_overlap: bool,
+) -> DataFrame:
+    """One non-equi leg of ``_compat_join``: the §8.3 null-tolerant
+    condition (optionally with MINUS's bound-overlap requirement) as a
+    nested-loop semi/anti join — callers pass SLICES, never both full
+    sides."""
     for v in vars_:
         blk = blk.withColumnRenamed(v, f"__mx_{v}")
     cond = F.lit(True)
@@ -3027,20 +3062,10 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     if post_pats:
         pdf = execute_bgp(store, post_pats, filters=post_filts, dedup=dedup)
         shared = [c for c in pdf.columns if c in result.columns]
-        # hybrid join: only rows where a shared var is actually NULL
-        # (an error→unbound BIND value, or an OPTIONAL-null var the
-        # post component also touches) need the non-equi compatibility
-        # join — everything else keeps the plain hash equi-join, the
-        # shape that survives two large sides at scale (the
-        # compatibility leg would otherwise be a nested-loop /
-        # cartesian join over the FULL input). The post side itself is
-        # all required scans — never unbound.
-        null_any = _reduce(
-            lambda a, b: a | b, (F.col(c).isNull() for c in shared)
-        )
-        bound = result.filter(~null_any).join(pdf, on=shared, how="inner")
-        rest = _merge_join(result.filter(null_any), pdf, shared, "inner")
-        result = bound.unionByName(rest, allowMissingColumns=True)
+        # compatibility because an error→unbound BIND value matches
+        # every post solution; _merge_join's quadrant decomposition
+        # keeps the all-bound bulk on the hash path
+        result = _merge_join(result, pdf, shared, "inner")
     for f in deferred:
         result = _apply_deferred_filter(result, store, f)
 
