@@ -914,6 +914,34 @@ def _q_sparql_term_eq(spark, sf):
         }""")
 
 
+def _q_sparql_agg_expr(spark, sf):
+    # aggregate EXPRESSION argument + SELECT expression over the
+    # aggregated frame (SPARQL 1.1 §18.4 / §18.2.4.4 — ARQ parity,
+    # SURVEY SE2): SUM(?ls + ?lo) desugars into a hidden per-solution
+    # Extend just before the groupBy (map-side combinable aggregate);
+    # (?tot / COUNT(?o) AS ?avgpair) evaluates AFTER grouping, over
+    # the aggregate aliases — COUNT(?o) inline becomes a hidden
+    # aggregate. plans/sparql.py round 4.
+    return _sparql(spark, sf, """
+        SELECT ?s (SUM(?ls + ?lo) AS ?tot) (?tot / COUNT(?o) AS ?avgpair)
+        WHERE {
+          ?s <merge> ?o .
+          ?s <toklen> ?ls .
+          ?o <toklen> ?lo .
+        } GROUP BY ?s""")
+
+
+def _q_sparql_agg_distinct(spark, sf):
+    # SUM/AVG honour DISTINCT (§18.5.1: Distinct applies to the
+    # multiset of argument values); AVG(DISTINCT) = sum_distinct /
+    # count_distinct — exact integer sums, one IEEE division, so the
+    # value is bit-deterministic against the oracle
+    return _sparql(spark, sf, """
+        SELECT ?s (SUM(DISTINCT ?lo) AS ?sd) (AVG(DISTINCT ?lo) AS ?ad)
+               (COUNT(?o) AS ?n)
+        WHERE { ?s <merge> ?o . ?o <toklen> ?lo . } GROUP BY ?s""")
+
+
 def _q_sparql_optional_union(spark, sf):
     # UNION inside OPTIONAL: the group's solutions are the union of the
     # branches, left-joined onto the required bindings as one unit
@@ -1604,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_bind_join": _q_sparql_bind_join,
         "kg_sparql_term_eq": _q_sparql_term_eq,
+        "kg_sparql_agg_expr": _q_sparql_agg_expr,
+        "kg_sparql_agg_distinct": _q_sparql_agg_distinct,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2489,6 +2519,21 @@ def oracle_sql() -> dict[str, str]:
             FROM triples j JOIN triples s2
               ON s2.s = 'spark' AND s2.p = 'sort' AND s2.o = j.o
             WHERE j.s = 'spark' AND j.p = 'join'""",
+        # toklen replays as length(): the side-channel triple is one
+        # per distinct node, so the BGP join adds no multiplicity
+        "kg_sparql_agg_expr": f"""{_TRIPLES_CTE}
+            SELECT t.s AS s,
+                   SUM(CAST(length(t.s) + length(t.o) AS DOUBLE)) AS tot,
+                   SUM(CAST(length(t.s) + length(t.o) AS DOUBLE))
+                     / COUNT(t.o) AS avgpair
+            FROM triples t WHERE t.p = 'merge' GROUP BY t.s""",
+        "kg_sparql_agg_distinct": f"""{_TRIPLES_CTE}
+            SELECT t.s AS s,
+                   SUM(DISTINCT CAST(length(t.o) AS DOUBLE)) AS sd,
+                   SUM(DISTINCT CAST(length(t.o) AS DOUBLE))
+                     / COUNT(DISTINCT length(t.o)) AS ad,
+                   COUNT(t.o) AS n
+            FROM triples t WHERE t.p = 'merge' GROUP BY t.s""",
         "kg_path_seq": f"""{_TRIPLES_CTE}
             SELECT DISTINCT t2.o AS z
             FROM triples t1 JOIN triples t2

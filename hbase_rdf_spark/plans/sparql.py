@@ -78,7 +78,11 @@ Surface: the full group algebra in the WHERE body (BGP/FILTER/
 OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS/nested subqueries)
 + aggregates (incl. the label-space
 GROUP_CONCAT/SAMPLE, which export kind-1 structs with a lexical
-sidecar) with GROUP BY/HAVING and DISTINCT, plus ORDER BY …
+sidecar; expression arguments ``SUM(?a * ?b)`` desugar to a hidden
+pre-grouping Extend; SUM/AVG honour DISTINCT) with GROUP BY/HAVING
+and DISTINCT, SELECT expressions over the aggregated frame —
+``(?tot / COUNT(?o) AS ?avg)``, inline aggregate calls become hidden
+aggregates — plus ORDER BY …
 LIMIT/OFFSET top-k slices (type-aware sort keys — aggregate aliases
 sort natively, pattern vars on the SPARQL total order with a lexical
 tie-break; Catalyst lowers sort+limit to TakeOrderedAndProject, no
@@ -303,6 +307,16 @@ class Query:
     exists: list[tuple[bool, GroupBlock]] = field(default_factory=list)
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    # SELECT '(expr AS ?v)' expressions, parked here until the whole
+    # query is parsed, then staged by _stage_select_exprs: grouped
+    # query → postagg_binds (Extend over the aggregated frame);
+    # ungrouped → appended to binds (ordinary per-solution Extend)
+    select_exprs: list[BindAssign] = field(default_factory=list)
+    # hidden per-solution Extends for aggregate EXPRESSION arguments
+    # (SUM(?a * ?b)), applied just before the groupBy at both
+    # aggregation sites
+    agg_prebinds: list[BindAssign] = field(default_factory=list)
+    postagg_binds: list[BindAssign] = field(default_factory=list)
     describe_target: object = None  # '?var' or constant term
     construct_template: list[Bgp] = field(default_factory=list)
     having: tuple | None = None  # (?aggAlias, op, number)
@@ -323,6 +337,10 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._bn_counter = 0
+        # when non-None, _bind_atom accepts aggregate calls and
+        # desugars each into a hidden aggregate of this query —
+        # active only while parsing SELECT projection expressions
+        self._agg_ctx: Query | None = None
         # dataset clause: None until a FROM / FROM NAMED is parsed,
         # then (default_graphs, named_graphs) — consulted by
         # _graph_slot when stamping graph scope onto patterns
@@ -574,7 +592,6 @@ class _Parser:
             self.expect("WHERE")
         else:
             self.kw("WHERE")  # ASK WHERE { } — WHERE optional
-        n_sel_binds = len(q.binds)  # projection-expression desugars
         self.expect("{")
         self._group(q, default_graph)
         self.expect("}")
@@ -591,11 +608,7 @@ class _Parser:
                 )
             _reject_template_paths(q.patterns)
             q.construct_template = q.patterns
-        if 0 < n_sel_binds < len(q.binds):
-            # projection expressions evaluate over the WHERE group's
-            # solutions, i.e. AFTER any BIND in the group body — rotate
-            # them to the end so application order matches scope
-            q.binds = q.binds[n_sel_binds:] + q.binds[:n_sel_binds]
+        self._stage_select_exprs(q)
         return q
 
     def _select_clause(self, q: Query) -> None:
@@ -605,7 +618,6 @@ class _Parser:
         # reference: optimizer/HBaseOptimize.java:106-107)
         if self.kw("DISTINCT") or self.kw("REDUCED"):
             q.distinct = True
-        sel_exprs = 0
         while True:
             tok = self.peek()
             if tok == "*":
@@ -614,55 +626,85 @@ class _Parser:
             if tok is not None and tok.startswith("?"):
                 q.variables.append(self.next())
             elif tok == "(":
+                # unified '( expr AS ?v )': aggregates are ordinary
+                # atoms of the expression grammar here (the _bind_atom
+                # agg hook desugars each into a hidden aggregate and
+                # returns a reference to its alias), so plain
+                # (SUM(?x) AS ?s), expression arguments SUM(?a*?b),
+                # and aggregate combinations (SUM(?a)/SUM(?b) AS ?r)
+                # all parse through one path
                 self.next()
-                if (self.peek() or "").upper() not in _AGG_FUNCS:
-                    # SPARQL 1.1 projection expression
-                    # '( expr AS ?v )' — exactly BIND semantics
-                    # (Extend over each solution), so desugar to one
+                n_aggs = len(q.aggregates)
+                self._agg_ctx = q
+                try:
                     expr = self._bind_expr()
-                    self.expect("AS")
-                    v = self.next()
-                    if not v.startswith("?"):
-                        raise SparqlSyntaxError(
-                            "projection-expression alias must be a variable"
-                        )
-                    self.expect(")")
-                    q.binds.append(BindAssign(v[1:], expr))
-                    q.variables.append(v)
-                    sel_exprs += 1
-                    continue
-                func = self.next().upper()
-                if func not in _AGG_FUNCS:
-                    raise SparqlSyntaxError(f"unsupported aggregate {func}")
-                self.expect("(")
-                distinct = self.kw("DISTINCT")
-                v = None
-                if self.peek() == "*":
-                    self.next()
-                    if func != "COUNT":
-                        raise SparqlSyntaxError(f"{func}(*) is not valid")
-                else:
-                    v = self.next()
-                    if not v.startswith("?"):
-                        raise SparqlSyntaxError("aggregate argument must be a var")
-                sep = self._agg_separator(func)
-                self.expect(")")
+                finally:
+                    self._agg_ctx = None
                 self.expect("AS")
-                alias = self.next()
-                if not alias.startswith("?"):
-                    raise SparqlSyntaxError("aggregate alias must be a var")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlSyntaxError(
+                        "projection-expression alias must be a variable"
+                    )
                 self.expect(")")
-                q.aggregates.append(Aggregate(func, v, alias, distinct, sep))
-                q.variables.append(alias)
+                if (
+                    expr[0] == "var"
+                    and len(q.aggregates) == n_aggs + 1
+                    and expr[1] == q.aggregates[-1].alias
+                ):
+                    # the expression IS one bare aggregate — promote
+                    # the hidden aggregate to its declared alias
+                    q.aggregates[-1].alias = v
+                else:
+                    q.select_exprs.append(BindAssign(v[1:], expr))
+                q.variables.append(v)
             else:
                 break
-        if sel_exprs and q.aggregates:
-            # BIND application happens pre-aggregation here; an
-            # expression over aggregate outputs would silently read the
-            # wrong stage — reject rather than miscompute
-            raise SparqlSyntaxError(
-                "projection expressions cannot be combined with aggregates"
-            )
+
+    def _parse_aggregate(self, q: Query) -> Aggregate:
+        """Parse ``FUNC ( [DISTINCT] ( * | ?v | expr ) [; SEPARATOR] )``
+        with a placeholder alias. A non-variable argument (SPARQL 1.1
+        grammar: any Expression) desugars into a hidden per-solution
+        BIND (``q.agg_prebinds`` — evaluated over the group's solutions
+        just BEFORE grouping, §18.4) and the aggregate runs over the
+        hidden var, so ``SUM(?price * ?qty)`` costs one Extend plus the
+        same map-side-combinable Spark aggregate as ``SUM(?x)``."""
+        func = self.next().upper()
+        self.expect("(")
+        distinct = self.kw("DISTINCT")
+        v = None
+        if self.peek() == "*":
+            self.next()
+            if func != "COUNT":
+                raise SparqlSyntaxError(f"{func}(*) is not valid")
+        else:
+            after = self.t[self.i + 1] if self.i + 1 < len(self.t) else None
+            if (self.peek() or "").startswith("?") and after in (")", ";"):
+                v = self.next()  # plain-var fast path: SUM(?x)
+            else:
+                expr = self._bind_expr()
+                hidden = f"__aggarg{len(q.agg_prebinds)}"
+                q.agg_prebinds.append(BindAssign(hidden, expr))
+                v = "?" + hidden
+        sep = self._agg_separator(func)
+        self.expect(")")
+        return Aggregate(func, v, "?__unaliased", distinct, sep)
+
+    def _stage_select_exprs(self, q: Query) -> None:
+        """SELECT-expression staging, decided once the whole query is
+        parsed (GROUP BY and HAVING can introduce grouping after the
+        SELECT clause): in a grouped query they are Extends over the
+        AGGREGATED frame — group keys and aggregate aliases, SPARQL 1.1
+        §18.2.4.4 — otherwise ordinary BINDs over the group's
+        solutions, applied AFTER any in-group BIND so application
+        order matches scope."""
+        if not q.select_exprs:
+            return
+        if q.aggregates or q.group_by:
+            q.postagg_binds = list(q.select_exprs)
+        else:
+            q.binds = q.binds + list(q.select_exprs)
+        q.select_exprs = []
 
     def _parse_subselect(self, graph) -> "Query":
         """Parse a SubSelect after its SELECT keyword was peeked:
@@ -675,6 +717,7 @@ class _Parser:
         self._group(sq, graph)
         self.expect("}")
         self._modifiers(sq)
+        self._stage_select_exprs(sq)
         return sq
 
     def _group(self, q: Query, graph) -> None:
@@ -1129,6 +1172,26 @@ class _Parser:
         return node
 
     def _bind_atom(self) -> tuple:
+        up = (self.peek() or "").upper()
+        if (
+            self._agg_ctx is not None
+            and up in _AGG_FUNCS
+            and self.i + 1 < len(self.t)
+            and self.t[self.i + 1] == "("
+        ):
+            # aggregate call inside a SELECT expression
+            # (SUM(?a)/SUM(?b) AS ?r): desugar to a hidden aggregate
+            # and reference its alias — the enclosing expression then
+            # evaluates over the aggregated frame. The sink is cleared
+            # while the argument parses: nested aggregates are invalid
+            ctx, self._agg_ctx = self._agg_ctx, None
+            try:
+                agg = self._parse_aggregate(ctx)
+            finally:
+                self._agg_ctx = ctx
+            agg.alias = f"?__hagg{len(ctx.aggregates)}"
+            ctx.aggregates.append(agg)
+            return ("var", agg.alias)
         if self.peek() == "(":
             self.next()
             e = self._bind_expr()
@@ -1541,30 +1604,23 @@ class _Parser:
 
     def _having_cmp(self, q: Query) -> tuple:
         if (self.peek() or "").upper() in _AGG_FUNCS:
-            func = self.next().upper()
-            self.expect("(")
-            distinct = self.kw("DISTINCT")
-            av = None
-            if self.peek() == "*":
-                self.next()
-                if func != "COUNT":
-                    raise SparqlSyntaxError(f"{func}(*) is not valid")
-            else:
-                av = self.next()
-                if not av.startswith("?"):
-                    raise SparqlSyntaxError("aggregate argument must be a var")
-            self.expect(")")
+            # same grammar as a SELECT aggregate — including expression
+            # arguments (HAVING (SUM(?p * ?q) > 10)), which desugar to
+            # a hidden pre-grouping Extend via _parse_aggregate
+            agg = self._parse_aggregate(q)
             v = next(
                 (
                     a.alias
                     for a in q.aggregates
-                    if (a.func, a.var, a.distinct) == (func, av, distinct)
+                    if (a.func, a.var, a.distinct)
+                    == (agg.func, agg.var, agg.distinct)
                 ),
                 None,
             )
             if v is None:
                 v = f"?__having_{len(q.aggregates)}"
-                q.aggregates.append(Aggregate(func, av, v, distinct))
+                agg.alias = v
+                q.aggregates.append(agg)
         else:
             v = self.next()
             if not v.startswith("?"):
@@ -1776,6 +1832,15 @@ def _agg_expr(a: Aggregate):
             getattr(a, "separator", " "), F.sort_array(members)
         ).alias(a.alias[1:])
     num = F.col(a.var[1:]).getField("num")
+    if a.distinct and a.func in ("SUM", "AVG"):
+        # §18.5.1: Distinct applies to the multiset of argument values.
+        # MIN/MAX are insensitive; AVG(DISTINCT) = SUM/COUNT of the
+        # distinct values (try_divide: empty group → NULL, not error)
+        if a.func == "SUM":
+            return F.sum_distinct(num).alias(a.alias[1:])
+        return F.try_divide(
+            F.sum_distinct(num), F.count_distinct(num)
+        ).alias(a.alias[1:])
     fn = {"SUM": F.sum, "AVG": F.avg, "MIN": F.min, "MAX": F.max}[a.func]
     return fn(num).alias(a.alias[1:])
 
@@ -2302,6 +2367,89 @@ def _having_col(h: tuple):
     raise ValueError(f"unknown HAVING node {h!r}")
 
 
+def _postagg_num_col(expr: tuple, scalars: set, gvars: set):
+    """Numeric column of a SELECT expression over the AGGREGATED frame
+    (SPARQL 1.1 §18.2.4.4): aggregate aliases and earlier SELECT-
+    expression targets are plain scalar columns; group-key vars are
+    binding structs and contribute their numeric value. NULL = error →
+    unbound, same as BIND arithmetic."""
+    tag = expr[0]
+    if tag == "var":
+        n = expr[1][1:]
+        if n in scalars:
+            return F.col(n).cast("double")
+        if n in gvars:
+            return F.col(n).getField("num")
+        raise SparqlSyntaxError(
+            f"SELECT expression over a grouped query may only use "
+            f"GROUP BY variables and aggregates, not {expr[1]}"
+        )
+    if tag == "num":
+        return F.lit(expr[1])
+    if tag == "nfunc":
+        c = _postagg_num_col(expr[2], scalars, gvars)
+        if expr[1] == "abs":
+            return F.abs(c)
+        if expr[1] == "ceil":
+            return F.ceil(c).cast("double")
+        if expr[1] == "floor":
+            return F.floor(c).cast("double")
+        return F.floor(c + F.lit(0.5)).cast("double")
+    if tag == "coalesce":
+        return F.coalesce(
+            *[_postagg_num_col(a, scalars, gvars) for a in expr[1]]
+        )
+    if tag == "if":
+        c = expr[1].cond()
+        return (
+            F.when(c, _postagg_num_col(expr[2], scalars, gvars))
+            .when(~c, _postagg_num_col(expr[3], scalars, gvars))
+        )
+    if tag != "arith":
+        raise SparqlSyntaxError(
+            "only numeric SELECT expressions are supported over a "
+            "grouped query"
+        )
+    _, op, left, right = expr
+    lc = _postagg_num_col(left, scalars, gvars)
+    rc = _postagg_num_col(right, scalars, gvars)
+    if op == "/":
+        return F.when(rc != 0, lc / rc)
+    return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
+
+
+def _apply_postagg(
+    df: DataFrame, binds: list, agg_aliases: list, gvars: list
+) -> tuple[DataFrame, list, list]:
+    """Extend the aggregated frame with the query's SELECT expressions.
+    Returns ``(df, scalar_aliases, term_aliases)``: scalar targets pass
+    through materialization verbatim like aggregate aliases; a bare
+    copy of a group var stays a binding struct (term) and materializes
+    with the group keys. Pure projection — no shuffle."""
+    term_aliases: list = []
+    scalar_aliases: list = []
+    scalars = set(agg_aliases)
+    gset = set(gvars)
+    for b in binds:
+        if b.expr[0] == "var" and b.expr[1][1:] in gset:
+            src = b.expr[1][1:]
+            df = df.withColumn(b.var, F.col(src))
+            if f"__{src}_vlex" in df.columns:
+                df = df.withColumn(f"__{b.var}_vlex", F.col(f"__{src}_vlex"))
+            term_aliases.append(b.var)
+        elif b.expr[0] == "var" and b.expr[1][1:] in scalars:
+            df = df.withColumn(b.var, F.col(b.expr[1][1:]))
+            scalar_aliases.append(b.var)
+            scalars.add(b.var)
+        else:
+            df = df.withColumn(
+                b.var, _postagg_num_col(b.expr, scalars, gset)
+            )
+            scalar_aliases.append(b.var)
+            scalars.add(b.var)
+    return df, scalar_aliases, term_aliases
+
+
 def _query_scope_vars(sub: Query) -> set[str]:
     """Every variable a group can bind: pattern vars, UNION branch
     vars, OPTIONAL-nested vars, BIND targets, VALUES vars, subquery
@@ -2327,12 +2475,16 @@ def _query_scope_vars(sub: Query) -> set[str]:
 
 def _subquery_out_names(sub: Query) -> list[str]:
     """Projected column names (no '?') of a subquery."""
-    if sub.aggregates:
-        return [v[1:] for v in sub.group_by] + [
-            a.alias[1:] for a in sub.aggregates
-        ]
     if sub.variables:
         return [v[1:] for v in sub.variables]
+    if sub.aggregates:
+        # legacy Query-object API (no explicit projection): group keys
+        # + visible aggregate aliases; hidden SELECT-expression
+        # aggregates (__hagg*) are internal
+        return [v[1:] for v in sub.group_by] + [
+            a.alias[1:] for a in sub.aggregates
+            if not a.alias.startswith("?__")
+        ]
     # SELECT *: every visible variable of the group (patterns,
     # OPTIONAL blocks, UNION branches, BIND/VALUES vars, nested
     # subquery projections), in sorted order for determinism;
@@ -2387,7 +2539,12 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
             dedup=sub.distinct and not sub.aggregates,
         )
     label_aggs: list[str] = []
+    pa_scalars: list = []
     if sub.aggregates:
+        if sub.agg_prebinds:
+            # aggregate expression arguments: per-solution Extend
+            # before grouping (§18.4) — same as the top-level site
+            res = _apply_binds(res, store, sub.agg_prebinds)
         label_vars = sorted({
             a.var[1:] for a in sub.aggregates
             if a.func in ("GROUP_CONCAT", "SAMPLE") and a.var
@@ -2411,8 +2568,13 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
         if sub.having:
             res = res.filter(_having_col(sub.having))
+        if sub.postagg_binds:
+            res, pa_scalars, _pa_terms = _apply_postagg(
+                res, sub.postagg_binds,
+                [a.alias[1:] for a in sub.aggregates], gvars,
+            )
     if sub.order_by:
-        agg_aliases = {a.alias[1:] for a in sub.aggregates}
+        agg_aliases = {a.alias[1:] for a in sub.aggregates} | set(pa_scalars)
         lbl_vars = sorted({
             v[1:] for v, _ in sub.order_by if v[1:] not in agg_aliases
         })
@@ -2451,9 +2613,16 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         res = res.offset(sub.offset)
     if sub.limit is not None:
         res = res.limit(sub.limit)
-    for a in sub.aggregates:
-        name = a.alias[1:]
-        if name in label_aggs:
+    # postagg SELECT-expression targets are scalars too — id-space
+    # conversion below treats a string one (a GROUP_CONCAT copy) as a
+    # label, a numeric one exactly like a numeric aggregate
+    scalar_names = [a.alias[1:] for a in sub.aggregates] + list(pa_scalars)
+    str_cols = {
+        f.name for f in res.schema.fields
+        if f.dataType.typeName() == "string"
+    }
+    for name in scalar_names:
+        if name in label_aggs or (name in pa_scalars and name in str_cols):
             # string scalar → kind-1 plain literal with the in-plan
             # hash id + lexical sidecar (same shape as BIND strings)
             res = res.withColumn(
@@ -3245,6 +3414,10 @@ def execute(
         return [c for c in cols if not c.startswith("__")]
 
     if q.aggregates:
+        if q.agg_prebinds:
+            # aggregate expression arguments (SUM(?a * ?b)): one
+            # per-solution Extend just before grouping, §18.4
+            result = _apply_binds(result, store, q.agg_prebinds)
         gvars = [v[1:] for v in q.group_by]
         label_vars = sorted({
             a.var[1:] for a in q.aggregates
@@ -3258,11 +3431,19 @@ def execute(
         )
         if q.having:
             grouped = grouped.filter(_having_col(q.having))
+        pa_scalars: list = []
+        pa_terms: list = []
+        if q.postagg_binds:
+            grouped, pa_scalars, pa_terms = _apply_postagg(
+                grouped, q.postagg_binds,
+                [a.alias[1:] for a in q.aggregates], gvars,
+            )
         grouped, ordered_vars = _add_order_sidecars(grouped, q.order_by)
         # materialize group vars; aggregate columns pass through verbatim
         out = materialize(
-            grouped, store, [f"?{g}" for g in gvars],
-            keep=[a.alias[1:] for a in q.aggregates]
+            grouped, store,
+            [f"?{g}" for g in gvars] + [f"?{t}" for t in pa_terms],
+            keep=[a.alias[1:] for a in q.aggregates] + pa_scalars
             + sorted(
                 f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
             ),

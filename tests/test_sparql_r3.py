@@ -351,11 +351,15 @@ def test_projection_expression_string_over_where_bind(store):
     assert rows(out) == {("Alice", "ALICE-X"), ("Bob", "BOB-X")}
 
 
-def test_projection_expression_with_aggregate_rejected(store):
-    with pytest.raises(SparqlSyntaxError):
-        parse("""
-            SELECT (COUNT(?s) AS ?n) (?n + 1 AS ?m)
-            WHERE { ?s <http://ex/age> ?a }""")
+def test_projection_expression_with_aggregate(store):
+    # rejected through round 3; round 4 evaluates SELECT expressions
+    # over the aggregated frame (tests/test_sparql_agg_expr.py has the
+    # full matrix) — keep one here to pin the formerly-raising shape
+    out = execute(store, """
+        SELECT (COUNT(?s) AS ?n) (?n + 1 AS ?m)
+        WHERE { ?s <http://ex/age> ?a }""")
+    [(n, m)] = [tuple(r) for r in out.collect()]
+    assert (float(n), float(m)) == (2.0, 3.0)
 
 
 def test_negated_property_set_inverse_members(store):
