@@ -1203,6 +1203,8 @@ class _Parser:
                 "str", "concat", "ucase", "lcase", "strlen",
                 "substr", "replace", "strbefore", "strafter",
                 "abs", "ceil", "floor", "round", "coalesce", "if",
+                "md5", "sha1", "sha256", "sha384", "sha512",
+                "encode_for_uri", "iri", "uri", "strdt", "strlang",
             )
             and self.i + 1 < len(self.t)
             and self.t[self.i + 1] == "("
@@ -1248,6 +1250,27 @@ class _Parser:
                 e = self._bind_expr()
                 self.expect(")")
                 return ("nfunc", low, e)
+            if low in ("iri", "uri"):
+                # SPARQL §17.4.2.8: IRI(str) constructs an IRI term.
+                # Relative-IRI resolution (no BASE support) is out of
+                # scope — the argument must be an absolute IRI string.
+                e = self._bind_expr()
+                self.expect(")")
+                return ("iri", e)
+            if low in ("strdt", "strlang"):
+                # §17.4.2.9/.10 — constant datatype IRI / language tag
+                s = self._bind_expr()
+                self.expect(",")
+                if low == "strlang":
+                    t = self._string_arg()
+                else:
+                    t = self.term()
+                    if not isinstance(t, str) or t.startswith("?"):
+                        raise SparqlSyntaxError(
+                            "STRDT needs a constant datatype IRI"
+                        )
+                self.expect(")")
+                return (low, s, t)
             if low == "if":
                 cond = self._or_expr()
                 self.expect(",")
@@ -1348,6 +1371,25 @@ class _Parser:
             self.expect(")")
             test = "isiri" if low == "isuri" else low
             return TypeTest(v, test)
+        if low == "sameterm":
+            # §17.4.1.8 — for this engine identical to RDFterm-equal
+            # (kind-2 numerics carry only their value, so two lexical
+            # forms of one number were already conflated at encode)
+            self.next()
+            self.expect("(")
+            a = self.term()
+            self.expect(",")
+            b = self.term()
+            self.expect(")")
+            if not (isinstance(a, str) and a.startswith("?")):
+                a, b = b, a
+            if not (isinstance(a, str) and a.startswith("?")):
+                raise SparqlSyntaxError("sameTerm needs a variable operand")
+            if isinstance(b, str) and b.startswith("?"):
+                return VarFilter(a, "=", 0.0, other=b)
+            if isinstance(b, (int, float)) and not isinstance(b, bool):
+                return Filter(a, "=", float(b))
+            return _TermFilter(a, "=", b)
         if low == "regex":
             self.next()
             self.expect("(")
@@ -1993,7 +2035,12 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
 _STR_FUNCS = (
     "str", "concat", "ucase", "lcase",
     "substr", "replace", "strbefore", "strafter",
+    "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
 )
+
+#: expressions that construct a NON-plain-string term (IRI / typed or
+#: tagged literal) — term-valued like COALESCE/IF, not _STR_FUNCS
+_TERM_CTORS = ("iri", "strdt", "strlang")
 
 
 def _bind_num_col(expr: tuple):
@@ -2024,7 +2071,7 @@ def _bind_num_col(expr: tuple):
             F.when(c, _bind_num_col(expr[2]))
             .when(~c, _bind_num_col(expr[3]))
         )
-    if tag == "const" or tag in _STR_FUNCS:
+    if tag == "const" or tag in _STR_FUNCS or tag in _TERM_CTORS:
         raise SparqlSyntaxError(
             "string-valued expression inside BIND arithmetic"
         )
@@ -2089,6 +2136,24 @@ def _bind_str_col(expr: tuple):
         return F.when(
             found > 0, F.substring(s, found + len(t), F.length(s))
         ).otherwise(F.lit(""))
+    if tag in ("md5", "sha1", "sha256", "sha384", "sha512"):
+        c = _bind_str_col(expr[1])
+        if tag == "md5":
+            return F.md5(c)
+        if tag == "sha1":
+            return F.sha1(c)
+        return F.sha2(c, int(tag[3:]))
+    if tag == "encode_for_uri":
+        # Java URLEncoder (F.url_encode) → RFC 3986 percent-encoding
+        # (SPARQL §17.4.3.18): '+' (an encoded space; a literal '+' is
+        # already %2B) → %20, %7E → unreserved '~', kept '*' → %2A
+        c = F.url_encode(_bind_str_col(expr[1]))
+        c = F.replace(c, F.lit("+"), F.lit("%20"))
+        c = F.replace(c, F.lit("%7E"), F.lit("~"))
+        return F.replace(c, F.lit("*"), F.lit("%2A"))
+    if tag in _TERM_CTORS:
+        # str() of a constructed term: the IRI string / plain lexical
+        return _bind_str_col(expr[1])
     if tag == "coalesce":
         return F.coalesce(*[_bind_str_col(a) for a in expr[1]])
     if tag == "if":
@@ -2253,6 +2318,53 @@ def _bind_term_value(expr: tuple, columns: list[str]):
             ),
             lex,
         )
+    if tag == "iri":
+        lex = _bind_str_col(expr[1])
+        return (
+            F.when(
+                lex.isNotNull(),
+                _binding_struct(
+                    F.lit(0),
+                    F.xxhash64(F.lit(0).cast("int"), lex),
+                    F.lit(None),
+                ),
+            ),
+            lex,
+        )
+    if tag in ("strdt", "strlang"):
+        from hbase_rdf_spark.sources.ntriples import NUMERIC_DATATYPES
+
+        plain = _bind_str_col(expr[1])
+        if tag == "strdt" and expr[2] in NUMERIC_DATATYPES:
+            # a numeric XSD datatype constructs a kind-2 numeric term
+            # (sources/ntriples.py inlines the same 16 types); a
+            # non-numeric lexical form is a type error → unbound
+            # (try_cast: NULL instead of an ANSI cast failure)
+            num = plain.try_cast("double")
+            return (
+                F.when(
+                    num.isNotNull(),
+                    _binding_struct(F.lit(2), F.lit(None), num),
+                ),
+                F.lit(None).cast("string"),
+            )
+        # full N-Triples lexical form — identical to how the store
+        # keeps tagged/typed literals, so ids line up with scans
+        suffix = (
+            '"@' + expr[2] if tag == "strlang" else '"^^<' + expr[2] + ">"
+        )
+        full = F.concat(F.lit('"'), plain, F.lit(suffix))
+        return (
+            F.when(
+                full.isNotNull(),
+                _binding_struct(
+                    F.lit(1),
+                    F.xxhash64(F.lit(1).cast("int"), full),
+                    F.lit(None),
+                ),
+            ),
+            full,
+        )
     # arith / strlen / nfunc → numeric term
     num = _bind_num_col(expr)
     return (
@@ -2298,9 +2410,10 @@ def _apply_binds(
             if attached:
                 result = result.drop(*attached)
             continue
-        if expr[0] in ("coalesce", "if"):
+        if expr[0] in ("coalesce", "if") or expr[0] in _TERM_CTORS:
             # term-valued: COALESCE/IF return their argument's VALUE
-            # (type-preserving), not its string form
+            # (type-preserving), not its string form; IRI/STRDT/STRLANG
+            # construct a non-plain-string term
             struct, vlex = _bind_term_value(expr, result.columns)
             result = result.withColumn(b.var, struct).withColumn(
                 f"__{b.var}_vlex", vlex
