@@ -546,6 +546,19 @@ def _q_sparql_hash_iri(spark, sf):
         }""")
 
 
+def _q_sparql_order_expr(spark, sf):
+    # round-4 ORDER BY expression keys (grammar [24]): a numeric
+    # arithmetic key with an MD5 total-order tie-break — both desugar
+    # to hidden sort-sidecar binds — under LIMIT, so the cut asserts
+    # the expression order end-to-end (the driver hash is order-blind,
+    # the LIMIT boundary is not)
+    return _sparql(spark, sf, """
+        SELECT ?y ?n WHERE {
+          <spark> <join> ?y .
+          ?y <toklen> ?n .
+        } ORDER BY DESC(?n * 2) MD5(?y) LIMIT 7""")
+
+
 def _q_sparql_coalesce_if(spark, sf):
     # term-valued COALESCE over an OPTIONAL var (type-preserving: the
     # bound branch materializes via the dictionary, the fallback via
@@ -1682,7 +1695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "sample_shards": _q_sample_shards,
         "pack_context_windows": _q_pack_windows,
         "sample_mixture": _q_sample_mixture,
         "dedup_simhash": _q_simhash,
@@ -1706,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_errors": _q_events_interval,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "kg_sparql_hash_iri": _q_sparql_hash_iri,
+        "kg_sparql_order_expr": _q_sparql_order_expr,
         # -- block D: outside the window. Most rows were driver-green in
         # an earlier round (text_pii_redact and sample_stratified
         # rotated out green-r3 to seat the new hash/IRI/STRLANG/sameTerm
@@ -1717,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scores ALL entries.
         "text_pii_redact": _q_pii_redact,
         "sample_stratified": _q_sample_stratified,
+        "sample_shards": _q_sample_shards,
         "ann_ivf_topk": _q_ann_ivf,
         "sample_fraction": _q_sample_fraction,
         "kg_sparql_exists_label": _q_sparql_exists_label,
@@ -2584,6 +2598,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(abs(length(o) - 4) AS DOUBLE) AS VARCHAR) AS d
             FROM triples
             WHERE s = 'spark' AND p = 'join' AND abs(length(o) - 4) <= 2""",
+        "kg_sparql_order_expr": f"""{_TRIPLES_CTE}
+            SELECT o AS y,
+                   CAST(CAST(length(o) AS DOUBLE) AS VARCHAR) AS n
+            FROM triples WHERE s = 'spark' AND p = 'join'
+            ORDER BY length(o) * 2 DESC, md5(o) LIMIT 7""",
         "kg_sparql_hash_iri": f"""{_TRIPLES_CTE}
             SELECT DISTINCT o AS y, md5(o) AS h,
                    sha256('ns:' || o) AS hc,

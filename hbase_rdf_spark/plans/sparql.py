@@ -140,6 +140,7 @@ from hbase_rdf_spark.plans.filters import (
     And,
     Bound,
     DatatypeEq,
+    FilterExpr,
     LangEq,
     LangMatch,
     Not,
@@ -321,6 +322,10 @@ class Query:
     construct_template: list[Bgp] = field(default_factory=list)
     having: tuple | None = None  # (?aggAlias, op, number)
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    # ORDER BY expression keys desugar to hidden binds named __ord_e{i}
+    # (routed to binds / postagg_binds); listed here so execution can
+    # materialize them as sort sidecars and drop them from the output
+    order_hidden: list[str] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     # dataset clause (SPARQL 1.1 §13.2): None = no clause (query the
@@ -329,6 +334,34 @@ class Query:
     # iteration is restricted to named_graphs. Informational here (the
     # restriction is baked into each Bgp's g/g_in at parse time).
     dataset: tuple[tuple, tuple] | None = None
+
+
+#: value-expression function names _bind_atom recognizes (also used to
+#: spot builtin-call ORDER BY keys)
+_BIND_FN_NAMES = (
+    "str", "concat", "ucase", "lcase", "strlen",
+    "substr", "replace", "strbefore", "strafter",
+    "abs", "ceil", "floor", "round", "coalesce", "if",
+    "md5", "sha1", "sha256", "sha384", "sha512",
+    "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang",
+)
+
+
+def _expr_vars(expr) -> set[str]:
+    """Every ``('var', '?x')`` name (no '?') in a value-expression
+    tree, FilterExpr condition nodes included."""
+    out: set[str] = set()
+    if isinstance(expr, tuple):
+        if expr[0] == "var":
+            return {expr[1][1:]}
+        for a in expr[1:]:
+            out |= _expr_vars(a)
+    elif isinstance(expr, list):
+        for a in expr:
+            out |= _expr_vars(a)
+    elif isinstance(expr, FilterExpr):
+        out |= expr.vars()
+    return out
 
 
 class _Parser:
@@ -1199,13 +1232,7 @@ class _Parser:
             return e
         low = (self.peek() or "").lower()
         if (
-            low in (
-                "str", "concat", "ucase", "lcase", "strlen",
-                "substr", "replace", "strbefore", "strafter",
-                "abs", "ceil", "floor", "round", "coalesce", "if",
-                "md5", "sha1", "sha256", "sha384", "sha512",
-                "encode_for_uri", "iri", "uri", "strdt", "strlang",
-            )
+            low in _BIND_FN_NAMES
             and self.i + 1 < len(self.t)
             and self.t[self.i + 1] == "("
         ):
@@ -1704,16 +1731,61 @@ class _Parser:
                 if tok is None:
                     break
                 up = tok.upper()
+                asc = None
                 if up in ("ASC", "DESC"):
                     self.next()
                     self.expect("(")
-                    v = self.next()
-                    self.expect(")")
-                    q.order_by.append((v, up == "ASC"))
+                    asc = up == "ASC"
                 elif tok.startswith("?"):
                     q.order_by.append((self.next(), True))
+                    continue
+                elif tok == "(" or (
+                    (up in _AGG_FUNCS or tok.lower() in _BIND_FN_NAMES)
+                    and self.i + 1 < len(self.t)
+                    and self.t[self.i + 1] == "("
+                ):
+                    pass  # bracketed / builtin-call / aggregate key
                 else:
                     break
+                # expression sort key (SPARQL 1.1 grammar [24]
+                # OrderCondition): parse as a value expression —
+                # aggregates desugar to hidden ?__haggN aliases like
+                # SELECT expressions do — and desugar the key itself to
+                # a hidden bind the executor materializes as a sort
+                # sidecar and drops from the output
+                save_ctx = self._agg_ctx
+                self._agg_ctx = q
+                try:
+                    e = self._bind_expr()
+                finally:
+                    self._agg_ctx = save_ctx
+                if asc is not None:
+                    self.expect(")")
+                if e[0] == "var":
+                    q.order_by.append((e[1], asc if asc is not None else True))
+                    continue
+                if q.distinct and q.variables:
+                    # with DISTINCT the key is computed per distinct
+                    # solution, which is only well-defined when the
+                    # expression is a function of the projection
+                    proj = {
+                        v[1:] for v in q.variables if v.startswith("?")
+                    } | {a.alias[1:] for a in q.aggregates}
+                    bad = sorted(_expr_vars(e) - proj)
+                    if bad:
+                        raise SparqlSyntaxError(
+                            "ORDER BY expression under DISTINCT may "
+                            f"only use projected variables: {bad}"
+                        )
+                name = f"__ord_e{len(q.order_hidden)}"
+                q.order_hidden.append(name)
+                sink = (
+                    q.postagg_binds
+                    if (q.aggregates or q.group_by)
+                    else q.binds
+                )
+                sink.append(BindAssign(name, e))
+                q.order_by.append((f"?{name}", asc if asc is not None else True))
         if self.kw("LIMIT"):
             q.limit = int(self.next())
         if self.kw("OFFSET"):
@@ -2036,6 +2108,7 @@ _STR_FUNCS = (
     "str", "concat", "ucase", "lcase",
     "substr", "replace", "strbefore", "strafter",
     "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
+    "lang",
 )
 
 #: expressions that construct a NON-plain-string term (IRI / typed or
@@ -2135,6 +2208,17 @@ def _bind_str_col(expr: tuple):
             return s
         return F.when(
             found > 0, F.substring(s, found + len(t), F.length(s))
+        ).otherwise(F.lit(""))
+    if tag == "lang":
+        # §17.4.4.3 — the tag of a language-tagged literal, "" for any
+        # other literal (numerics included: their raw label is NULL).
+        # The RAW label (wrapper intact) is read, not str()'s stripped
+        # form, so the variable must be a label-attached var.
+        if expr[1][0] != "var":
+            raise SparqlSyntaxError("LANG() takes a variable")
+        raw = F.col(f"__{expr[1][1][1:]}_flbl")
+        return F.when(
+            raw.rlike(_LANG_RX), F.regexp_extract(raw, _LANG_RX, 1)
         ).otherwise(F.lit(""))
     if tag in ("md5", "sha1", "sha256", "sha384", "sha512"):
         c = _bind_str_col(expr[1])
@@ -2583,7 +2667,9 @@ def _query_scope_vars(sub: Query) -> set[str]:
         names |= set(vb.vars)
     for sq in sub.subqueries:
         names |= set(_subquery_out_names(sq))
-    return {n for n in names if not n.startswith("__bn_")}
+    # __bn_* blank-node vars are non-projectable (§4.1.4); __ord_e*
+    # hidden ORDER BY expression binds are internal
+    return {n for n in names if not n.startswith("__")}
 
 
 def _subquery_out_names(sub: Query) -> list[str]:
@@ -3539,6 +3625,15 @@ def execute(
         if label_vars:
             result = _attach_labels(result, store, label_vars)
         aggs = [_agg_expr(a) for a in q.aggregates]
+        # dictionary-absent group keys (BIND/VALUES-produced terms)
+        # render from their vlex sidecar — carry it through the groupBy
+        # (the struct id is the hash OF the lexical, so first() is
+        # exact per group; same pattern as the subquery path)
+        aggs += [
+            F.first(F.col(f"__{gv}_vlex")).alias(f"__{gv}_vlex")
+            for gv in gvars
+            if f"__{gv}_vlex" in result.columns
+        ]
         grouped = (
             result.groupBy(*gvars).agg(*aggs) if gvars else result.agg(*aggs)
         )
@@ -3579,6 +3674,9 @@ def execute(
         variables = q.variables or [
             f"?{c}" for c in _projectable(result.columns)
         ]
+        # hidden ORDER BY expression binds materialize alongside the
+        # projection (their __ord_e* columns are dropped post-sort)
+        variables = variables + [f"?{n}" for n in q.order_hidden]
         if q.distinct:
             # dedupe in ID SPACE before materialization: DISTINCT applies
             # to the projected solution, and shrinking the binding set
