@@ -896,11 +896,13 @@ def _q_stream_sessionize(spark, sf):
     # sequential availableNow runs over a growing source dir with a
     # shared checkpoint.  The watermark delay exceeds the corpus span,
     # so run 1 buffers every event without emitting (no intra-run
-    # batching hazard); a closer event far past span+delay+gap then
-    # finalizes ALL real sessions, and a second closer run fires the
-    # event-time timeout path.  Emitted sessions therefore equal the
-    # batch gap-rule result exactly — microsecond-precision epochs,
-    # same convention as events_sessionize.
+    # batching hazard); run 2 feeds one closer event far past
+    # span+delay+gap, whose post-batch no-data microbatch
+    # (spark.sql.streaming.noDataMicroBatches, on by default) advances
+    # the watermark past every real session's close point and flushes
+    # them all.  Emitted sessions therefore equal the batch gap-rule
+    # result exactly — microsecond-precision epochs, same convention
+    # as events_sessionize.
     import datetime as dt
     import tempfile
 
@@ -910,18 +912,16 @@ def _q_stream_sessionize(spark, sf):
         F.col("user_id").cast("string").alias("user_id"),
         F.col("ts").cast("timestamp").alias("ts"),
     )
-    max_ts = ev.agg(F.max("ts")).head()[0]
     src = tempfile.mkdtemp(prefix="streamsess_src_")
     ckpt = tempfile.mkdtemp(prefix="streamsess_ckpt_")
     sink = tempfile.mkdtemp(prefix="streamsess_sink_")
-    delay_days = 3650
 
     def run():
         stream = spark.readStream.schema(
             "user_id string, ts timestamp"
         ).parquet(src)
         out = sessionize_stream(
-            stream, gap_seconds=1800, watermark=f"{delay_days} days"
+            stream, gap_seconds=1800, watermark="3650 days"
         )
         q = (
             out.writeStream.format("parquet")
@@ -933,14 +933,25 @@ def _q_stream_sessionize(spark, sf):
         )
         q.awaitTermination()
 
-    ev.write.mode("append").parquet(src)
-    run()
-    for extra_s in (0, 1):
-        closer = max_ts + dt.timedelta(days=2 * delay_days, seconds=extra_s)
+    # most of this gate's cost is fixed streaming machinery (state
+    # store init × shuffle partitions × 2 runs, file-source listing,
+    # commit logs) — run it on 8 partitions; a real deployment sizes
+    # this to the live key cardinality instead
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev.coalesce(4).write.mode("append").parquet(src)
+        run()
+        # closer far past any sane event time + delay + gap: its
+        # no-data microbatch advances the watermark over every real
+        # session's close point and flushes them all
+        closer = dt.datetime(2200, 1, 1)
         spark.createDataFrame(
             [("__closer__", closer)], "user_id string, ts timestamp"
         ).coalesce(1).write.mode("append").parquet(src)
         run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.schema(
         "user_id string, session_start timestamp, "
         "session_end timestamp, n_events long"

@@ -2039,7 +2039,36 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
             if _is_var(e)
         }
     )
-    mat = materialize(bindings, store, [f"?{v}" for v in tmpl_vars])
+    # template-only blank nodes (§16.2: a fresh blank node per
+    # solution, shared across the template's patterns within one
+    # solution): not bound by the WHERE clause, so they render as a
+    # content-addressed label — hash of the solution's bound template
+    # vars + the bnode's template slot (deterministic across runs,
+    # distinct across solutions)
+    bound = set(bindings.columns)
+    fresh_bns = [
+        v for v in tmpl_vars if v.startswith("__bn_") and v not in bound
+    ]
+    tmpl_vars = [v for v in tmpl_vars if v not in fresh_bns]
+    if fresh_bns:
+        # hash the WHOLE solution (all binding structs, not just the
+        # template's vars) so two solutions differing only in a
+        # non-template var still get distinct nodes; duplicate
+        # solutions share one (the triple set dedups regardless)
+        sol_cols = [c for c in bindings.columns if not c.startswith("__")]
+        for bn in fresh_bns:
+            bindings = bindings.withColumn(
+                bn,
+                F.concat(
+                    F.lit("_:c"),
+                    F.abs(
+                        F.xxhash64(F.lit(bn), *[F.col(c) for c in sol_cols])
+                    ).cast("string"),
+                ),
+            )
+    mat = materialize(
+        bindings, store, [f"?{v}" for v in tmpl_vars], keep=fresh_bns
+    )
 
     def render(e):
         if _is_var(e):

@@ -476,6 +476,38 @@ def main() -> None:
                             "Scan parquet", "PushedFilters")),
     ))
 
+    p29 = eng.sql(
+        "SELECT ?x ?a WHERE { ?x <rel:age> ?a } "
+        "ORDER BY DESC(?a * 2) MD5(?x) LIMIT 5"
+    )
+    sections.append((
+        "ORDER BY expression keys — sidecar binds keep TakeOrdered",
+        "Expression sort keys (round 4) desugar to hidden per-row "
+        "Project columns (__ord_e*), so ORDER BY DESC(?a * 2) MD5(?x) "
+        "LIMIT 5 still lowers to ONE TakeOrderedAndProject — no extra "
+        "shuffle, no global sort, the top-k short-circuit survives. "
+        "MD5 evaluates JVM-side inside the same codegen stage.",
+        trim(plan_of(p29), ("TakeOrderedAndProject", "Project",
+                            "Scan parquet", "WholeStageCodegen")),
+    ))
+
+    p30 = eng.sql(
+        "SELECT ?y ?h WHERE { ?x <rel:works_at> ?w . "
+        "BIND(SHA256(CONCAT(\"ns:\", ?x)) AS ?h) "
+        "BIND(IRI(CONCAT(\"ent:person/\", ?x)) AS ?p2) "
+        "?p2 <rel:lives_in> ?y . }"
+    )
+    sections.append((
+        "Constructed-term join — content-addressed ids, plain hash join",
+        "IRI(CONCAT(...)) builds the SAME xxhash64(kind, lexical) id "
+        "the dictionary would assign (round 4), so a constructed term "
+        "joining a later pattern is an ordinary hash join on the id "
+        "struct — no dictionary lookup, no Python. SHA256/CONCAT are "
+        "single-stage codegen expressions.",
+        trim(plan_of(p30), ("Join", "Project", "Scan parquet",
+                            "PushedFilters", "WholeStageCodegen")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(

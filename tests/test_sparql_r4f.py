@@ -212,6 +212,35 @@ def test_lang_in_group_by_expr(store):
     assert [(r["lg"], r["c"]) for r in rows] == [("", 1), ("fr", 1)]
 
 
+def test_construct_template_bnode_fresh_per_solution(store):
+    # §16.2: [] in a CONSTRUCT template is a fresh blank node per
+    # solution — distinct across solutions, and NOT a WHERE-bound term
+    rows = execute(
+        store,
+        'CONSTRUCT { ?s <http://ex/via> [] } '
+        'WHERE { ?s <http://ex/knows> ?o }',
+    ).collect()
+    assert len(rows) == 3
+    bnodes = [r["o"] for r in rows]
+    assert all(b.startswith("_:") for b in bnodes)
+    assert len(set(bnodes)) == 3  # one per solution
+
+
+def test_construct_shared_label_bridges_within_solution(store):
+    # a labeled template bnode is ONE node per solution across the
+    # template's patterns: via/to pairs must link up
+    rows = execute(
+        store,
+        'CONSTRUCT { ?s <http://ex/via> _:m . _:m <http://ex/to> ?o } '
+        'WHERE { ?s <http://ex/knows> ?o }',
+    ).collect()
+    via = {r["o"]: r["s"] for r in rows if r["p"] == "http://ex/via"}
+    to = {r["s"]: r["o"] for r in rows if r["p"] == "http://ex/to"}
+    assert set(via) == set(to)  # same bnodes bridge both patterns
+    pairs = {(via[b], to[b]) for b in via}
+    assert pairs == {(A, B), (A, C), (B, C)}
+
+
 def test_lang_requires_variable(store):
     with pytest.raises(SparqlSyntaxError):
         execute(
