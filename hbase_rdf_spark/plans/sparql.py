@@ -268,6 +268,32 @@ class ValuesBlock:
 
 
 @dataclass
+class ServiceBlock:
+    """``SERVICE [SILENT] <endpoint> { … }`` (SPARQL 1.1 Federated
+    Query): the inner group is NOT planned locally — its verbatim token
+    span ships to the remote endpoint as ``SELECT * WHERE { … }`` (with
+    this query's PREFIX declarations) over the SPARQL protocol, and the
+    returned solution sequence joins the enclosing group exactly like a
+    VALUES table (compatibility join; remote-unbound cells are UNDEF).
+
+    The reference gets SERVICE free from ARQ inside Fuseki
+    (fuseki-config-hbase.ttl front-end, SURVEY S9) — this is the
+    engine-side equivalent, paired with ``service.SparqlService`` as
+    the server half. Scale posture: a SERVICE result is a remote
+    endpoint's capped SELECT response fetched once on the driver (like
+    VALUES inline data), not a distributed scan — federation is for
+    small dimension-style remote lookups, never for bulk transfer."""
+
+    endpoint: str  # absolute IRI, no <>
+    tokens: tuple  # verbatim token span of the inner group
+    silent: bool = False
+    prefixes: dict = field(default_factory=dict)
+    # vars mentioned in the span — scope/nullability superset used at
+    # plan time (the authoritative set is the response's head.vars)
+    vars_hint: tuple = ()
+
+
+@dataclass
 class BindAssign:
     """``BIND(expr AS ?var)``: var (no '?') ← a value expression tree.
 
@@ -299,6 +325,7 @@ class Query:
     filters: list = field(default_factory=list)
     lang_filters: list[LangFilter] = field(default_factory=list)
     values: list[ValuesBlock] = field(default_factory=list)
+    services: list[ServiceBlock] = field(default_factory=list)
     binds: list[BindAssign] = field(default_factory=list)
     # nested { SELECT … } blocks: evaluated bottom-up in id space and
     # joined to the enclosing group on shared variables
@@ -634,7 +661,8 @@ class _Parser:
             # triples template — no FILTER/OPTIONAL/UNION/etc., and no
             # property paths (a path is not a triple)
             if (q.filters or q.lang_filters or q.optional
-                    or q.union_blocks or q.values or q.minus or q.exists
+                    or q.union_blocks or q.values or q.services
+                    or q.minus or q.exists
                     or q.binds or q.subqueries):
                 raise SparqlSyntaxError(
                     "CONSTRUCT WHERE allows only a plain triples template"
@@ -828,7 +856,7 @@ class _Parser:
                 bind_consumed = any(
                     b.var in pattern_vars(sub.patterns) for b in sub.binds
                 )
-                if (sub.values or sub.minus or sub.exists
+                if (sub.values or sub.services or sub.minus or sub.exists
                         or sub.subqueries or complex_branch
                         or bind_consumed):
                     # full-algebra group: VALUES / MINUS / FILTER
@@ -869,6 +897,9 @@ class _Parser:
             elif up == "VALUES":
                 self.next()
                 q.values.append(self._values_block())
+            elif up == "SERVICE":
+                self.next()
+                q.services.append(self._service_block())
             elif up == "BIND":
                 self.next()
                 self.expect("(")
@@ -1080,7 +1111,8 @@ class _Parser:
         return [self._as_branch(sub)]
 
     def _as_branch(self, sub: "Query") -> GroupBlock:
-        if (sub.union_blocks or sub.values or sub.minus or sub.exists
+        if (sub.union_blocks or sub.values or sub.services
+                or sub.minus or sub.exists
                 or sub.subqueries):
             # full-algebra branch: a nested UNION mixed with other
             # content ({ {A} UNION {B} . C } — joins distribute over
@@ -1138,6 +1170,45 @@ class _Parser:
         if not m:
             raise SparqlSyntaxError("SEPARATOR must be a string literal")
         return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
+
+    def _service_block(self) -> ServiceBlock:
+        """``SERVICE [SILENT] <iri> { … }`` — the endpoint must be a
+        constant IRI (SERVICE ?var needs runtime endpoint discovery,
+        which neither the reference deployment nor this engine does);
+        the braced group is captured VERBATIM as its token span and
+        never planned locally."""
+        silent = False
+        if (self.peek() or "").upper() == "SILENT":
+            self.next()
+            silent = True
+        ep = self.next()
+        if ep.startswith("<") and ep.endswith(">"):
+            endpoint = ep[1:-1]
+        elif ":" in ep and not ep.startswith("?"):
+            endpoint = self._expand_pname(ep)
+        else:
+            raise SparqlSyntaxError(
+                "SERVICE endpoint must be a constant IRI"
+            )
+        self.expect("{")
+        depth, toks = 1, []
+        while depth:
+            t = self.next()
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+            if depth:
+                toks.append(t)
+        return ServiceBlock(
+            endpoint=endpoint,
+            tokens=tuple(toks),
+            silent=silent,
+            prefixes=dict(self.prefixes),
+            vars_hint=tuple(sorted(
+                {t[1:] for t in toks if t.startswith("?") and len(t) > 1}
+            )),
+        )
 
     def _values_block(self) -> ValuesBlock:
         multi = self.peek() == "("
@@ -2133,6 +2204,33 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     return df.select(*cols)
 
 
+def _service_values_block(sb: ServiceBlock) -> ValuesBlock | None:
+    """Execute a SERVICE block against its endpoint and shape the
+    response as a ValuesBlock (SPARQL 1.1 Federated Query §2.2: the
+    SERVICE solution sequence joins the group like any other).
+
+    The remote query is ``SELECT * WHERE { <verbatim token span> }``
+    prefixed with the outer query's PREFIX declarations — the tokens
+    re-serialize losslessly (each is self-delimiting), so the remote
+    engine sees exactly the group the user wrote, including OPTIONAL /
+    FILTER / paths this engine never has to plan. Failure: plain
+    SERVICE re-raises (query aborts); SERVICE SILENT returns ``None``,
+    which the caller treats as the unit solution (join identity), per
+    §4."""
+    from hbase_rdf_spark.service import fetch_bindings
+
+    text = "".join(
+        f"PREFIX {p}: <{iri}>\n" for p, iri in sb.prefixes.items()
+    ) + "SELECT * WHERE { " + " ".join(sb.tokens) + " }"
+    try:
+        head_vars, rows = fetch_bindings(sb.endpoint, text)
+    except RuntimeError:
+        if sb.silent:
+            return None
+        raise
+    return ValuesBlock(vars=head_vars, rows=rows)
+
+
 _STR_FUNCS = (
     "str", "concat", "ucase", "lcase",
     "substr", "replace", "strbefore", "strafter",
@@ -2694,6 +2792,8 @@ def _query_scope_vars(sub: Query) -> set[str]:
     names |= {b.var for b in sub.binds}
     for vb in sub.values:
         names |= set(vb.vars)
+    for sb in sub.services:
+        names |= set(sb.vars_hint)
     for sq in sub.subqueries:
         names |= set(_subquery_out_names(sq))
     # __bn_* blank-node vars are non-projectable (§4.1.4); __ord_e*
@@ -2752,7 +2852,8 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         )
     from hbase_rdf_spark.plans.bgp import _binding_struct
 
-    if (sub.union_blocks or sub.values or sub.minus or sub.exists
+    if (sub.union_blocks or sub.values or sub.services
+            or sub.minus or sub.exists
             or sub.binds or sub.subqueries):
         # full-algebra WHERE body (UNION / VALUES / BIND / MINUS /
         # FILTER EXISTS / nested subqueries): the complete
@@ -3186,6 +3287,8 @@ def _nullable_vars(q: Query) -> set:
         out |= _block_vars(blk)
     for vb in q.values:
         out |= set(vb.vars)
+    for sb in q.services:
+        out |= set(sb.vars_hint)
     out |= {b.var for b in q.binds}
     for chain in q.union_blocks:
         sets = []
@@ -3330,6 +3433,15 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     post_vars: set = set()
     for sub in q.subqueries:
         post_vars |= set(_subquery_out_names(sub))
+    # VALUES / SERVICE vars bind only once their solution tables join
+    # in — any filter over them defers to after that join (previously
+    # such a filter raised "never bound by the pattern"; SERVICE's
+    # vars_hint is a superset of head.vars, so no such filter reaches
+    # execute_bgp)
+    for vb in q.values:
+        post_vars |= set(vb.vars)
+    for sb in q.services:
+        post_vars |= set(sb.vars_hint)
     has_branch_binds = any(
         getattr(br, "binds", None)
         for chain in q.union_blocks
@@ -3371,7 +3483,7 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             )
         result = None
     elif not q.patterns and not q.optional and (
-        q.values or q.binds or q.minus or q.exists
+        q.values or q.services or q.binds or q.minus or q.exists
     ):
         # pattern-free group (e.g. `SELECT ?x WHERE { VALUES ?x {…} }`
         # or a group whose only content is MINUS / FILTER EXISTS —
@@ -3382,7 +3494,11 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         # groups). Any plain filter here references vars the
         # VALUES/BIND stages bind, so defer them all.
         if q.filters:
-            deferred = list(dict.fromkeys(list(deferred) + list(q.filters)))
+            # identity dedup — filter objects are unhashable dataclasses
+            have = {id(f) for f in deferred}
+            deferred = list(deferred) + [
+                f for f in q.filters if id(f) not in have
+            ]
         result = store.spark.range(1).drop("id")
     else:
         result = execute_bgp(
@@ -3417,7 +3533,14 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     # agree, and the merged solution takes the bound side. The VALUES
     # table is a handful of inline rows, so the non-equi condition
     # costs one broadcast nested-loop pass — no scale concern.
-    for vb in q.values:
+    # SERVICE blocks join identically: the remote solution sequence IS
+    # a values table (capped by the endpoint, fetched once on the
+    # driver); SILENT failures collapse to the unit solution (None).
+    service_tables = [
+        vb for vb in map(_service_values_block, q.services)
+        if vb is not None
+    ]
+    for vb in itertools.chain(q.values, service_tables):
         vdf = _values_df(store, vb)
         shared = [v for v in vb.vars if v in result.columns]
         if not shared:
@@ -3475,7 +3598,8 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     # only when unbound shared vars are actually possible; the common
     # all-bound case keeps the hash anti/semi join.
     may_unbound = bool(
-        q.optional or q.union_blocks or q.values or q.subqueries or q.binds
+        q.optional or q.union_blocks or q.values or q.services
+        or q.subqueries or q.binds
     )
 
     # MINUS: remove solutions compatible with the block on shared vars

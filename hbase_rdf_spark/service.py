@@ -131,6 +131,89 @@ def results_json(df, max_rows: int = 10_000, is_ask: bool | None = None) -> dict
     return {"head": {"vars": cols}, "results": {"bindings": bindings}}
 
 
+# datatypes whose literals the engine stores as KIND_NUMERIC (same set
+# the N-Triples reader folds to numbers — sources/ntriples.py)
+_NUMERIC_DTS = {
+    f"http://www.w3.org/2001/XMLSchema#{t}"
+    for t in ("double", "float", "decimal", "integer",
+              "long", "int", "short", "byte")
+}
+
+
+def term_from_json(t: dict | None):
+    """SPARQL-results-JSON term object → the engine's VALUES-cell
+    representation (inverse of ``_json_term``): ``UNDEF`` for an absent
+    binding, a plain float for a numeric literal (KIND_NUMERIC), else a
+    ``(stored_lexical, kind)`` tuple — IRIs/bnodes as KIND_ENTITY,
+    plain/tagged/typed literals re-serialized to the store's raw label
+    forms (``lex``, ``"lex"@lang``, ``"lex"^^<dt>``) as KIND_STRING."""
+    from hbase_rdf_spark.plans.sparql import UNDEF
+
+    if t is None:
+        return UNDEF
+    ty, v = t.get("type"), t.get("value", "")
+    if ty == "uri":
+        return (v, _KIND_ENTITY)
+    if ty == "bnode":
+        return (f"_:{v}", _KIND_ENTITY)
+    # literal / typed-literal
+    lang = t.get("xml:lang")
+    if lang:
+        return (f'"{v}"@{lang}', _KIND_STRING)
+    dt = t.get("datatype")
+    if dt in _NUMERIC_DTS:
+        try:
+            return float(v)
+        except ValueError:
+            return (f'"{v}"^^<{dt}>', _KIND_STRING)  # malformed numeric
+    if dt:
+        return (f'"{v}"^^<{dt}>', _KIND_STRING)
+    return (v, _KIND_STRING)
+
+
+def fetch_bindings(
+    endpoint: str, query: str, timeout: float = 30.0,
+) -> tuple[list[str], list[list]]:
+    """SERVICE-clause client: POST ``query`` to a SPARQL 1.1 Protocol
+    endpoint and return ``(vars, rows)`` where each row holds one
+    VALUES-cell per var (``term_from_json`` representation, ``UNDEF``
+    for unbound).
+
+    Uses the raw ``application/sparql-query`` POST body (the protocol's
+    canonical form, no URL-length limit). Raises ``RuntimeError`` on
+    transport or protocol failure — the SERVICE evaluator maps that to
+    an error (plain SERVICE) or the unit solution (SERVICE SILENT,
+    SPARQL 1.1 Federated Query §4)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        endpoint,
+        data=query.encode(),
+        headers={
+            "Content-Type": "application/sparql-query",
+            "Accept": "application/sparql-results+json",
+        },
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            payload = json.loads(resp.read().decode())
+    except (OSError, urllib.error.URLError, json.JSONDecodeError) as ex:
+        raise RuntimeError(f"SERVICE <{endpoint}> failed: {ex}") from ex
+    if "error" in payload or "results" not in payload:
+        raise RuntimeError(
+            f"SERVICE <{endpoint}> failed: "
+            f"{payload.get('error', 'no results section')}"
+        )
+    head_vars = list(payload.get("head", {}).get("vars", []))
+    rows = [
+        [term_from_json(b.get(v)) for v in head_vars]
+        for b in payload["results"]["bindings"]
+    ]
+    return head_vars, rows
+
+
 class SparqlService:
     """Threaded HTTP server exposing one engine at ``/sparql``."""
 
