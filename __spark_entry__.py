@@ -441,6 +441,72 @@ def _sparql(spark, sf, q):
     return execute(_word_store(spark, sf), q)
 
 
+_FED_ENDPOINTS: dict[str, str] = {}
+
+
+def _fed_endpoint(spark, sf):
+    """Remote half of the kg_sparql_service gate: a SECOND store holding
+    one ``<upper>`` triple per distinct word-KG node (term → its
+    uppercase form, a plain string literal the LOCAL store does not
+    have), served over HTTP by service.SparqlService (S9, the Fuseki
+    front-end parity surface). The serving thread is a daemon and the
+    store lives in a tempdir, so caching per sf is safe for the life of
+    the process. The vocabulary is 31 terms at every SF (bounded by the
+    synthetic generator), far under the endpoint's 10k response cap."""
+    ep = _FED_ENDPOINTS.get(sf)
+    if ep is not None:
+        return ep
+    import tempfile
+
+    from hbase_rdf_spark.engine import KgEngine
+    from hbase_rdf_spark.functions.encoding import (
+        KIND_STRING,
+        build_dictionaries,
+        encode_quads,
+    )
+    from hbase_rdf_spark.service import SparqlService
+
+    tri = wordkg.doc_triples(spark, sf)
+    resolved = (
+        tri.select(F.col("s").alias("subj"))
+        .unionByName(tri.select(F.col("o").alias("subj")))
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "subj",
+            F.lit("upper").alias("pred"),
+            F.upper("subj").alias("obj"),
+            F.lit(KIND_STRING).alias("obj_kind"),
+        )
+    )
+    eng = KgEngine(
+        spark, tempfile.mkdtemp(prefix="fedstore_"), num_partitions=2
+    )
+    t2i, i2t = build_dictionaries(resolved)
+    eng.store.write_dictionaries(t2i, i2t, "fed")
+    eng.store.write_indexes(encode_quads(resolved), "fed")
+    svc = SparqlService(eng, port=0)
+    port = svc.start()
+    ep = f"http://127.0.0.1:{port}/sparql"
+    _FED_ENDPOINTS[sf] = ep
+    return ep
+
+
+def _q_sparql_service(spark, sf):
+    # SPARQL 1.1 Federated Query: the inner group (pattern + FILTER)
+    # ships verbatim to a live HTTP endpoint over a second store; the
+    # remote solution sequence compatibility-joins the local scan on
+    # ?y. The reference federates via ARQ inside Fuseki (SURVEY S9);
+    # this drives the engine's own SERVICE evaluator end-to-end.
+    ep = _fed_endpoint(spark, sf)
+    return _sparql(spark, sf, f"""
+        SELECT DISTINCT ?y ?u WHERE {{
+          <spark> <join> ?y .
+          SERVICE <{ep}> {{ ?y <upper> ?u FILTER(STRLEN(?u) > 2) }}
+        }}""")
+
+
 def _q_sparql_optional_group(spark, sf):
     # multi-pattern OPTIONAL evaluated as a UNIT: ?z/?w bind together or
     # not at all (SPARQL LeftJoin / ARQ OpConditional — J11)
@@ -1691,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_coalesce_if": _q_sparql_coalesce_if,
         "kg_path_neg": _q_path_neg,
         "kg_path_seq": _q_path_seq,
-        "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
         "rel_pricing_summary": _q_rel_pricing_summary,
@@ -1730,15 +1795,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_neardup,
         "kg_sparql_hash_iri": _q_sparql_hash_iri,
         "kg_sparql_order_expr": _q_sparql_order_expr,
+        "kg_sparql_service": _q_sparql_service,
         # -- block D: outside the window. Most rows were driver-green in
         # an earlier round (text_pii_redact and sample_stratified
         # rotated out green-r3 to seat the new hash/IRI/STRLANG/sameTerm
-        # gate and the stateful stream_sessionize gate; ops/text.py and
-        # ops/sampling.py untouched this round); kg_sparql_exists_label
-        # / kg_sparql_describe are NEW in round 4 (oracle-checked
-        # locally only — first in line for round-5 window seats),
-        # everything re-checkable via scripts/check_entry.py, which
-        # scores ALL entries.
+        # gate and the stateful stream_sessionize gate; kg_path_alt —
+        # green r2 AND r3, alternation-path code untouched — rotated
+        # out to seat kg_sparql_service, the round-4 SERVICE federation
+        # gate; ops/text.py and ops/sampling.py untouched this round);
+        # kg_sparql_exists_label / kg_sparql_describe are NEW in round
+        # 4 (oracle-checked locally only — first in line for round-5
+        # window seats), everything re-checkable via
+        # scripts/check_entry.py, which scores ALL entries.
+        "kg_path_alt": _q_path_alt,
         "text_pii_redact": _q_pii_redact,
         "sample_stratified": _q_sample_stratified,
         "sample_shards": _q_sample_shards,
@@ -2433,6 +2502,14 @@ def oracle_sql() -> dict[str, str]:
             FROM triples t1 JOIN triples t2 ON t1.s = t2.s
             WHERE t1.doc_id BETWEEN 1 AND 8 AND t1.p = 'scan'
               AND t2.doc_id BETWEEN 9 AND 16 AND t2.p = 'join'""",
+        # federation replay: the remote store's <upper> triples are a
+        # pure function of the local term set (term → upper(term)), so
+        # the HTTP round-trip collapses to a projection + filter
+        "kg_sparql_service": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y, upper(o) AS u
+            FROM triples
+            WHERE s = 'spark' AND p = 'join'
+              AND length(upper(o)) > 2""",
         "kg_sparql_having": f"""{_TRIPLES_CTE}
             SELECT s FROM triples WHERE p = 'merge'
             GROUP BY s HAVING COUNT(o) > 2""",
