@@ -2062,10 +2062,16 @@ def _attach_labels(result, store, var_names):
     return result
 
 
-def _describe(store, q: Query, bindings: DataFrame | None) -> DataFrame:
+def _describe(
+    store, q: Query, bindings: DataFrame | None, with_kinds: bool = False
+) -> DataFrame:
     """DESCRIBE: all triples whose subject is the described resource(s) —
     the subject-triples handler of the reference (J11, execDescribeTriples,
-    reference: examples/RunJenaHBase.java:93-98)."""
+    reference: examples/RunJenaHBase.java:93-98).
+
+    ``with_kinds`` (service layer): emit ``__k_s/__k_p/__k_o`` term-kind
+    sidecars — s/p are always entities, o's kind comes off the index —
+    so the N-Triples serializer types terms exactly."""
     from hbase_rdf_spark.plans.patterns import encode_term
 
     if isinstance(q.describe_target, str) and q.describe_target.startswith("?"):
@@ -2089,16 +2095,29 @@ def _describe(store, q: Query, bindings: DataFrame | None) -> DataFrame:
         out = out.join(d, out[pos] == d[f"__{pos}_id"], "left")
     # a DESCRIBE result is a GRAPH (set of triples): the same fact
     # asserted in several contexts must appear once
-    return out.select(
+    cols = [
         F.col("__s_l").alias("s"),
         F.col("__p_l").alias("p"),
         F.coalesce(F.col("__o_l"), F.col("o_num").cast("string")).alias("o"),
-    ).dropDuplicates()
+    ]
+    if with_kinds:
+        cols += [
+            F.lit(0).cast("tinyint").alias("__k_s"),
+            F.lit(0).cast("tinyint").alias("__k_p"),
+            F.col("o_kind").cast("tinyint").alias("__k_o"),
+        ]
+    return out.select(*cols).dropDuplicates()
 
 
-def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
+def _construct(
+    store, q: Query, bindings: DataFrame, with_kinds: bool = False
+) -> DataFrame:
     """CONSTRUCT: instantiate the template once per binding, union the
-    per-pattern projections, distinct — stock-ARQ semantics (J11)."""
+    per-pattern projections, distinct — stock-ARQ semantics (J11).
+
+    ``with_kinds``: emit ``__k_s/__k_p/__k_o`` sidecars — a var slot's
+    kind comes from materialization, a constant slot's from its parsed
+    term (IRI 0 / literal tuple 1 / float 2), template bnodes are 0."""
     def _is_var(e):
         return isinstance(e, str) and e.startswith("?")
 
@@ -2138,7 +2157,8 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
                 ),
             )
     mat = materialize(
-        bindings, store, [f"?{v}" for v in tmpl_vars], keep=fresh_bns
+        bindings, store, [f"?{v}" for v in tmpl_vars],
+        keep=fresh_bns, with_kinds=with_kinds,
     )
 
     def render(e):
@@ -2148,13 +2168,32 @@ def _construct(store, q: Query, bindings: DataFrame) -> DataFrame:
             return F.lit(e[0])
         return F.lit(str(e))
 
+    def kind_of(e):
+        if _is_var(e):
+            n = e[1:]
+            if n in fresh_bns:  # template bnode → entity
+                return F.lit(0).cast("tinyint")
+            return F.col(f"__k_{n}")
+        if isinstance(e, tuple):
+            return F.lit(int(e[1])).cast("tinyint")
+        if isinstance(e, float):
+            return F.lit(2).cast("tinyint")
+        return F.lit(0).cast("tinyint")  # IRI constant
+
     out = None
     for pat in q.construct_template:
-        rowset = mat.select(
+        cols = [
             render(pat.s).alias("s"),
             render(pat.p).alias("p"),
             render(pat.o).alias("o"),
-        )
+        ]
+        if with_kinds:
+            cols += [
+                kind_of(pat.s).alias("__k_s"),
+                kind_of(pat.p).alias("__k_p"),
+                kind_of(pat.o).alias("__k_o"),
+            ]
+        rowset = mat.select(*cols)
         out = rowset if out is None else out.unionByName(rowset)
     assert out is not None, "empty CONSTRUCT template"
     # a binding with an unbound (OPTIONAL) var yields no triple for
@@ -3741,7 +3780,7 @@ def execute(
     q = parse(query) if isinstance(query, str) else query
 
     if q.form == "describe" and not q.patterns and not q.union_blocks:
-        return _describe(store, q, None)
+        return _describe(store, q, None, with_kinds=with_kinds)
 
     # set-semantics evaluation is sound exactly when only the solution
     # SET can be observed: SELECT DISTINCT / ASK without aggregates
@@ -3756,9 +3795,9 @@ def execute(
         n = result.limit(1).count()
         return store.spark.createDataFrame([(n > 0,)], "ask boolean")
     if q.form == "describe":
-        return _describe(store, q, result)
+        return _describe(store, q, result, with_kinds=with_kinds)
     if q.form == "construct":
-        return _construct(store, q, result)
+        return _construct(store, q, result, with_kinds=with_kinds)
 
     def _projectable(cols):
         # blank-node vars (__bn_*) and internal sidecar columns

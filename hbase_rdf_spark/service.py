@@ -12,8 +12,11 @@ Protocol subset (SPARQL 1.1 Protocol):
 - ``POST /sparql`` with ``application/x-www-form-urlencoded``
   (``query=…``) or a raw ``application/sparql-query`` body
 
-Responses use the SPARQL 1.1 Query Results JSON format
-(``head/vars`` + ``results/bindings``; ASK → ``boolean``). Terms are
+Responses content-negotiate the W3C result formats, like the
+reference's Fuseki front-end: SELECT/ASK serve the SPARQL 1.1 Query
+Results JSON format by default (``head/vars`` + ``results/bindings``;
+ASK → ``boolean``), or XML / CSV / TSV on ``Accept``;
+CONSTRUCT/DESCRIBE serve ``application/n-triples``. Terms are
 classified from their stored lexical forms: ``_:…`` → bnode,
 ``"lex"@lang`` / ``"lex"^^<dt>`` → tagged/typed literal, numeric
 rendering → xsd:double literal, anything else → uri.
@@ -214,6 +217,176 @@ def fetch_bindings(
     return head_vars, rows
 
 
+# ---------------------------------------------------------------------------
+# Result serializers beyond JSON — the reference's Fuseki front-end
+# content-negotiates all W3C result formats (SPARQL 1.1 Protocol §§5-6);
+# these reproduce the ones its test clients use. CSV/TSV/XML are pure
+# functions over the results-JSON payload (so term typing stays exact,
+# via the same __k_{var} sidecar path); CONSTRUCT/DESCRIBE serialize as
+# N-Triples from the triple DataFrame's __k_s/__k_p/__k_o sidecars.
+# ---------------------------------------------------------------------------
+
+
+def _nt_term(value, kind: int | None) -> str:
+    """Stored lexical form + term kind → one N-Triples term."""
+    if isinstance(value, float):
+        return f'"{value!r}"^^<{XSD_DOUBLE}>'
+    s = str(value)
+    if kind == _KIND_ENTITY or (kind is None and not s.startswith('"')):
+        return s if s.startswith("_:") else f"<{s}>"
+    if kind == _KIND_NUMERIC:
+        return f'"{s}"^^<{XSD_DOUBLE}>'
+    # string literal: lang-tagged / typed stored forms are already
+    # N-Triples syntax (sources/ntriples.py stores them verbatim)
+    if _LANG_RX.match(s) or _DT_RX.match(s):
+        return s
+    esc = (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+    return f'"{esc}"'
+
+
+def results_ntriples(df, max_rows: int = 10_000) -> str:
+    """CONSTRUCT/DESCRIBE DataFrame (s,p,o [+ __k_* sidecars]) →
+    ``application/n-triples`` body."""
+    have = set(df.columns)
+    rows = df.limit(max_rows).collect()
+    out = []
+    for r in rows:
+        terms = [
+            _nt_term(r[pos], r[f"__k_{pos}"] if f"__k_{pos}" in have else None)
+            for pos in ("s", "p", "o")
+        ]
+        out.append(" ".join(terms) + " .")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _plain_value(t: dict) -> str:
+    """Results-JSON term object → the CSV 'plain value' (SPARQL 1.1
+    Query Results CSV format: IRIs bare, literal lexical forms bare,
+    bnodes ``_:label``)."""
+    if t["type"] == "bnode":
+        return "_:" + t["value"]
+    return t["value"]
+
+
+def results_csv(payload: dict) -> str:
+    """SELECT results → SPARQL 1.1 Query Results CSV (RFC 4180)."""
+    cols = payload["head"]["vars"]
+
+    def cell(t):
+        if t is None:
+            return ""
+        v = _plain_value(t)
+        if any(c in v for c in ',"\n\r'):
+            v = '"' + v.replace('"', '""') + '"'
+        return v
+
+    lines = [",".join(cols)]
+    for b in payload["results"]["bindings"]:
+        lines.append(",".join(cell(b.get(c)) for c in cols))
+    return "\r\n".join(lines) + "\r\n"
+
+
+def results_tsv(payload: dict) -> str:
+    """SELECT results → SPARQL 1.1 Query Results TSV (terms in
+    N-Triples/Turtle syntax, header vars keep their ``?``)."""
+    cols = payload["head"]["vars"]
+
+    def cell(t):
+        if t is None:
+            return ""
+        ty, v = t["type"], t["value"]
+        if ty == "uri":
+            return f"<{v}>"
+        if ty == "bnode":
+            return f"_:{v}"
+        esc = (
+            v.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+        if t.get("xml:lang"):
+            return f'"{esc}"@{t["xml:lang"]}'
+        if t.get("datatype"):
+            return f'"{esc}"^^<{t["datatype"]}>'
+        return f'"{esc}"'
+
+    lines = ["\t".join("?" + c for c in cols)]
+    for b in payload["results"]["bindings"]:
+        lines.append("\t".join(cell(b.get(c)) for c in cols))
+    return "\n".join(lines) + "\n"
+
+
+def results_xml(payload: dict) -> str:
+    """SELECT/ASK results → SPARQL Query Results XML Format."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    ns = "http://www.w3.org/2005/sparql-results#"
+    if "boolean" in payload:
+        return (
+            f'<?xml version="1.0"?>\n<sparql xmlns="{ns}"><head/>'
+            f'<boolean>{"true" if payload["boolean"] else "false"}</boolean>'
+            f"</sparql>\n"
+        )
+    cols = payload["head"]["vars"]
+    head = "".join(f"<variable name={quoteattr(c)}/>" for c in cols)
+    results = []
+    for b in payload["results"]["bindings"]:
+        parts = []
+        for c in cols:
+            t = b.get(c)
+            if t is None:
+                continue
+            ty, v = t["type"], escape(t["value"])
+            if ty == "uri":
+                body = f"<uri>{v}</uri>"
+            elif ty == "bnode":
+                body = f"<bnode>{v}</bnode>"
+            elif t.get("xml:lang"):
+                body = f"<literal xml:lang={quoteattr(t['xml:lang'])}>{v}</literal>"
+            elif t.get("datatype"):
+                body = f"<literal datatype={quoteattr(t['datatype'])}>{v}</literal>"
+            else:
+                body = f"<literal>{v}</literal>"
+            parts.append(f"<binding name={quoteattr(c)}>{body}</binding>")
+        results.append("<result>" + "".join(parts) + "</result>")
+    return (
+        f'<?xml version="1.0"?>\n<sparql xmlns="{ns}">'
+        f"<head>{head}</head><results>{''.join(results)}</results></sparql>\n"
+    )
+
+
+_CTYPES = {
+    "json": "application/sparql-results+json",
+    "xml": "application/sparql-results+xml",
+    "csv": "text/csv; charset=utf-8",
+    "tsv": "text/tab-separated-values; charset=utf-8",
+    "nt": "application/n-triples",
+}
+
+
+def _negotiate(accept: str | None, form: str) -> str:
+    """Pick a response format from the Accept header and query form.
+    CONSTRUCT/DESCRIBE always serve N-Triples (their result is a
+    graph); ASK serves JSON unless XML is asked for (the CSV/TSV
+    formats define SELECT only); default stays results-JSON."""
+    if form in ("construct", "describe"):
+        return "nt"
+    a = (accept or "").lower()
+    if "sparql-results+json" in a or "application/json" in a:
+        return "json"
+    if "sparql-results+xml" in a or "application/xml" in a:
+        return "xml"
+    if form == "ask":
+        return "json"
+    if "text/csv" in a:
+        return "csv"
+    if "tab-separated-values" in a:
+        return "tsv"
+    return "json"
+
+
 class SparqlService:
     """Threaded HTTP server exposing one engine at ``/sparql``."""
 
@@ -227,21 +400,41 @@ class SparqlService:
         self._thread: threading.Thread | None = None
 
     # -- request handling ------------------------------------------------
-    def _handle(self, query: str) -> tuple[int, dict]:
+    def _handle(
+        self, query: str, accept: str | None = None
+    ) -> tuple[int, str, str]:
+        """→ (status, body, content-type). Errors are always JSON."""
         try:
             from hbase_rdf_spark.plans.sparql import parse as _parse
 
             q = _parse(query)
-            # exact per-term kinds for SELECT; ASK keyed on the parsed
-            # query form, not the output column name (ADVICE r2)
-            df = self.engine.sql(q, with_kinds=q.form == "select")
-            return 200, results_json(
-                df, self.max_rows, is_ask=q.form == "ask"
+            fmt = _negotiate(accept, q.form)
+            # exact per-term kinds for SELECT and for graph-form
+            # serialization; ASK keyed on the parsed query form, not
+            # the output column name (ADVICE r2)
+            df = self.engine.sql(
+                q, with_kinds=q.form in ("select", "construct", "describe")
             )
+            if fmt == "nt":
+                return 200, results_ntriples(df, self.max_rows), _CTYPES["nt"]
+            payload = results_json(df, self.max_rows, is_ask=q.form == "ask")
+            if fmt == "xml":
+                body = results_xml(payload)
+            elif fmt == "csv":
+                body = results_csv(payload)
+            elif fmt == "tsv":
+                body = results_tsv(payload)
+            else:
+                body = json.dumps(payload)
+            return 200, body, _CTYPES[fmt]
         except ValueError as ex:  # SparqlSyntaxError and semantic errors
-            return 400, {"error": str(ex)}
+            return 400, json.dumps({"error": str(ex)}), _CTYPES["json"]
         except Exception as ex:  # pragma: no cover - defensive
-            return 500, {"error": f"{type(ex).__name__}: {ex}"}
+            return (
+                500,
+                json.dumps({"error": f"{type(ex).__name__}: {ex}"}),
+                _CTYPES["json"],
+            )
 
     def _make_handler(self):
         svc = self
@@ -250,15 +443,18 @@ class SparqlService:
             def log_message(self, *a):  # quiet
                 pass
 
-            def _reply(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
+            def _reply(
+                self, code: int, body: str | dict,
+                ctype: str = _CTYPES["json"],
+            ) -> None:
+                if isinstance(body, dict):  # error payloads
+                    body = json.dumps(body)
+                data = body.encode()
                 self.send_response(code)
-                self.send_header(
-                    "Content-Type", "application/sparql-results+json"
-                )
-                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(data)
 
             def do_GET(self):
                 u = urlparse(self.path)
@@ -267,7 +463,7 @@ class SparqlService:
                 q = parse_qs(u.query).get("query", [None])[0]
                 if not q:
                     return self._reply(400, {"error": "missing query param"})
-                self._reply(*svc._handle(q))
+                self._reply(*svc._handle(q, self.headers.get("Accept")))
 
             def do_POST(self):
                 u = urlparse(self.path)
@@ -282,7 +478,7 @@ class SparqlService:
                     q = parse_qs(body).get("query", [None])[0]
                 if not q:
                     return self._reply(400, {"error": "missing query"})
-                self._reply(*svc._handle(q))
+                self._reply(*svc._handle(q, self.headers.get("Accept")))
 
         return Handler
 

@@ -148,3 +148,108 @@ def test_select_var_named_ask_stays_select(service):
     assert out["results"]["bindings"] == [
         {"ask": {"type": "uri", "value": "http://ex/b"}}
     ]
+
+
+# -- content negotiation (Fuseki-front-end parity: W3C result formats) --
+
+
+def _get_fmt(svc, query, accept):
+    url = (
+        f"http://127.0.0.1:{svc.port}/sparql?query="
+        + urllib.parse.quote(query)
+    )
+    req = urllib.request.Request(url, headers={"Accept": accept})
+    with urllib.request.urlopen(req) as r:
+        return r.read().decode(), r.headers.get("Content-Type")
+
+
+def test_select_csv(service):
+    body, ctype = _get_fmt(
+        service,
+        "SELECT ?s ?o WHERE { ?s <http://ex/knows> ?o } ORDER BY ?s",
+        "text/csv",
+    )
+    assert ctype.startswith("text/csv")
+    lines = body.split("\r\n")
+    assert lines[0] == "s,o"
+    # CSV plain values: IRIs bare, no quoting needed here
+    assert lines[1] == "http://ex/a,http://ex/b"
+    assert lines[2] == "http://ex/b,http://ex/c"
+
+
+def test_select_tsv_term_syntax(service):
+    body, ctype = _get_fmt(
+        service,
+        "SELECT ?n WHERE { <http://ex/a> <http://ex/name> ?n }",
+        "text/tab-separated-values",
+    )
+    assert ctype.startswith("text/tab-separated-values")
+    lines = body.rstrip("\n").split("\n")
+    assert lines[0] == "?n"
+    assert lines[1] == '"Alice"@en'  # TSV keeps N-Triples term syntax
+
+
+def test_select_xml(service):
+    body, ctype = _get_fmt(
+        service,
+        "SELECT ?o WHERE { <http://ex/a> <http://ex/knows> ?o }",
+        "application/sparql-results+xml",
+    )
+    assert ctype == "application/sparql-results+xml"
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(body)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    names = [v.get("name") for v in root.iter(f"{ns}variable")]
+    assert names == ["o"]
+    uris = [u.text for u in root.iter(f"{ns}uri")]
+    assert uris == ["http://ex/b"]
+
+
+def test_ask_xml(service):
+    body, ctype = _get_fmt(
+        service,
+        "ASK { <http://ex/a> <http://ex/knows> <http://ex/b> }",
+        "application/sparql-results+xml",
+    )
+    assert ctype == "application/sparql-results+xml"
+    assert "<boolean>true</boolean>" in body
+
+
+def test_construct_ntriples(service):
+    body, ctype = _get_fmt(
+        service,
+        "CONSTRUCT { ?s <http://ex/knew> ?o } "
+        "WHERE { ?s <http://ex/knows> ?o }",
+        "*/*",
+    )
+    assert ctype == "application/n-triples"
+    lines = sorted(l for l in body.split("\n") if l)
+    assert lines == [
+        "<http://ex/a> <http://ex/knew> <http://ex/b> .",
+        "<http://ex/b> <http://ex/knew> <http://ex/c> .",
+    ]
+
+
+def test_describe_ntriples_term_forms(service):
+    # DESCRIBE serializes a graph: IRIs bracketed, lang-tagged stored
+    # form verbatim, numerics as xsd:double literals, plain literals
+    # quoted (even uri-shaped ones like "n/a")
+    body, ctype = _get_fmt(service, "DESCRIBE <http://ex/a>", "*/*")
+    assert ctype == "application/n-triples"
+    lines = set(l for l in body.split("\n") if l)
+    assert "<http://ex/a> <http://ex/knows> <http://ex/b> ." in lines
+    assert '<http://ex/a> <http://ex/name> "Alice"@en .' in lines
+    assert '<http://ex/a> <http://ex/status> "n/a" .' in lines
+    age = [l for l in lines if "<http://ex/age>" in l]
+    assert len(age) == 1 and '^^<http://www.w3.org/2001/XMLSchema#double>' in age[0]
+
+
+def test_json_beats_xml_when_both_accepted(service):
+    body, ctype = _get_fmt(
+        service,
+        "SELECT ?o WHERE { <http://ex/a> <http://ex/knows> ?o }",
+        "application/sparql-results+json, application/xml;q=0.5",
+    )
+    assert ctype == "application/sparql-results+json"
+    assert json.loads(body)["head"]["vars"] == ["o"]
