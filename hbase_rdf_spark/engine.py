@@ -91,3 +91,10 @@ class KgEngine:
         the results-JSON layer (see ``service.results_json``).
         """
         return _sparql.execute(self.store, query, with_kinds=with_kinds)
+
+    def update(self, text: str) -> dict:
+        """SPARQL 1.1 Update request (INSERT/DELETE DATA, DELETE WHERE,
+        DELETE/INSERT WHERE, CLEAR) → {"inserted": n, "deleted": n}."""
+        from hbase_rdf_spark.plans.update import execute_update
+
+        return execute_update(self.store, text)

@@ -436,6 +436,21 @@ class SparqlService:
                 _CTYPES["json"],
             )
 
+    def _handle_update(self, text: str) -> tuple[int, str, str]:
+        """SPARQL 1.1 Protocol update operation → JSON ack with the
+        quad counts actually changed (Fuseki's update service parity)."""
+        try:
+            stats = self.engine.update(text)
+            return 200, json.dumps(stats), _CTYPES["json"]
+        except ValueError as ex:
+            return 400, json.dumps({"error": str(ex)}), _CTYPES["json"]
+        except Exception as ex:  # pragma: no cover - defensive
+            return (
+                500,
+                json.dumps({"error": f"{type(ex).__name__}: {ex}"}),
+                _CTYPES["json"],
+            )
+
     def _make_handler(self):
         svc = self
 
@@ -467,15 +482,28 @@ class SparqlService:
 
             def do_POST(self):
                 u = urlparse(self.path)
-                if u.path != "/sparql":
-                    return self._reply(404, {"error": "use /sparql"})
+                if u.path not in ("/sparql", "/update"):
+                    return self._reply(404, {"error": "use /sparql or /update"})
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n).decode()
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if u.path == "/update" or ctype == "application/sparql-update":
+                    if ctype in ("application/sparql-update",):
+                        up = body
+                    else:  # form-encoded per SPARQL protocol §2.2.2
+                        up = parse_qs(body).get("update", [None])[0]
+                    if not up:
+                        return self._reply(400, {"error": "missing update"})
+                    return self._reply(*svc._handle_update(up))
                 if ctype == "application/sparql-query":
                     q = body
                 else:  # form-encoded per SPARQL protocol
                     q = parse_qs(body).get("query", [None])[0]
+                    if q is None:
+                        # form posts may carry update= to the query path
+                        up = parse_qs(body).get("update", [None])[0]
+                        if up:
+                            return self._reply(*svc._handle_update(up))
                 if not q:
                     return self._reply(400, {"error": "missing query"})
                 self._reply(*svc._handle(q, self.headers.get("Accept")))

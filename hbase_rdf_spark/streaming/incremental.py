@@ -34,46 +34,53 @@ from hbase_rdf_spark.operators.materialize import INDEXES, QUAD_COLS, TripleStor
 from hbase_rdf_spark.pipeline import build_links, resolve_surfaces
 
 
+def append_resolved(store: TripleStore, resolved: DataFrame) -> dict:
+    """Append a resolved-triple slice (conv_id, turn_idx, subj, pred,
+    obj, obj_kind) to an existing store. Idempotent: anti-joins against
+    the current dictionary and SPO index so only NEW terms and NEW
+    quads hit disk — also the write primitive of SPARQL Update inserts
+    (plans/update.py)."""
+    term2id, id2term = build_dictionaries(resolved)
+    existing_ids = store.id2term().select("id")
+    new_id2term = id2term.join(existing_ids, "id", "left_anti")
+    new_term2id = term2id.join(
+        new_id2term.select("id"), "id", "left_semi"
+    )
+
+    quads = encode_quads(resolved).select(*QUAD_COLS)
+    existing = store.index("spo").select(*QUAD_COLS)
+    # o / o_num are nullable (numeric vs dictionary objects) — the
+    # dedupe join must be null-safe or nothing ever matches
+    cond = [quads[c].eqNullSafe(existing[c]) for c in QUAD_COLS]
+    new_quads = quads.join(existing, cond, "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    n_new = new_quads.count()
+    n_terms = new_id2term.count()
+    if n_terms:
+        new_term2id.write.mode("append").parquet(store.path("term2id"))
+        new_id2term.write.mode("append").parquet(store.path("id2term"))
+    if n_new:
+        for name, (_, sort_keys) in INDEXES.items():
+            new_quads.sortWithinPartitions(*sort_keys).write.mode(
+                "append"
+            ).parquet(store.path(f"triples_{name}"))
+    return {"appended_quads": n_new, "appended_terms": n_terms}
+
+
 def append_batch(
     store: TripleStore,
     transcripts: DataFrame,
     gazetteer: DataFrame,
 ) -> dict:
     """Append one transcript slice to an existing store. Idempotent."""
-    spark = store.spark
     ordered = stable_conversations(transcripts)
     extracted = extract_triples(ordered).persist()
     try:
         links = build_links(mentions(extracted), gazetteer).localCheckpoint(eager=True)
         resolved = resolve_surfaces(extracted, links).localCheckpoint(eager=True)
-
-        term2id, id2term = build_dictionaries(resolved)
-        existing_ids = store.id2term().select("id")
-        new_id2term = id2term.join(existing_ids, "id", "left_anti")
-        new_term2id = term2id.join(
-            new_id2term.select("id"), "id", "left_semi"
-        )
-
-        quads = encode_quads(resolved).select(*QUAD_COLS)
-        existing = store.index("spo").select(*QUAD_COLS)
-        # o / o_num are nullable (numeric vs dictionary objects) — the
-        # dedupe join must be null-safe or nothing ever matches
-        cond = [quads[c].eqNullSafe(existing[c]) for c in QUAD_COLS]
-        new_quads = quads.join(existing, cond, "left_anti").localCheckpoint(
-            eager=True
-        )
-
-        n_new = new_quads.count()
-        n_terms = new_id2term.count()
-        if n_terms:
-            new_term2id.write.mode("append").parquet(store.path("term2id"))
-            new_id2term.write.mode("append").parquet(store.path("id2term"))
-        if n_new:
-            for name, (_, sort_keys) in INDEXES.items():
-                new_quads.sortWithinPartitions(*sort_keys).write.mode(
-                    "append"
-                ).parquet(store.path(f"triples_{name}"))
-        return {"appended_quads": n_new, "appended_terms": n_terms}
+        return append_resolved(store, resolved)
     finally:
         extracted.unpersist()
 
