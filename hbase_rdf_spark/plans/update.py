@@ -49,14 +49,13 @@ from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
 
-from hbase_rdf_spark.functions import lineage
 from hbase_rdf_spark.functions.encoding import (
     KIND_ENTITY,
     KIND_NUMERIC,
     KIND_STRING,
     encode_quads,
 )
-from hbase_rdf_spark.operators.materialize import INDEXES, QUAD_COLS
+from hbase_rdf_spark.operators.materialize import QUAD_COLS
 from hbase_rdf_spark.plans.bgp import Bgp, Path, is_var
 from hbase_rdf_spark.plans.sparql import (
     Query,
@@ -336,40 +335,42 @@ def _append(store, resolved: DataFrame) -> int:
     return append_resolved(store, resolved)["appended_quads"]
 
 
+def _rewrite_indexes(store, kept: DataFrame, input_sig: str) -> int:
+    """Overwrite all three index tables with ``kept`` (already
+    checkpointed off the source files). One delta computation, three
+    concurrent sorted writes — write_indexes' bulk-load fan-out reused
+    for the mutation path. The sig is salted unique so the resume
+    short-circuit can never skip a mutation."""
+    import uuid
+
+    stats = store.write_indexes(kept, f"{input_sig}:{uuid.uuid4().hex}")
+    return stats["spo"]
+
+
 def _delete_ids(store, dels: DataFrame, input_sig: str) -> int:
     """Remove an id-space delete set from every index table.
 
     ``dels`` carries QUAD_COLS; a NULL ``c`` row is a context wildcard
-    (matches the quad in every graph). Each index is rewritten via a
-    null-safe left_anti — two hash-join legs, never a broadcast-nested-
-    loop OR condition — with lineage broken (localCheckpoint) before
-    the overwrite, the compact() safety pattern."""
+    (matches the quad in every graph). The three indexes hold the SAME
+    row set in different sort orders, so the kept set is computed ONCE
+    from SPO — two null-safe left_anti hash-join legs (never a
+    broadcast-nested-loop OR condition), lineage broken before any
+    overwrite (the compact() safety pattern) — then fanned out as three
+    sorted writes."""
     dels = dels.localCheckpoint(eager=True)
     d_ctx = dels.filter(F.col("c").isNotNull())
     d_any = dels.filter(F.col("c").isNull()).drop("c")
-    n_before = n_after = 0
-    for i, (name, (_range_keys, sort_keys)) in enumerate(INDEXES.items()):
-        cur = store.index(name)
-        cond = [cur[c].eqNullSafe(d_ctx[c]) for c in QUAD_COLS]
-        kept = cur.join(d_ctx, cond, "left_anti")
-        cond_any = [
-            kept[c].eqNullSafe(d_any[c]) for c in QUAD_COLS if c != "c"
-        ]
-        kept = kept.join(d_any, cond_any, "left_anti").localCheckpoint(
-            eager=True
-        )
-        if i == 0:
-            n_before, n_after = cur.count(), kept.count()
-        arranged = kept.sortWithinPartitions(*sort_keys).persist()
-        tdir = store.path(f"triples_{name}")
-        arranged.write.mode("overwrite").parquet(tdir)
-        lineage.write_manifest(
-            tdir, f"update_delete_{name}", input_sig,
-            lineage.partition_manifest(arranged),
-            extra={"sort_order": sort_keys},
-        )
-        arranged.unpersist()
-    return n_before - n_after
+    cur = store.index("spo").select(*QUAD_COLS)
+    cond = [cur[c].eqNullSafe(d_ctx[c]) for c in QUAD_COLS]
+    kept = cur.join(d_ctx, cond, "left_anti")
+    cond_any = [
+        kept[c].eqNullSafe(d_any[c]) for c in QUAD_COLS if c != "c"
+    ]
+    kept = kept.join(d_any, cond_any, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_before = cur.count()
+    return n_before - _rewrite_indexes(store, kept, input_sig)
 
 
 def _delete(store, resolved: DataFrame, input_sig: str) -> int:
@@ -388,30 +389,18 @@ def _clear(store, op: ClearOp, input_sig: str) -> int:
     from hbase_rdf_spark.plans.patterns import encode_term
 
     default_c = encode_term(f"conv:{DEFAULT_CONTEXT}")
-    n_removed = 0
-    for i, (name, (_rk, sort_keys)) in enumerate(INDEXES.items()):
-        cur = store.index(name)
-        if op.target == "ALL":
-            kept = cur.limit(0)
-        elif op.target == "DEFAULT":
-            kept = cur.filter(F.col("c") != default_c)
-        elif op.target == "NAMED":
-            kept = cur.filter(F.col("c") == default_c)
-        else:  # constant graph IRI
-            kept = cur.filter(F.col("c") != encode_term(f"conv:{op.target}"))
-        kept = kept.localCheckpoint(eager=True)
-        if i == 0:
-            n_removed = cur.count() - kept.count()
-        arranged = kept.sortWithinPartitions(*sort_keys).persist()
-        tdir = store.path(f"triples_{name}")
-        arranged.write.mode("overwrite").parquet(tdir)
-        lineage.write_manifest(
-            tdir, f"update_clear_{name}", input_sig,
-            lineage.partition_manifest(arranged),
-            extra={"sort_order": sort_keys},
-        )
-        arranged.unpersist()
-    return n_removed
+    cur = store.index("spo").select(*QUAD_COLS)
+    if op.target == "ALL":
+        kept = cur.limit(0)
+    elif op.target == "DEFAULT":
+        kept = cur.filter(F.col("c") != default_c)
+    elif op.target == "NAMED":
+        kept = cur.filter(F.col("c") == default_c)
+    else:  # constant graph IRI
+        kept = cur.filter(F.col("c") != encode_term(f"conv:{op.target}"))
+    kept = kept.localCheckpoint(eager=True)
+    n_before = cur.count()
+    return n_before - _rewrite_indexes(store, kept, input_sig)
 
 
 def execute_update(store, text: str) -> dict:

@@ -62,10 +62,19 @@ def append_resolved(store: TripleStore, resolved: DataFrame) -> dict:
         new_term2id.write.mode("append").parquet(store.path("term2id"))
         new_id2term.write.mode("append").parquet(store.path("id2term"))
     if n_new:
-        for name, (_, sort_keys) in INDEXES.items():
+        # the three per-index appends share the checkpointed delta —
+        # submit them concurrently to hide each write's fixed job
+        # latency (same overlap as TripleStore.write_indexes)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _append_one(item) -> None:
+            name, (_, sort_keys) = item
             new_quads.sortWithinPartitions(*sort_keys).write.mode(
                 "append"
             ).parquet(store.path(f"triples_{name}"))
+
+        with ThreadPoolExecutor(max_workers=len(INDEXES)) as ex:
+            list(ex.map(_append_one, INDEXES.items()))
     return {"appended_quads": n_new, "appended_terms": n_terms}
 
 
