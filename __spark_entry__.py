@@ -546,7 +546,8 @@ def _q_sparql_update(spark, sf):
         INSERT DATA { <updsrc> <joined> <upddst> } ;
         DELETE { ?x <join> ?y } INSERT { ?x <joined> ?y }
         WHERE  { ?x <join> ?y } ;
-        DELETE WHERE { ?a <scan> ?b }
+        DELETE WHERE { ?a <scan> ?b } ;
+        ADD <0> TO <updadd>
     """)
     return execute(
         st, "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
@@ -2579,6 +2580,12 @@ def oracle_sql() -> dict[str, str]:
               FROM tri10 WHERE p = 'join'
               UNION ALL
               SELECT 'updsrc', 'joined', 'upddst', 'default'
+              UNION ALL
+              -- ADD <0> TO <updadd> runs LAST: it copies what remains
+              -- of doc-graph 0 (join renamed away, scan deleted) into
+              -- a fresh graph, keeping bulk row multiplicity
+              SELECT s, p, o, 'updadd' AS g
+              FROM tri10 WHERE doc_id = 0 AND p NOT IN ('join', 'scan')
             )
             SELECT p, CAST(count(*) AS BIGINT) AS n
             FROM final GROUP BY p""",

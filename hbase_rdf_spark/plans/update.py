@@ -21,8 +21,20 @@ index tables:
 - ``DELETE {} INSERT {} WHERE {}`` evaluates the WHERE once, keeps the
   binding set on the PRE-state (localCheckpoint before any write), and
   applies deletes before inserts (SPARQL 1.1 Update §3.1.3).
-- ``CLEAR`` → context-predicate rewrite (GRAPH/DEFAULT/NAMED) or empty
-  overwrite (ALL).
+- ``CLEAR`` / ``DROP`` → context-predicate rewrite (GRAPH/DEFAULT/
+  NAMED) or empty overwrite (ALL); the two forms coincide because the
+  layout has no empty-graph registry (§3.2.2 sanctions this).
+- ``ADD``/``COPY``/``MOVE`` → context-column algebra over SPO: the
+  moved rows keep their content-hash ids (only ``c`` changes), so no
+  dictionary pass is needed; ADD is an idempotent delta append,
+  COPY/MOVE single-delta rewrites.
+- ``LOAD`` → the S1 N-Triples parser over the document + the same
+  idempotent append; ``INTO GRAPH`` re-contexts every row (§3.1.4).
+- ``USING`` / ``USING NAMED`` → the FROM / FROM NAMED dataset
+  machinery threaded into the WHERE parse (merge semantics, GRAPH
+  restriction) — USING overrides WITH for the WHERE only (§3.1.3.3).
+- ``CREATE`` → parsed no-op (no empty-graph registry, like the
+  reference's HBase tables which materialize only stored rows).
 
 Template instantiation is the CONSTRUCT engine (plans/sparql.py
 ``_construct``): one projection per template pattern over the binding
@@ -92,6 +104,35 @@ class ModifyOp:
 
 
 @dataclass
+class GraphOp:
+    """ADD / COPY / MOVE src TO dst (SPARQL 1.1 Update §3.2.5-3.2.7).
+
+    ``src``/``dst`` are ``"DEFAULT"`` or a constant graph IRI. On this
+    layout all three are context-column algebra over the SPO table:
+    ADD appends the re-contexted src rows (dedup anti-join), COPY/MOVE
+    rewrite with the dst graph replaced (and, for MOVE, src removed).
+    """
+
+    kind: str  # "ADD" | "COPY" | "MOVE"
+    src: str
+    dst: str
+
+
+@dataclass
+class LoadOp:
+    """LOAD <document> (INTO GRAPH g)? (SPARQL 1.1 Update §3.1.4).
+
+    The document is any spark-readable N-Triples/N-Quads text path;
+    rows run through the S1 parser + the idempotent incremental append
+    (the same path bulk files take). SILENT swallows read errors.
+    """
+
+    source: str
+    graph: str | None
+    silent: bool
+
+
+@dataclass
 class ClearOp:
     """CLEAR GRAPH <g> | DEFAULT | NAMED | ALL."""
 
@@ -123,10 +164,29 @@ class _UpdateParser(_Parser):
             if tok is None:
                 break
             head = tok.upper()
-            if head == "CLEAR":
-                ops.append(self._clear())
+            if head in ("CLEAR", "DROP"):
+                # DROP ≡ CLEAR on this layout: graphs exist iff they
+                # hold quads (no empty-graph registry), the exact case
+                # SPARQL 1.1 Update §3.2.2 calls out as equivalent
+                ops.append(self._clear(head))
             elif head in ("INSERT", "DELETE", "WITH"):
                 ops.append(self._insert_delete())
+            elif head in ("ADD", "COPY", "MOVE"):
+                ops.append(self._graph_op(head))
+            elif head == "CREATE":
+                # no empty-graph registry → CREATE is a parsed no-op
+                # (§3.2.1 allows stores "that record empty graphs" to
+                # differ; this one doesn't, like the reference's HBase
+                # tables which materialize only stored rows)
+                self.expect("CREATE")
+                self.kw("SILENT")
+                self.expect("GRAPH")
+                g = self.term()
+                if not isinstance(g, str) or g.startswith("?"):
+                    raise SparqlSyntaxError("CREATE GRAPH needs a constant IRI")
+                ops.append(None)  # parsed, nothing to execute
+            elif head == "LOAD":
+                ops.append(self._load())
             else:
                 raise SparqlSyntaxError(f"unsupported update form {tok!r}")
             if not self.kw(";"):
@@ -137,18 +197,51 @@ class _UpdateParser(_Parser):
             raise SparqlSyntaxError("empty update request")
         return ops
 
-    def _clear(self) -> ClearOp:
-        self.expect("CLEAR")
+    def _clear(self, head: str = "CLEAR") -> ClearOp:
+        self.expect(head)
         self.kw("SILENT")  # accepted; this engine never errors on CLEAR
         if self.kw("GRAPH"):
             g = self.term()
             if not isinstance(g, str) or g.startswith("?"):
-                raise SparqlSyntaxError("CLEAR GRAPH needs a constant IRI")
+                raise SparqlSyntaxError(f"{head} GRAPH needs a constant IRI")
             return ClearOp(g)
         tok = self.next().upper()
         if tok not in ("DEFAULT", "NAMED", "ALL"):
-            raise SparqlSyntaxError(f"CLEAR {tok} is not valid")
+            raise SparqlSyntaxError(f"{head} {tok} is not valid")
         return ClearOp(tok)
+
+    def _graph_or_default(self) -> str:
+        """GraphOrDefault ::= 'DEFAULT' | 'GRAPH'? iri (§3.2.5)."""
+        if self.kw("DEFAULT"):
+            return "DEFAULT"
+        self.kw("GRAPH")
+        g = self.term()
+        if not isinstance(g, str) or g.startswith("?"):
+            raise SparqlSyntaxError(
+                "ADD/COPY/MOVE needs DEFAULT or a constant graph IRI"
+            )
+        return g
+
+    def _graph_op(self, head: str) -> GraphOp:
+        self.expect(head)
+        self.kw("SILENT")
+        src = self._graph_or_default()
+        self.expect("TO")
+        return GraphOp(head, src, self._graph_or_default())
+
+    def _load(self) -> LoadOp:
+        self.expect("LOAD")
+        silent = self.kw("SILENT")
+        src = self.term()
+        if not isinstance(src, str) or src.startswith("?"):
+            raise SparqlSyntaxError("LOAD needs a constant document IRI")
+        graph = None
+        if self.kw("INTO"):
+            self.expect("GRAPH")
+            graph = self.term()
+            if not isinstance(graph, str) or graph.startswith("?"):
+                raise SparqlSyntaxError("LOAD INTO GRAPH needs a constant IRI")
+        return LoadOp(src, graph, silent)
 
     def _insert_delete(self):
         with_graph = None
@@ -181,16 +274,34 @@ class _UpdateParser(_Parser):
         return ModifyOp(dels, ins, q)
 
     def _where_query(self, with_graph, consume_where: bool) -> Query:
-        if (self.peek() or "").upper() == "USING":
-            raise SparqlSyntaxError(
-                "USING clauses are not supported — scope with WITH or GRAPH"
-            )
+        # USING / USING NAMED (§3.1.3.3): the WHERE-side dataset clause
+        # — identical semantics to FROM / FROM NAMED, reusing the same
+        # threaded default-graph-merge machinery. USING overrides WITH
+        # for the WHERE (WITH keeps scoping the templates).
+        defaults: list[str] = []
+        named: list[str] = []
+        while self.kw("USING"):
+            is_named = self.kw("NAMED")
+            g = self.term()
+            if not isinstance(g, str) or g.startswith("?"):
+                raise SparqlSyntaxError("USING needs a constant graph IRI")
+            (named if is_named else defaults).append(g)
         if consume_where:
             self.expect("WHERE")
         q = Query(variables=[])
-        self.expect("{")
-        self._group(q, (with_graph,) if with_graph else None)
-        self.expect("}")
+        if defaults or named:
+            scope: tuple | None = tuple(defaults)
+            q.dataset = (tuple(defaults), tuple(named))
+        else:
+            scope = (with_graph,) if with_graph else None
+        saved = self._dataset
+        self._dataset = q.dataset
+        try:
+            self.expect("{")
+            self._group(q, scope)
+            self.expect("}")
+        finally:
+            self._dataset = saved
         return q
 
     def _template_block(self, with_graph) -> list[Bgp]:
@@ -403,6 +514,120 @@ def _clear(store, op: ClearOp, input_sig: str) -> int:
     return n_before - _rewrite_indexes(store, kept, input_sig)
 
 
+def _context_id(label: str):
+    """Graph label ('DEFAULT' or IRI) → constant-folded context id."""
+    from hbase_rdf_spark.plans.patterns import encode_term
+
+    lex = DEFAULT_CONTEXT if label == "DEFAULT" else label
+    return encode_term(f"conv:{lex}")
+
+
+def _ensure_graph_term(store, label: str) -> None:
+    """Make sure the dst graph's context term is materializable: append
+    its (term, kind, id) dictionary rows if absent. One row, one
+    anti-join — negligible at any store size."""
+    from hbase_rdf_spark.functions.encoding import KIND_ENTITY, term_id
+
+    lex = DEFAULT_CONTEXT if label == "DEFAULT" else label
+    row = store.spark.createDataFrame(
+        [(f"conv:{lex}",)], "term string"
+    ).select(
+        "term",
+        F.lit(KIND_ENTITY).cast("tinyint").alias("kind"),
+        term_id(KIND_ENTITY, F.col("term")).alias("id"),
+    )
+    new = row.join(store.id2term().select("id"), "id", "left_anti")
+    if new.count():
+        new.write.mode("append").parquet(store.path("term2id"))
+        new.select(
+            "id", "kind", F.col("term").alias("label")
+        ).write.mode("append").parquet(store.path("id2term"))
+
+
+def _graph_manage(store, op: GraphOp, input_sig: str) -> tuple[int, int]:
+    """ADD / COPY / MOVE → (inserted, deleted) quad counts.
+
+    Pure context-column algebra over the SPO table: the moved rows keep
+    their ids (only ``c`` changes), so no dictionary work beyond the
+    dst graph's own term. ADD is an idempotent delta append (no index
+    rewrite); COPY/MOVE are single-delta rewrites fanned out through
+    the bulk-load writer — Iceberg overwrite commits at cluster scale.
+    """
+    from hbase_rdf_spark.streaming.incremental import append_quads
+
+    if op.src == op.dst:
+        return 0, 0
+    src_c, dst_c = _context_id(op.src), _context_id(op.dst)
+    spo = store.index("spo").select(*QUAD_COLS)
+    moved = spo.filter(F.col("c") == src_c).withColumn("c", dst_c)
+    if op.kind == "ADD":
+        # both sides derive from the same scan — alias to disambiguate
+        m, d = moved.alias("m"), spo.filter(F.col("c") == dst_c).alias("d")
+        cond = [
+            F.col(f"m.{c}").eqNullSafe(F.col(f"d.{c}")) for c in QUAD_COLS
+        ]
+        new = m.join(d, cond, "left_anti").localCheckpoint(eager=True)
+        n = new.count()
+        if n:
+            _ensure_graph_term(store, op.dst)
+            append_quads(store, new)
+        return n, 0
+    # COPY/MOVE: dst is overwritten (and MOVE drops src) — count both
+    # sides in ONE pass, then rewrite from a single kept set
+    counts = {
+        r["which"]: r["n"]
+        for r in spo.select(
+            F.when(F.col("c") == src_c, "src")
+            .when(F.col("c") == dst_c, "dst")
+            .alias("which")
+        )
+        .filter(F.col("which").isNotNull())
+        .groupBy("which")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_src, n_dst = counts.get("src", 0), counts.get("dst", 0)
+    keep = (
+        spo.filter(F.col("c") != dst_c)
+        if op.kind == "COPY"
+        else spo.filter((F.col("c") != dst_c) & (F.col("c") != src_c))
+    )
+    kept = keep.unionByName(moved).localCheckpoint(eager=True)
+    if n_src:
+        _ensure_graph_term(store, op.dst)
+    _rewrite_indexes(store, kept, input_sig)
+    deleted = n_dst + (n_src if op.kind == "MOVE" else 0)
+    return n_src, deleted
+
+
+def _load_doc(store, op: LoadOp) -> int:
+    """LOAD: S1 parser over the document → idempotent append. A
+    malformed line is an error unless SILENT (the reference's loader
+    aborts the statement batch on parse failure the same way)."""
+    from hbase_rdf_spark.sources.ntriples import (
+        corrupt_count,
+        quads,
+        read_ntriples,
+    )
+
+    try:
+        parsed = read_ntriples(store.spark, op.source)
+        n_bad = corrupt_count(parsed)
+        if n_bad:
+            raise ValueError(
+                f"LOAD <{op.source}>: {n_bad} unparseable line(s)"
+            )
+        resolved = quads(parsed)
+        if op.graph is not None:
+            # INTO GRAPH overrides every context in the document (§3.1.4)
+            resolved = resolved.withColumn("conv_id", F.lit(op.graph))
+        return _append(store, resolved)
+    except Exception:
+        if op.silent:
+            return 0
+        raise
+
+
 def execute_update(store, text: str) -> dict:
     """Run a SPARQL Update request (one or more ';'-chained operations)
     against the store. Returns ``{"inserted": n, "deleted": n}`` counts
@@ -411,7 +636,15 @@ def execute_update(store, text: str) -> dict:
     totals = {"inserted": 0, "deleted": 0}
     for i, op in enumerate(ops):
         sig = f"update:{i}"
-        if isinstance(op, DataOp):
+        if op is None:  # CREATE GRAPH — parsed no-op
+            continue
+        if isinstance(op, GraphOp):
+            ins, dels = _graph_manage(store, op, sig)
+            totals["inserted"] += ins
+            totals["deleted"] += dels
+        elif isinstance(op, LoadOp):
+            totals["inserted"] += _load_doc(store, op)
+        elif isinstance(op, DataOp):
             resolved = _rows_from_patterns(store.spark, op.patterns, op.insert)
             if op.insert:
                 totals["inserted"] += _append(store, resolved)

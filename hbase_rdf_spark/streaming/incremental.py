@@ -62,20 +62,27 @@ def append_resolved(store: TripleStore, resolved: DataFrame) -> dict:
         new_term2id.write.mode("append").parquet(store.path("term2id"))
         new_id2term.write.mode("append").parquet(store.path("id2term"))
     if n_new:
-        # the three per-index appends share the checkpointed delta —
-        # submit them concurrently to hide each write's fixed job
-        # latency (same overlap as TripleStore.write_indexes)
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _append_one(item) -> None:
-            name, (_, sort_keys) = item
-            new_quads.sortWithinPartitions(*sort_keys).write.mode(
-                "append"
-            ).parquet(store.path(f"triples_{name}"))
-
-        with ThreadPoolExecutor(max_workers=len(INDEXES)) as ex:
-            list(ex.map(_append_one, INDEXES.items()))
+        append_quads(store, new_quads)
     return {"appended_quads": n_new, "appended_terms": n_terms}
+
+
+def append_quads(store: TripleStore, new_quads: DataFrame) -> None:
+    """Append an id-space quad delta (already deduped against the
+    store and checkpointed) to all three index tables. The three
+    per-index appends share the delta — submitted concurrently to hide
+    each write's fixed job latency (same overlap as
+    TripleStore.write_indexes). Also the write primitive of SPARQL
+    Update ADD (plans/update.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _append_one(item) -> None:
+        name, (_, sort_keys) = item
+        new_quads.sortWithinPartitions(*sort_keys).write.mode(
+            "append"
+        ).parquet(store.path(f"triples_{name}"))
+
+    with ThreadPoolExecutor(max_workers=len(INDEXES)) as ex:
+        list(ex.map(_append_one, INDEXES.items()))
 
 
 def append_batch(

@@ -217,3 +217,121 @@ def test_update_via_http_endpoint(spark, store):
         assert ("http://ex/h", "Henry") not in _names(store)
     finally:
         svc.stop()
+
+
+def _graph_quads(store, g):
+    return rows(execute(
+        store,
+        "SELECT ?s ?p ?o WHERE { GRAPH <%s> { ?s ?p ?o } }" % g,
+    ))
+
+
+def test_add_copies_graph_idempotently(store):
+    g1 = _graph_quads(store, "http://ex/g1")
+    g2_before = _graph_quads(store, "http://ex/g2")
+    stats = execute_update(store, "ADD <http://ex/g1> TO <http://ex/g2>")
+    assert stats == {"inserted": 3, "deleted": 0}
+    assert _graph_quads(store, "http://ex/g2") == g1 | g2_before
+    # src untouched, re-ADD a no-op (content-identical rows dedup)
+    assert _graph_quads(store, "http://ex/g1") == g1
+    assert execute_update(
+        store, "ADD <http://ex/g1> TO <http://ex/g2>"
+    ) == {"inserted": 0, "deleted": 0}
+
+
+def test_copy_overwrites_and_move_drops_src(store):
+    g1 = _graph_quads(store, "http://ex/g1")
+    stats = execute_update(store, "COPY <http://ex/g1> TO <http://ex/g2>")
+    assert stats == {"inserted": 3, "deleted": 2}  # old g2 had 2 quads
+    assert _graph_quads(store, "http://ex/g2") == g1
+    assert _graph_quads(store, "http://ex/g1") == g1
+    stats = execute_update(store, "MOVE <http://ex/g2> TO <http://ex/g3>")
+    assert stats == {"inserted": 3, "deleted": 3}  # g3 empty; src dropped
+    assert _graph_quads(store, "http://ex/g3") == g1
+    assert _graph_quads(store, "http://ex/g2") == set()
+    # self MOVE is a no-op (spec: same graph → no operation)
+    assert execute_update(
+        store, "MOVE <http://ex/g3> TO <http://ex/g3>"
+    ) == {"inserted": 0, "deleted": 0}
+
+
+def test_add_default_to_named_and_back(store):
+    # the store fixture has no default-graph rows: seed one
+    execute_update(store, 'INSERT DATA { <http://ex/d> <http://ex/name> "Dee" }')
+    stats = execute_update(store, "ADD DEFAULT TO <http://ex/g9>")
+    assert stats == {"inserted": 1, "deleted": 0}
+    assert ("http://ex/d", "http://ex/name", "Dee") in _graph_quads(
+        store, "http://ex/g9"
+    )
+    # and named → DEFAULT: g9's row already exists in default (it came
+    # from there), so MOVE deletes the src copy and re-inserts
+    stats = execute_update(store, "MOVE <http://ex/g9> TO DEFAULT")
+    assert stats["deleted"] >= 1
+    assert _graph_quads(store, "http://ex/g9") == set()
+    assert ("http://ex/d", "Dee") in _names(store)
+
+
+def test_drop_and_create(store):
+    # CREATE parses as a no-op; DROP ≡ CLEAR
+    stats = execute_update(
+        store,
+        "CREATE GRAPH <http://ex/new> ; DROP SILENT GRAPH <http://ex/g2>",
+    )
+    assert stats == {"inserted": 0, "deleted": 2}
+    assert _graph_quads(store, "http://ex/g2") == set()
+
+
+def test_load_into_graph_and_silent(store, tmp_path):
+    doc = tmp_path / "extra.nt"
+    doc.write_text(
+        '<http://ex/x> <http://ex/name> "Xena" .\n'
+        '<http://ex/x> <http://ex/knows> <http://ex/a> .\n'
+    )
+    stats = execute_update(
+        store, f"LOAD <{doc}> INTO GRAPH <http://ex/gload>"
+    )
+    assert stats == {"inserted": 2, "deleted": 0}
+    assert ("http://ex/x", "http://ex/name", "Xena") in _graph_quads(
+        store, "http://ex/gload"
+    )
+    # plain LOAD (no INTO) lands rows in the document/default context
+    stats = execute_update(store, f"LOAD <{doc}>")
+    assert stats["inserted"] == 2
+    assert ("http://ex/x", "Xena") in _names(store)
+    # missing file: LOAD raises, LOAD SILENT returns 0
+    with pytest.raises(Exception):
+        execute_update(store, "LOAD <http://definitely/absent.nt>")
+    assert execute_update(
+        store, "LOAD SILENT <http://definitely/absent.nt>"
+    ) == {"inserted": 0, "deleted": 0}
+    # corrupt line: hard error without SILENT
+    bad = tmp_path / "bad.nt"
+    bad.write_text("this is not a triple\n")
+    with pytest.raises(ValueError, match="unparseable"):
+        execute_update(store, f"LOAD <{bad}>")
+
+
+def test_using_scopes_where_and_overrides_with(store):
+    # ?s ex:knows ?o exists in g1 only. USING <g2> → WHERE sees nothing
+    stats = execute_update(
+        store,
+        "DELETE { ?s <http://ex/knows> ?o } USING <http://ex/g2> "
+        "WHERE { ?s <http://ex/knows> ?o }",
+    )
+    assert stats == {"inserted": 0, "deleted": 0}
+    # USING <g1> → both knows-rows bind; wildcard delete removes them
+    stats = execute_update(
+        store,
+        "DELETE { ?s <http://ex/knows> ?o } USING <http://ex/g1> "
+        "WHERE { ?s <http://ex/knows> ?o }",
+    )
+    assert stats == {"inserted": 0, "deleted": 2}
+    # USING NAMED restricts GRAPH ?g iteration: only g2's name quad
+    got = execute_update(
+        store,
+        "INSERT { ?s <http://ex/seen> ?g } USING NAMED <http://ex/g2> "
+        "WHERE { GRAPH ?g { ?s <http://ex/name> ?n } }",
+    )
+    assert got["inserted"] == 1
+    seen = rows(execute(store, "SELECT ?s WHERE { ?s <http://ex/seen> ?g }"))
+    assert seen == {("http://ex/b",)}
