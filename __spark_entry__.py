@@ -554,6 +554,64 @@ def _q_sparql_update(spark, sf):
     )
 
 
+def _q_sparql_datetime(spark, sf):
+    # SPARQL 1.1 §17.4.5 datetime accessors end-to-end: events.ts →
+    # xsd:dateTime literals in a store, then MONTH/DAY in FILTER, BIND,
+    # and aggregate positions (plans/filters.py DT_PART_RX — regex
+    # component extraction off the stored lexical, no tz normalization).
+    # The reference gets these from stock ARQ XSDFuncOp (SURVEY J12).
+    import tempfile
+
+    from hbase_rdf_spark.functions.encoding import (
+        build_dictionaries,
+        encode_quads,
+    )
+    from hbase_rdf_spark.operators.materialize import TripleStore
+    from hbase_rdf_spark.plans.sparql import execute
+
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .filter(F.col("event_id") % 10 == 0)
+    )
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    dt_lit = F.concat(
+        F.lit('"'), iso,
+        F.lit('"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+    )
+    subj = F.concat(F.lit("ev:"), F.col("event_id").cast("string"))
+    resolved = ev.select(
+        F.lit("evkg").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        subj.alias("subj"),
+        F.lit("at").alias("pred"),
+        dt_lit.alias("obj"),
+        F.lit(1).alias("obj_kind"),
+    ).unionByName(
+        ev.select(
+            F.lit("evkg").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            subj.alias("subj"),
+            F.lit("etype").alias("pred"),
+            F.col("event_type").alias("obj"),
+            F.lit(0).alias("obj_kind"),
+        )
+    )
+    st = TripleStore(
+        spark, tempfile.mkdtemp(prefix="dtgate_"), num_partitions=4
+    )
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "dtgate")
+    st.write_indexes(encode_quads(resolved), "dtgate")
+    return execute(st, """
+        SELECT ?d (COUNT(*) AS ?n) (MAX(?h) AS ?maxh) WHERE {
+          ?e <at> ?t . ?e <etype> <error> .
+          FILTER(YEAR(?t) = 2024 && MONTH(?t) <= 6
+                 && DAY(?t) >= 8 && DAY(?t) <= 23)
+          BIND(DAY(?t) AS ?d) BIND(HOURS(?t) AS ?h)
+        } GROUP BY ?d
+    """)
+
+
 def _q_sparql_optional_group(spark, sf):
     # multi-pattern OPTIONAL evaluated as a UNIT: ?z/?w bind together or
     # not at all (SPARQL LeftJoin / ARQ OpConditional — J11)
@@ -1792,7 +1850,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Mid-round-4 rotation: kg_sparql_update (new SPARQL 1.1 Update
     # surface, plans/update.py) takes a window seat;
     # rel_pricing_summary (green r1+r2+r3, plain-DataFrame ops
-    # untouched) rotates out to block D.
+    # untouched) rotates out to block D. Second mid-round rotation:
+    # the seven remaining NEW round-4 gates (kg_sparql_datetime
+    # §17.4.5 accessors; bind_join/term_eq — compat-join quadrant
+    # decomposition; agg_expr/agg_distinct — aggregate expression
+    # arguments; exists_label — correlated label-space EXISTS;
+    # describe) all exercise planner code that CHANGED this round, so
+    # they take window seats ahead of rows whose code is untouched
+    # since their last green verdict: rel_rollup_revenue,
+    # rel_shipping_priority, events_percentiles,
+    # events_approx_sketches, sample_mixture, text_fingerprint,
+    # pack_context_windows (each driver-green r3, none of
+    # ops/sampling|text|packing|sketch or the relational pipelines
+    # modified in round 4) rotate out to block D.
     return {
         # -- block A: driver-unverified in round 2 ------------------------
         "kg_sparql_union_bind": _q_sparql_union_bind,
@@ -1811,20 +1881,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
         "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
-        "rel_rollup_revenue": _q_rel_rollup_revenue,
-        "events_percentiles": _q_events_percentiles,
         "rel_brand_revenue": _q_rel_brand_revenue,
-        "rel_shipping_priority": _q_rel_shipping_priority,
         "rel_region_revenue": _q_rel_region_revenue,
-        "events_approx_sketches": _q_approx_sketches,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "pack_context_windows": _q_pack_windows,
-        "sample_mixture": _q_sample_mixture,
         "dedup_simhash": _q_simhash,
-        "text_fingerprint": _q_fingerprint,
         # -- block B: new round-3 gates -----------------------------------
         "kg_sparql_from_named": _q_sparql_from_named,
         "mm_image_features": _q_mm_image_features,
@@ -1847,6 +1910,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_order_expr": _q_sparql_order_expr,
         "kg_sparql_service": _q_sparql_service,
         "kg_sparql_update": _q_sparql_update,
+        "kg_sparql_datetime": _q_sparql_datetime,
+        "kg_sparql_bind_join": _q_sparql_bind_join,
+        "kg_sparql_term_eq": _q_sparql_term_eq,
+        "kg_sparql_agg_expr": _q_sparql_agg_expr,
+        "kg_sparql_agg_distinct": _q_sparql_agg_distinct,
+        "kg_sparql_exists_label": _q_sparql_exists_label,
+        "kg_sparql_describe": _q_sparql_describe,
         # -- block D: outside the window. Most rows were driver-green in
         # an earlier round (text_pii_redact and sample_stratified
         # rotated out green-r3 to seat the new hash/IRI/STRLANG/sameTerm
@@ -1860,17 +1930,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_entry.py, which scores ALL entries.
         "kg_path_alt": _q_path_alt,
         "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_rollup_revenue": _q_rel_rollup_revenue,
+        "rel_shipping_priority": _q_rel_shipping_priority,
+        "events_percentiles": _q_events_percentiles,
+        "events_approx_sketches": _q_approx_sketches,
+        "sample_mixture": _q_sample_mixture,
+        "text_fingerprint": _q_fingerprint,
+        "pack_context_windows": _q_pack_windows,
         "text_pii_redact": _q_pii_redact,
         "sample_stratified": _q_sample_stratified,
         "sample_shards": _q_sample_shards,
         "ann_ivf_topk": _q_ann_ivf,
         "sample_fraction": _q_sample_fraction,
-        "kg_sparql_exists_label": _q_sparql_exists_label,
-        "kg_sparql_describe": _q_sparql_describe,
-        "kg_sparql_bind_join": _q_sparql_bind_join,
-        "kg_sparql_term_eq": _q_sparql_term_eq,
-        "kg_sparql_agg_expr": _q_sparql_agg_expr,
-        "kg_sparql_agg_distinct": _q_sparql_agg_distinct,
         "kg_extract_svo": _q_extract,
         "kg_dictionary": _q_dictionary,
         "kg_encode_triples": _q_encode,
@@ -2589,6 +2660,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p, CAST(count(*) AS BIGINT) AS n
             FROM final GROUP BY p""",
+        # engine renders computed numerics (BIND/group keys) as double
+        # lexical strings and MAX over a numeric var as double — the
+        # oracle casts to match (same convention as kg_sparql_order_expr)
+        "kg_sparql_datetime": """
+            SELECT CAST(CAST(day(ts) AS DOUBLE) AS VARCHAR) AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(hour(ts)) AS DOUBLE) AS maxh
+            FROM events
+            WHERE event_id % 10 = 0 AND event_type = 'error'
+              AND year(ts) = 2024 AND month(ts) <= 6
+              AND day(ts) BETWEEN 8 AND 23
+            GROUP BY d""",
         "kg_sparql_having": f"""{_TRIPLES_CTE}
             SELECT s FROM triples WHERE p = 'merge'
             GROUP BY s HAVING COUNT(o) > 2""",

@@ -242,6 +242,75 @@ class StrLenCmp(FilterExpr):
         return _NUM_CMP[self.op](n, self.value)
 
 
+#: ISO-8601 component extraction from an xsd:dateTime/xsd:date lexical
+#: form (SPARQL 1.1 §17.4.5). Pure JVM regex over the stripped label —
+#: no timestamp parsing, so timezone suffixes pass through untouched
+#: and a non-dateTime operand extracts '' → NULL → type error (row
+#: dropped in FILTER, unbound in BIND), per the spec's error rules.
+DT_PART_RX = {
+    "year": r"^(-?\d{4,})-\d{2}-\d{2}",
+    "month": r"^-?\d{4,}-(\d{2})-\d{2}",
+    "day": r"^-?\d{4,}-\d{2}-(\d{2})",
+    "hours": r"^-?\d{4,}-\d{2}-\d{2}T(\d{2}):",
+    "minutes": r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:(\d{2})",
+    "seconds": r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:(\d{2}(?:\.\d+)?)",
+}
+
+
+def dt_part(lex: Column, part: str) -> Column:
+    """Numeric dateTime component of a lexical column (NULL = error)."""
+    return F.regexp_extract(lex, DT_PART_RX[part], 1).try_cast("double")
+
+
+def tz_part(lex: Column) -> Column:
+    """``TZ()`` §17.4.5.8: 'Z' / '+05:30' / '' when no timezone; NULL
+    (type error) when the operand is not a date/dateTime lexical."""
+    return F.when(
+        lex.rlike(r"^-?\d{4,}-\d{2}-\d{2}"),
+        F.regexp_extract(lex, r"(Z|[+-]\d{2}:\d{2})$", 1),
+    )
+
+
+@dataclass
+class DtPartCmp(FilterExpr):
+    """``YEAR(?v) op n`` (and MONTH/DAY/HOURS/MINUTES/SECONDS) — label
+    space, ISO component of the stripped lexical form."""
+
+    var: str
+    part: str
+    op: str
+    value: float
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        c = dt_part(str_value(self.var[1:]), self.part)
+        return _NUM_CMP[self.op](c, self.value)
+
+
+@dataclass
+class TzEq(FilterExpr):
+    """``TZ(?v) = "Z"`` (or !=) — exact timezone-string comparison."""
+
+    var: str
+    op: str  # '=' | '!='
+    tag: str
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        c = tz_part(str_value(self.var[1:]))
+        return (c == self.tag) if self.op == "=" else (c != self.tag)
+
+
 @dataclass
 class LangEq(FilterExpr):
     """``lang(?v) = "tag"`` (or !=) — exact tag comparison (use

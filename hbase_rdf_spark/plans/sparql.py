@@ -140,6 +140,7 @@ from hbase_rdf_spark.plans.filters import (
     And,
     Bound,
     DatatypeEq,
+    DtPartCmp,
     FilterExpr,
     LangEq,
     LangMatch,
@@ -147,6 +148,7 @@ from hbase_rdf_spark.plans.filters import (
     Or,
     Regex,
     StrCmp,
+    TzEq,
     StrLenCmp,
     StrPred,
     TypeTest,
@@ -371,7 +373,11 @@ _BIND_FN_NAMES = (
     "abs", "ceil", "floor", "round", "coalesce", "if",
     "md5", "sha1", "sha256", "sha384", "sha512",
     "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang",
+    "year", "month", "day", "hours", "minutes", "seconds", "tz",
 )
+
+#: numeric dateTime component accessors (SPARQL 1.1 §17.4.5)
+_DT_NUM_FNS = ("year", "month", "day", "hours", "minutes", "seconds")
 
 
 def _expr_vars(expr) -> set[str]:
@@ -1618,10 +1624,8 @@ class _Parser:
         # these from stock ARQ — sail/HBaseQueryVisitor.java:289-313)
         low = (self.peek() or "").lower()
         if (
-            low in ("strlen", "lang", "datatype")
-            and self.i + 1 < len(self.t)
-            and self.t[self.i + 1] == "("
-        ):
+            low in ("strlen", "lang", "datatype", "tz") or low in _DT_NUM_FNS
+        ) and self.i + 1 < len(self.t) and self.t[self.i + 1] == "(":
             self.next()
             self.expect("(")
             v = self.next()
@@ -1631,15 +1635,21 @@ class _Parser:
             op = self.next()
             if op not in self._FLIP:
                 raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
-            if low == "strlen":
+            if low == "strlen" or low in _DT_NUM_FNS:
                 rhs = self.term()
                 if not isinstance(rhs, (int, float)):
-                    raise SparqlSyntaxError("STRLEN comparison needs a number")
-                return StrLenCmp(v, op, float(rhs))
+                    raise SparqlSyntaxError(
+                        f"{low.upper()} comparison needs a number"
+                    )
+                if low == "strlen":
+                    return StrLenCmp(v, op, float(rhs))
+                return DtPartCmp(v, low, op, float(rhs))
             if op not in ("=", "!="):
                 raise SparqlSyntaxError(f"{low}() supports = / != only")
             if low == "lang":
                 return LangEq(v, op, self._string_arg())
+            if low == "tz":
+                return TzEq(v, op, self._string_arg())
             rhs = self.term()
             if not isinstance(rhs, str) or rhs.startswith("?"):
                 raise SparqlSyntaxError("datatype() comparison needs an IRI")
@@ -2274,7 +2284,7 @@ _STR_FUNCS = (
     "str", "concat", "ucase", "lcase",
     "substr", "replace", "strbefore", "strafter",
     "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
-    "lang",
+    "lang", "tz",
 )
 
 #: expressions that construct a NON-plain-string term (IRI / typed or
@@ -2310,6 +2320,10 @@ def _bind_num_col(expr: tuple):
             F.when(c, _bind_num_col(expr[2]))
             .when(~c, _bind_num_col(expr[3]))
         )
+    if tag in _DT_NUM_FNS:
+        from hbase_rdf_spark.plans.filters import dt_part
+
+        return dt_part(_bind_str_col(expr[1]), tag)
     if tag == "const" or tag in _STR_FUNCS or tag in _TERM_CTORS:
         raise SparqlSyntaxError(
             "string-valued expression inside BIND arithmetic"
@@ -2386,6 +2400,10 @@ def _bind_str_col(expr: tuple):
         return F.when(
             raw.rlike(_LANG_RX), F.regexp_extract(raw, _LANG_RX, 1)
         ).otherwise(F.lit(""))
+    if tag == "tz":
+        from hbase_rdf_spark.plans.filters import tz_part
+
+        return tz_part(_bind_str_col(expr[1]))
     if tag in ("md5", "sha1", "sha256", "sha384", "sha512"):
         c = _bind_str_col(expr[1])
         if tag == "md5":

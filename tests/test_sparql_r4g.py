@@ -1,0 +1,134 @@
+"""Round-4 datetime builtins: YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ
+(SPARQL 1.1 §17.4.5) over xsd:dateTime / xsd:date literals.
+
+The reference inherits these from stock ARQ's XSDFuncOp datetime
+accessors (SURVEY J12 — sail/HBaseQueryVisitor.java filter re-eval
+path). Here the lexical form stored for non-numeric typed literals
+('"2024-03-05T10:11:12Z"^^<…dateTime>') is component-extracted with
+JVM regexes (plans/filters.py DT_PART_RX) — no timestamp parsing, no
+timezone normalization, so values round-trip exactly and a
+non-dateTime operand is a type error (NULL → unbound / row dropped).
+"""
+
+import pytest
+
+from hbase_rdf_spark.functions.encoding import build_dictionaries, encode_quads
+from hbase_rdf_spark.operators.materialize import TripleStore
+from hbase_rdf_spark.plans.sparql import SparqlSyntaxError, execute
+from hbase_rdf_spark.sources.ntriples import parse_lines, quads
+
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD_D = "http://www.w3.org/2001/XMLSchema#date"
+
+NQ = [
+    f'<http://ex/a> <http://ex/at> "2024-03-05T10:11:12Z"^^<{XSD_DT}> .',
+    f'<http://ex/b> <http://ex/at> "2023-12-31T23:59:59.25+05:30"^^<{XSD_DT}> .',
+    f'<http://ex/c> <http://ex/at> "2024-07-01T00:00:00"^^<{XSD_DT}> .',
+    f'<http://ex/d> <http://ex/born> "1999-01-15"^^<{XSD_D}> .',
+    '<http://ex/e> <http://ex/at> "not a date" .',
+    '<http://ex/a> <http://ex/name> "Ann" .',
+]
+
+A, B, C, D = (f"http://ex/{x}" for x in "abcd")
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dtstore"))
+    lines = spark.createDataFrame([(l,) for l in NQ], "value string")
+    resolved = quads(parse_lines(lines))
+    st = TripleStore(spark, root, num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "nq")
+    st.write_indexes(encode_quads(resolved), "nq")
+    return st
+
+
+def rows(store, q):
+    return {tuple(r) for r in execute(store, q).collect()}
+
+
+def test_bind_year_month_day(store):
+    got = rows(store, """
+        SELECT ?s ?y ?m ?d WHERE {
+          ?s <http://ex/at> ?t .
+          BIND(YEAR(?t) AS ?y) BIND(MONTH(?t) AS ?m) BIND(DAY(?t) AS ?d)
+        }""")
+    # computed numerics render through the engine's lexical
+    # materializer (plans/bgp.py materialize) as double strings
+    assert (A, "2024.0", "3.0", "5.0") in got
+    assert (B, "2023.0", "12.0", "31.0") in got
+    # the non-dateTime literal yields unbound accessors (type error)
+    assert ("http://ex/e", None, None, None) in got
+
+
+def test_bind_time_components_and_fraction(store):
+    got = rows(store, """
+        SELECT ?s ?h ?mi ?sec WHERE {
+          ?s <http://ex/at> ?t .
+          BIND(HOURS(?t) AS ?h) BIND(MINUTES(?t) AS ?mi)
+          BIND(SECONDS(?t) AS ?sec)
+        }""")
+    assert (A, "10.0", "11.0", "12.0") in got
+    b = next(r for r in got if r[0] == B)
+    assert b[1:] == ("23.0", "59.0", "59.25")
+
+
+def test_date_literal_has_date_parts_only(store):
+    got = rows(store, """
+        SELECT ?y ?h WHERE {
+          <http://ex/d> <http://ex/born> ?t .
+          BIND(YEAR(?t) AS ?y) BIND(HOURS(?t) AS ?h)
+        }""")
+    assert got == {("1999.0", None)}
+
+
+def test_tz_bind_and_filter(store):
+    got = rows(store, """
+        SELECT ?s ?z WHERE {
+          ?s <http://ex/at> ?t . BIND(TZ(?t) AS ?z)
+        }""")
+    assert (A, "Z") in got and (B, "+05:30") in got and (C, "") in got
+    # TZ of a non-dateTime is an error → unbound
+    assert ("http://ex/e", None) in got
+    z = rows(store, """
+        SELECT ?s WHERE {
+          ?s <http://ex/at> ?t . FILTER(TZ(?t) = "Z")
+        }""")
+    assert z == {(A,)}
+
+
+def test_filter_year_comparison_and_boolean_combo(store):
+    got = rows(store, """
+        SELECT ?s WHERE {
+          ?s <http://ex/at> ?t . FILTER(YEAR(?t) = 2024)
+        }""")
+    assert got == {(A,), (C,)}
+    got = rows(store, """
+        SELECT ?s WHERE {
+          ?s <http://ex/at> ?t .
+          FILTER(YEAR(?t) = 2024 && MONTH(?t) < 6)
+        }""")
+    assert got == {(A,)}
+
+
+def test_order_by_datetime_expression(store):
+    got = [r["s"] for r in execute(store, """
+        SELECT ?s WHERE { ?s <http://ex/at> ?t . FILTER(YEAR(?t) > 0) }
+        ORDER BY MONTH(?t) ?s
+    """).collect()]
+    assert got == [A, C, B]
+
+
+def test_if_condition_with_datetime(store):
+    got = rows(store, """
+        SELECT ?s ?half WHERE {
+          ?s <http://ex/at> ?t .
+          BIND(IF(MONTH(?t) <= 6, "H1", "H2") AS ?half)
+        }""")
+    assert (A, "H1") in got and (C, "H2") in got and (B, "H2") in got
+
+
+def test_rejections(store):
+    with pytest.raises(SparqlSyntaxError):
+        execute(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
