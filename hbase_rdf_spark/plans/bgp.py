@@ -796,12 +796,23 @@ def _compat_pairs(
 
 
 def _apply_filter(store, df: DataFrame, f) -> DataFrame:
-    lv = sorted(f.label_vars())
-    if lv:
-        df = _attach_filter_labels(store, df, lv)
+    return _apply_filters(store, df, [f])
+
+
+def _apply_filters(store, df: DataFrame, fs: list) -> DataFrame:
+    """Apply a batch of filters with ONE id2term label join per
+    variable, shared across every filter in the batch that reads that
+    variable's label. The per-filter attach/drop cycle re-joined the
+    dictionary once PER FILTER — four conjuncts over the same ?t
+    lexical (YEAR/MONTH/DAY range splits) cost four identical
+    broadcast joins; batched they cost one."""
+    lv = sorted(set().union(*(f.label_vars() for f in fs))) if fs else []
+    attach = [n for n in lv if f"__{n}_flbl" not in df.columns]
+    if attach:
+        df = _attach_filter_labels(store, df, attach)
+    for f in fs:
         df = df.filter(f.cond())
-        return df.drop(*[f"__{n}_flbl" for n in lv])
-    return df.filter(f.cond())
+    return df.drop(*[f"__{n}_flbl" for n in attach]) if attach else df
 
 
 # ---------------------------------------------------------------------------
@@ -856,8 +867,7 @@ def _block_result(store, blk: OptionalBlock, dedup: bool) -> DataFrame:
             "OPTIONAL block has BINDs but no bind_fn was attached — "
             "execute it through plans.sparql.execute()"
         )
-    for f in post:
-        step = _apply_filter(store, step, f)
+    step = _apply_filters(store, step, list(post))
     return step
 
 
@@ -938,9 +948,11 @@ def execute_bgp(
             result = _apply_filter(store, result, f)
             pending.remove(f)
     assert result is not None, "empty BGP"
-    # label-space filters once the required bindings are complete
-    for f in _ready(result, label_space=True):
-        result = _apply_filter(store, result, f)
+    # label-space filters once the required bindings are complete —
+    # batched so conjuncts over the same var share one dictionary join
+    ready = _ready(result, label_space=True)
+    result = _apply_filters(store, result, ready)
+    for f in ready:
         pending.remove(f)
     # vars that can be NULL on the result side after an earlier
     # optional block (its extension is all-NULL on unmatched rows) —
@@ -996,8 +1008,9 @@ def execute_bgp(
     # filters whose vars only bind via optional blocks: SPARQL evaluates
     # them on the merged solution (unbound → type error → row dropped,
     # which SQL NULL comparison semantics reproduce exactly)
-    for f in _ready(result, label_space=True):
-        result = _apply_filter(store, result, f)
+    ready = _ready(result, label_space=True)
+    result = _apply_filters(store, result, ready)
+    for f in ready:
         pending.remove(f)
     if pending:
         missing = sorted(set().union(*(f.vars() for f in pending)) - set(result.columns))

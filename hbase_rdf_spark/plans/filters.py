@@ -271,6 +271,31 @@ def tz_part(lex: Column) -> Column:
     )
 
 
+def timezone_duration(lex: Column) -> Column:
+    """``TIMEZONE()`` §17.4.5.7: the operand's timezone as an
+    xsd:dayTimeDuration lexical — 'PT0S' for Z/+00:00, 'PT5H30M',
+    '-PT8H'. NULL (type error) when the operand has NO timezone or is
+    not a date/dateTime lexical (the spec raises where TZ() returns
+    '')."""
+    tz = tz_part(lex)
+    h = F.regexp_extract(tz, r"^[+-](\d{2}):", 1).try_cast("int")
+    m = F.regexp_extract(tz, r":(\d{2})$", 1).try_cast("int")
+    body = F.concat(
+        F.when(
+            tz.startswith("-") & ((h > 0) | (m > 0)), F.lit("-")
+        ).otherwise(F.lit("")),
+        F.lit("PT"),
+        F.when(h > 0, F.concat(h.cast("string"), F.lit("H"))).otherwise(
+            F.lit("")
+        ),
+        F.when(m > 0, F.concat(m.cast("string"), F.lit("M"))).otherwise(
+            F.lit("")
+        ),
+        F.when((h == 0) & (m == 0), F.lit("0S")).otherwise(F.lit("")),
+    )
+    return F.when(tz == "Z", F.lit("PT0S")).when(tz != "", body)
+
+
 @dataclass
 class DtPartCmp(FilterExpr):
     """``YEAR(?v) op n`` (and MONTH/DAY/HOURS/MINUTES/SECONDS) — label

@@ -374,6 +374,7 @@ _BIND_FN_NAMES = (
     "md5", "sha1", "sha256", "sha384", "sha512",
     "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang",
     "year", "month", "day", "hours", "minutes", "seconds", "tz",
+    "timezone",
 )
 
 #: numeric dateTime component accessors (SPARQL 1.1 §17.4.5)
@@ -2288,8 +2289,10 @@ _STR_FUNCS = (
 )
 
 #: expressions that construct a NON-plain-string term (IRI / typed or
-#: tagged literal) — term-valued like COALESCE/IF, not _STR_FUNCS
-_TERM_CTORS = ("iri", "strdt", "strlang")
+#: tagged literal) — term-valued like COALESCE/IF, not _STR_FUNCS.
+#: TIMEZONE() constructs an xsd:dayTimeDuration typed literal
+#: (§17.4.5.7), unlike plain-string TZ().
+_TERM_CTORS = ("iri", "strdt", "strlang", "timezone")
 
 
 def _bind_num_col(expr: tuple):
@@ -2404,6 +2407,11 @@ def _bind_str_col(expr: tuple):
         from hbase_rdf_spark.plans.filters import tz_part
 
         return tz_part(_bind_str_col(expr[1]))
+    if tag == "timezone":
+        # STR(TIMEZONE(?t)) — the duration lexical without the type
+        from hbase_rdf_spark.plans.filters import timezone_duration
+
+        return timezone_duration(_bind_str_col(expr[1]))
     if tag in ("md5", "sha1", "sha256", "sha384", "sha512"):
         c = _bind_str_col(expr[1])
         if tag == "md5":
@@ -2599,6 +2607,27 @@ def _bind_term_value(expr: tuple, columns: list[str]):
             ),
             lex,
         )
+    if tag == "timezone":
+        # §17.4.5.7 — an xsd:dayTimeDuration typed literal (NULL =
+        # no timezone / not a dateTime → type error → unbound)
+        from hbase_rdf_spark.plans.filters import timezone_duration
+
+        dur = timezone_duration(_bind_str_col(expr[1]))
+        full = F.concat(
+            F.lit('"'), dur,
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#dayTimeDuration>'),
+        )
+        return (
+            F.when(
+                full.isNotNull(),
+                _binding_struct(
+                    F.lit(1),
+                    F.xxhash64(F.lit(1).cast("int"), full),
+                    F.lit(None),
+                ),
+            ),
+            full,
+        )
     if tag in ("strdt", "strlang"):
         from hbase_rdf_spark.sources.ntriples import NUMERIC_DATATYPES
 
@@ -2656,12 +2685,18 @@ def _apply_binds(
     struct (unbound), matching OPTIONAL's null-extension."""
     from hbase_rdf_spark.plans.bgp import _binding_struct
 
+    # label columns attached for ANY bind in this batch are dropped
+    # once at the end: two BINDs reading the same var's label (e.g.
+    # DAY(?t) and HOURS(?t)) share one id2term join instead of
+    # re-joining the dictionary per BIND
+    all_attached: list[str] = []
     for b in binds:
         expr = b.expr
         lvars = sorted(_bind_label_vars(expr))
         # a VALUES/BIND-produced var may be dictionary-absent: its vlex
         # sidecar IS the label (_attach_any_labels prefers it)
         result, attached = _attach_any_labels(result, store, lvars)
+        all_attached += attached
         if expr[0] in _STR_FUNCS:
             lex = _bind_str_col(expr)
             result = result.withColumn(
@@ -2675,8 +2710,6 @@ def _apply_binds(
                     ),
                 ),
             ).withColumn(f"__{b.var}_vlex", lex)
-            if attached:
-                result = result.drop(*attached)
             continue
         if expr[0] in ("coalesce", "if") or expr[0] in _TERM_CTORS:
             # term-valued: COALESCE/IF return their argument's VALUE
@@ -2718,8 +2751,8 @@ def _apply_binds(
                     _binding_struct(F.lit(2), F.lit(None), num),
                 ),
             )
-        if attached:  # strlen-in-arithmetic labels, no longer needed
-            result = result.drop(*attached)
+    if all_attached:  # strlen-in-arithmetic labels, no longer needed
+        result = result.drop(*all_attached)
     return result
 
 

@@ -129,6 +129,29 @@ def test_if_condition_with_datetime(store):
     assert (A, "H1") in got and (C, "H2") in got and (B, "H2") in got
 
 
+def test_timezone_duration_literal(store):
+    # §17.4.5.7: TIMEZONE() is an xsd:dayTimeDuration TYPED literal
+    # ('PT0S' for Z); absent timezone is an ERROR (unlike TZ()'s ''),
+    # as is a non-dateTime operand
+    dt = "http://www.w3.org/2001/XMLSchema#dayTimeDuration"
+    got = rows(store, """
+        SELECT ?s ?z WHERE {
+          ?s <http://ex/at> ?t . BIND(TIMEZONE(?t) AS ?z)
+        }""")
+    assert (A, f'"PT0S"^^<{dt}>') in got
+    assert (B, f'"PT5H30M"^^<{dt}>') in got
+    assert (C, None) in got
+    assert ("http://ex/e", None) in got
+
+
+def test_str_of_timezone_is_plain_duration(store):
+    got = rows(store, """
+        SELECT ?s ?zs WHERE {
+          ?s <http://ex/at> ?t . BIND(STR(TIMEZONE(?t)) AS ?zs)
+        }""")
+    assert (A, "PT0S") in got and (B, "PT5H30M") in got
+
+
 def test_rejections(store):
     with pytest.raises(SparqlSyntaxError):
         execute(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
