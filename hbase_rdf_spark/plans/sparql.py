@@ -374,8 +374,14 @@ _BIND_FN_NAMES = (
     "md5", "sha1", "sha256", "sha384", "sha512",
     "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang",
     "year", "month", "day", "hours", "minutes", "seconds", "tz",
-    "timezone",
+    "timezone", "now", "rand", "uuid", "struuid",
 )
+
+#: zero-argument builtins (SPARQL 1.1 §17.4.1.4/.5, §17.4.4.1/.2,
+#: §17.4.5.1). NOW() is captured once per query parse (every call in
+#: one execution sees the same instant, per spec); RAND/UUID/STRUUID
+#: are per-row nondeterministic by definition.
+_NOARG_FNS = ("now", "rand", "uuid", "struuid")
 
 #: numeric dateTime component accessors (SPARQL 1.1 §17.4.5)
 _DT_NUM_FNS = ("year", "month", "day", "hours", "minutes", "seconds")
@@ -1316,6 +1322,21 @@ class _Parser:
         ):
             self.next()
             self.expect("(")
+            if low in _NOARG_FNS:
+                self.expect(")")
+                if low == "now":
+                    # one instant per query parse — every NOW() in
+                    # this execution returns the same value (§17.4.5.1)
+                    if getattr(self, "_now_lex", None) is None:
+                        from datetime import datetime, timezone
+
+                        self._now_lex = (
+                            datetime.now(timezone.utc)
+                            .strftime("%Y-%m-%dT%H:%M:%S.%f")
+                            + "Z"
+                        )
+                    return ("now", self._now_lex)
+                return (low,)
             if low in ("concat", "coalesce"):
                 args = [self._bind_expr()]
                 while self.peek() == ",":
@@ -2285,14 +2306,15 @@ _STR_FUNCS = (
     "str", "concat", "ucase", "lcase",
     "substr", "replace", "strbefore", "strafter",
     "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
-    "lang", "tz",
+    "lang", "tz", "struuid",
 )
 
 #: expressions that construct a NON-plain-string term (IRI / typed or
 #: tagged literal) — term-valued like COALESCE/IF, not _STR_FUNCS.
 #: TIMEZONE() constructs an xsd:dayTimeDuration typed literal
-#: (§17.4.5.7), unlike plain-string TZ().
-_TERM_CTORS = ("iri", "strdt", "strlang", "timezone")
+#: (§17.4.5.7), unlike plain-string TZ(); NOW() an xsd:dateTime,
+#: UUID() a urn:uuid IRI.
+_TERM_CTORS = ("iri", "strdt", "strlang", "timezone", "now", "uuid")
 
 
 def _bind_num_col(expr: tuple):
@@ -2303,6 +2325,9 @@ def _bind_num_col(expr: tuple):
         return F.col(expr[1][1:]).getField("num")
     if tag == "num":
         return F.lit(expr[1])
+    if tag == "rand":
+        # §17.4.4.1 — per-row xsd:double in [0, 1), JVM-side
+        return F.rand()
     if tag == "strlen":
         return F.length(_bind_str_col(expr[1])).cast("double")
     if tag == "nfunc":
@@ -2412,6 +2437,13 @@ def _bind_str_col(expr: tuple):
         from hbase_rdf_spark.plans.filters import timezone_duration
 
         return timezone_duration(_bind_str_col(expr[1]))
+    if tag == "struuid":
+        # §17.4.4.3 — one fresh UUID string per solution, JVM-side
+        return F.expr("uuid()")
+    if tag == "now":
+        return F.lit(expr[1])
+    if tag == "uuid":
+        return F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
     if tag in ("md5", "sha1", "sha256", "sha384", "sha512"):
         c = _bind_str_col(expr[1])
         if tag == "md5":
@@ -2446,7 +2478,7 @@ def _bind_label_vars(expr: tuple) -> set[str]:
     """Vars (no '?') whose LABEL the expression reads — through a
     string-context subtree or an IF condition's label-space filter."""
     tag = expr[0]
-    if tag in ("num", "const"):
+    if tag in ("num", "const") or tag in _NOARG_FNS:
         return set()
     if tag == "var":
         return set()  # only counts when reached through a string node
@@ -2604,6 +2636,31 @@ def _bind_term_value(expr: tuple, columns: list[str]):
                     F.xxhash64(F.lit(0).cast("int"), lex),
                     F.lit(None),
                 ),
+            ),
+            lex,
+        )
+    if tag == "now":
+        # §17.4.5.1 — xsd:dateTime of the query execution instant
+        # (lexical captured once at parse time, shared by every NOW()
+        # in the query)
+        full = (
+            '"' + expr[1]
+            + '"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+        )
+        return (
+            _binding_struct(
+                F.lit(1),
+                F.xxhash64(F.lit(1).cast("int"), F.lit(full)),
+                F.lit(None),
+            ),
+            F.lit(full),
+        )
+    if tag == "uuid":
+        # §17.4.4.2 — a fresh urn:uuid IRI per solution
+        lex = F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+        return (
+            _binding_struct(
+                F.lit(0), F.xxhash64(F.lit(0).cast("int"), lex), F.lit(None)
             ),
             lex,
         )

@@ -152,6 +152,42 @@ def test_str_of_timezone_is_plain_duration(store):
     assert (A, "PT0S") in got and (B, "PT5H30M") in got
 
 
+def test_now_uuid_struuid_rand(store):
+    # §17.4.1.4/§17.4.4: NOW() one instant per query (xsd:dateTime
+    # typed literal, every row identical), UUID() fresh urn:uuid IRIs,
+    # STRUUID() fresh plain strings, RAND() xsd:double in [0,1)
+    import re
+
+    out = execute(store, """
+        SELECT ?s ?t ?u ?su ?r WHERE {
+          ?s <http://ex/at> ?x .
+          BIND(NOW() AS ?t) BIND(UUID() AS ?u)
+          BIND(STRUUID() AS ?su) BIND(RAND() AS ?r)
+        }""").collect()
+    assert len(out) == 4
+    ts = {r["t"] for r in out}
+    assert len(ts) == 1
+    assert re.match(
+        r'^"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d+Z"'
+        r"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$",
+        next(iter(ts)),
+    )
+    assert all(r["u"].startswith("urn:uuid:") for r in out)
+    assert len({r["u"] for r in out}) == 4
+    assert len({r["su"] for r in out}) == 4
+    assert all(0.0 <= float(r["r"]) < 1.0 for r in out)
+
+
+def test_year_of_now_filters(store):
+    # the datetime accessors compose with NOW()'s vlex sidecar
+    got = rows(store, """
+        SELECT ?s WHERE {
+          ?s <http://ex/at> ?t2 . BIND(NOW() AS ?t)
+          FILTER(YEAR(?t) >= 2026)
+        }""")
+    assert len(got) == 4
+
+
 def test_rejections(store):
     with pytest.raises(SparqlSyntaxError):
         execute(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
