@@ -383,6 +383,23 @@ _BIND_FN_NAMES = (
 #: are per-row nondeterministic by definition.
 _NOARG_FNS = ("now", "rand", "uuid", "struuid")
 
+#: XSD constructor-cast targets (SPARQL 1.1 §17.5 — XPath casting,
+#: inherited by the reference via ARQ). Numeric + boolean targets
+#: produce kind-2 numeric values (booleans inline as 1.0/0.0 exactly
+#: like sources/ntriples.py stores them); xsd:string rewrites to
+#: STR(); xsd:dateTime/date rewrite to STRDT() (the stored typed-
+#: literal form). Integer-family casts truncate numeric sources
+#: toward zero and ERROR (NULL → unbound) on non-integer lexicals,
+#: per XPath.
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+_CAST_INT_TYPES = frozenset(
+    "integer nonPositiveInteger negativeInteger long int short byte "
+    "nonNegativeInteger unsignedLong unsignedInt unsignedShort "
+    "unsignedByte positiveInteger".split()
+)
+_CAST_NUM_TYPES = _CAST_INT_TYPES | {"double", "float", "decimal"}
+_CAST_TYPES = _CAST_NUM_TYPES | {"boolean", "string", "dateTime", "date"}
+
 #: numeric dateTime component accessors (SPARQL 1.1 §17.4.5)
 _DT_NUM_FNS = ("year", "month", "day", "hours", "minutes", "seconds")
 
@@ -1408,6 +1425,30 @@ class _Parser:
             e = self._bind_expr()
             self.expect(")")
             return (low, e)
+        tok = self.peek()
+        if (
+            tok
+            and not tok.startswith(('"', "?", "_"))
+            and (":" in tok or tok.startswith("<"))
+            and self.t[self.i + 1 : self.i + 2] == ["("]
+        ):
+            # XSD constructor cast: xsd:integer(?x), <…#double>(?x), …
+            iri = tok[1:-1] if tok.startswith("<") else self._expand_pname(tok)
+            if iri.startswith(_XSD_NS) and iri[len(_XSD_NS):] in _CAST_TYPES:
+                local = iri[len(_XSD_NS):]
+                self.next()
+                self.expect("(")
+                e = self._bind_expr()
+                self.expect(")")
+                if local == "string":
+                    return ("str", e)
+                if local in ("dateTime", "date"):
+                    return ("strdt", e, iri)
+                return ("cast", local, e)
+            raise SparqlSyntaxError(
+                f"unsupported function call {tok!r} — only XSD "
+                "constructor casts are callable by IRI"
+            )
         t = self.term()
         if isinstance(t, str) and t.startswith("?"):
             return ("var", t)
@@ -2328,6 +2369,8 @@ def _bind_num_col(expr: tuple):
     if tag == "rand":
         # §17.4.4.1 — per-row xsd:double in [0, 1), JVM-side
         return F.rand()
+    if tag == "cast":
+        return _cast_num_col(expr)
     if tag == "strlen":
         return F.length(_bind_str_col(expr[1])).cast("double")
     if tag == "nfunc":
@@ -2364,6 +2407,67 @@ def _bind_num_col(expr: tuple):
         # explicit so the semantics don't depend on session config)
         return F.when(rc != 0, lc / rc)
     return {"+": lc + rc, "-": lc - rc, "*": lc * rc}[op]
+
+
+def _cast_num_col(expr: tuple):
+    """``('cast', local, arg)`` — XSD numeric/boolean constructor cast
+    (XPath casting rules, SPARQL 1.1 §17.5). Two source channels: the
+    argument's NUMERIC value (a kind-2 term or arithmetic result) and
+    its LEXICAL form (a string literal / string expression); whichever
+    is populated drives the cast. NULL result = casting error →
+    unbound."""
+    _, target, arg = expr
+    if arg[0] == "var":
+        from hbase_rdf_spark.plans.filters import str_value
+
+        v = arg[1][1:]
+        from_num = F.col(v).getField("num")
+        # lexical channel only for NON-numeric terms — str_value's
+        # num-as-string fallback must not re-enter the numeric channel
+        lex = F.when(from_num.isNull(), str_value(v))
+    elif arg[0] == "const" or arg[0] in _STR_FUNCS:
+        from_num = F.lit(None).cast("double")
+        lex = _bind_str_col(arg)
+    else:
+        from_num = _bind_num_col(arg)
+        lex = F.lit(None).cast("string")
+    if target == "boolean":
+        # numbers: 0 → false, anything else → true; lexical space:
+        # true/false/1/0 (XPath §19.1.2.2) — stored as 1.0 / 0.0,
+        # matching how sources/ntriples.py inlines xsd:boolean
+        return F.coalesce(
+            F.when(
+                from_num.isNotNull(),
+                F.when(from_num != 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ),
+            F.when(F.trim(lex).isin("true", "1"), F.lit(1.0)).when(
+                F.trim(lex).isin("false", "0"), F.lit(0.0)
+            ),
+        )
+    if target in _CAST_INT_TYPES:
+        # numeric source truncates toward zero; a non-integer lexical
+        # is a casting ERROR (try_cast → NULL), per XPath. Constrained
+        # derived types enforce their value ranges — out-of-range is
+        # an error, same rule the reference's TypedId encoders assert
+        # (id/TypedIdTestNumericals.java:91-104)
+        out = F.coalesce(
+            from_num.cast("long"), F.trim(lex).try_cast("long")
+        ).cast("double")
+        range_ok = {
+            "nonPositiveInteger": out <= 0,
+            "negativeInteger": out < 0,
+            "positiveInteger": out > 0,
+            **{
+                t: out >= 0
+                for t in (
+                    "nonNegativeInteger", "unsignedLong", "unsignedInt",
+                    "unsignedShort", "unsignedByte",
+                )
+            },
+        }
+        return F.when(range_ok[target], out) if target in range_ok else out
+    # double / float / decimal
+    return F.coalesce(from_num, F.trim(lex).try_cast("double"))
 
 
 def _bind_str_col(expr: tuple):
@@ -2511,6 +2615,10 @@ def _bind_label_vars(expr: tuple) -> set[str]:
         return out
     if tag in ("replace", "strbefore", "strafter"):
         return _str_ctx_vars(expr[1])
+    if tag == "cast":
+        # a var source may fall back to its lexical form (non-numeric
+        # term cast to a number) — the label must be attached
+        return _str_ctx_vars(expr[2])
     # str / ucase / lcase / strlen — child is in string context
     return _str_ctx_vars(expr[1])
 

@@ -191,3 +191,79 @@ def test_year_of_now_filters(store):
 def test_rejections(store):
     with pytest.raises(SparqlSyntaxError):
         execute(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
+
+
+XSD_PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+@pytest.fixture(scope="module")
+def cast_store(spark, tmp_path_factory):
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    nq = [
+        '<http://ex/a> <http://ex/v> "42" .',
+        '<http://ex/b> <http://ex/v> "3.7" .',
+        f'<http://ex/c> <http://ex/v> "-5"^^<{xsd}integer> .',
+        '<http://ex/d> <http://ex/v> "oops" .',
+        f'<http://ex/e> <http://ex/v> "2.9"^^<{xsd}double> .',
+        '<http://ex/f> <http://ex/v> "true" .',
+    ]
+    root = str(tmp_path_factory.mktemp("caststore"))
+    lines = spark.createDataFrame([(l,) for l in nq], "value string")
+    resolved = quads(parse_lines(lines))
+    st = TripleStore(spark, root, num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "nq")
+    st.write_indexes(encode_quads(resolved), "nq")
+    return st
+
+
+def test_xsd_casts_xpath_semantics(cast_store):
+    # §17.5 constructor casts: integer truncates numerics toward zero
+    # and ERRORS on non-integer lexicals; double parses lexicals;
+    # boolean accepts true/false/1/0 lexicals and num != 0; constrained
+    # derived types enforce ranges (reference TypedIdTestNumericals)
+    got = rows(cast_store, XSD_PFX + """
+        SELECT ?s ?i ?d ?b ?p WHERE {
+          ?s <http://ex/v> ?x .
+          BIND(xsd:integer(?x) AS ?i) BIND(xsd:double(?x) AS ?d)
+          BIND(xsd:boolean(?x) AS ?b)
+          BIND(xsd:positiveInteger(?x) AS ?p)
+        }""")
+    assert ("http://ex/a", "42.0", "42.0", None, "42.0") in got
+    assert ("http://ex/b", None, "3.7", None, None) in got
+    assert ("http://ex/c", "-5.0", "-5.0", "1.0", None) in got
+    assert ("http://ex/d", None, None, None, None) in got
+    assert ("http://ex/e", "2.0", "2.9", "1.0", "2.0") in got
+    assert ("http://ex/f", None, None, "1.0", None) in got
+
+
+def test_cast_composes_with_arithmetic_and_filter(cast_store):
+    got = rows(cast_store, XSD_PFX + """
+        SELECT ?s WHERE {
+          ?s <http://ex/v> ?x .
+          BIND(xsd:integer(?x) * 2 AS ?y) FILTER(?y >= 84)
+        }""")
+    assert got == {("http://ex/a",)}
+
+
+def test_xsd_string_and_datetime_casts(cast_store):
+    got = rows(cast_store, XSD_PFX + """
+        SELECT ?s ?str WHERE {
+          ?s <http://ex/v> ?x . BIND(xsd:string(?x) AS ?str)
+        }""")
+    assert ("http://ex/a", "42") in got and ("http://ex/d", "oops") in got
+    dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    got = rows(cast_store, XSD_PFX + """
+        SELECT ?t WHERE {
+          <http://ex/a> <http://ex/v> ?x .
+          BIND(xsd:dateTime("2024-03-05T10:11:12Z") AS ?t)
+        }""")
+    assert got == {(f'"2024-03-05T10:11:12Z"^^<{dt}>',)}
+
+
+def test_unknown_function_iri_rejected(cast_store):
+    with pytest.raises(SparqlSyntaxError):
+        execute(cast_store, XSD_PFX + """
+            SELECT ?s WHERE {
+              ?s <http://ex/v> ?x . BIND(xsd:gYear(?x) AS ?y)
+            }""")
