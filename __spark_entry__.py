@@ -1018,6 +1018,20 @@ def _q_sparql_exists_label(spark, sf):
         }""")
 
 
+def _q_sparql_cast(spark, sf):
+    # XSD constructor casts (SPARQL 1.1 §17.5, ARQ XSDFuncOp parity —
+    # SURVEY J12) end-to-end: xsd:integer() truncates an arithmetic
+    # source toward zero, xsd:boolean() zero-tests it, both grouped.
+    return _sparql(spark, sf, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?i (COUNT(*) AS ?n) (MIN(?b) AS ?minb) WHERE {
+          ?y <toklen> ?t .
+          BIND(xsd:integer(?t / 2) AS ?i)
+          BIND(xsd:boolean(?t - 4) AS ?b)
+        } GROUP BY ?i
+    """)
+
+
 def _q_sparql_describe(spark, sf):
     # DESCRIBE <iri>: every triple whose subject is the described
     # resource, as a deduplicated GRAPH — the reference's
@@ -1941,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window seats), everything re-checkable via
         # scripts/check_entry.py, which scores ALL entries.
         "kg_path_alt": _q_path_alt,
+        "kg_sparql_cast": _q_sparql_cast,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_rollup_revenue": _q_rel_rollup_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
@@ -2860,6 +2875,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(abs(length(o) - 4) AS DOUBLE) AS VARCHAR) AS d
             FROM triples
             WHERE s = 'spark' AND p = 'join' AND abs(length(o) - 4) <= 2""",
+        # toklen side-channel replays as length() over the distinct
+        # node set; integer-cast truncation = trunc(), boolean-cast
+        # zero-test = CASE; group key renders as a double string
+        "kg_sparql_cast": f"""{_TRIPLES_CTE}
+            , words AS (
+              SELECT DISTINCT w FROM (
+                SELECT s AS w FROM triples
+                UNION ALL SELECT o FROM triples
+              )
+            )
+            SELECT CAST(CAST(trunc(length(w) / 2.0) AS DOUBLE) AS VARCHAR)
+                     AS i,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN length(w) = 4 THEN 0.0 ELSE 1.0 END)
+                     AS DOUBLE) AS minb
+            FROM words GROUP BY i""",
         "kg_sparql_order_expr": f"""{_TRIPLES_CTE}
             SELECT o AS y,
                    CAST(CAST(length(o) AS DOUBLE) AS VARCHAR) AS n
