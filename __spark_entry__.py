@@ -944,6 +944,27 @@ def _q_sparql_having_expr(spark, sf):
                 (COUNT(DISTINCT ?o) = 2 && !(COUNT(?o) > 3)))""")
 
 
+def _q_sparql_group_expr(spark, sf):
+    # GROUP BY expression keys (SPARQL 1.1 grammar [19] GroupCondition
+    # — the reference inherits full GroupCondition from Sesame/ARQ,
+    # SURVEY SE2): the key expression desugars to a per-solution
+    # Extend and the distributed groupBy runs on its output. Key here:
+    # uppercase first letter of the subject word.
+    return _sparql(spark, sf, """
+        SELECT ?k (COUNT(?o) AS ?n) (COUNT(DISTINCT ?o) AS ?d)
+        WHERE { ?s <merge> ?o }
+        GROUP BY (UCASE(SUBSTR(?s, 1, 1)) AS ?k)""")
+
+
+def _q_sparql_path_count(spark, sf):
+    # ARQ counted path quantifier {n,m} (the reference inherits it via
+    # Jena's path grammar, SURVEY J9): p{2,3} = distinct 2-hop ∪ 3-hop
+    # pairs — a FIXED number of hash joins known at plan time, no
+    # fixpoint. Oracle: the same unions of self-joins in DuckDB.
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?x ?y WHERE { ?x <join>{2,3} ?y }""")
+
+
 def _q_sparql_path_optional(spark, sf):
     # property path INSIDE an OPTIONAL block (VERDICT r3 #3): the
     # closure pair set left-joins onto the required bindings — rows
@@ -1906,9 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_seq": _q_path_seq,
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
-        "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
         "rel_brand_revenue": _q_rel_brand_revenue,
-        "rel_region_revenue": _q_rel_region_revenue,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -1923,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having": _q_sparql_having,
         "kg_sparql_ask": _q_sparql_ask,
         "kg_sparql_having_expr": _q_sparql_having_expr,
+        "kg_sparql_group_expr": _q_sparql_group_expr,
+        "kg_sparql_path_count": _q_sparql_path_count,
         "kg_sparql_path_optional": _q_sparql_path_optional,
         "kg_sparql_graph_var_path": _q_sparql_graph_var_path,
         "stream_dedup": _q_stream_dedup,
@@ -1954,6 +1975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 4 (oracle-checked locally only — first in line for round-5
         # window seats), everything re-checkable via
         # scripts/check_entry.py, which scores ALL entries.
+        # third mid-round-4 rotation: kg_sparql_group_expr (GROUP BY
+        # expression keys) and kg_sparql_path_count (ARQ counted path
+        # quantifiers) — both planner code NEW this round — take
+        # window seats; rel_top_orders_per_cust and rel_region_revenue
+        # (each green r1+r2+r3, plain-DataFrame relational pipelines
+        # untouched in round 4) rotate out here.
+        "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
+        "rel_region_revenue": _q_rel_region_revenue,
         "kg_path_alt": _q_path_alt,
         "kg_sparql_cast": _q_sparql_cast,
         "rel_pricing_summary": _q_rel_pricing_summary,
@@ -2707,6 +2736,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s
             HAVING count(o) > 4
                 OR (count(DISTINCT o) = 2 AND NOT (count(o) > 3))""",
+        "kg_sparql_group_expr": f"""{_TRIPLES_CTE}
+            SELECT upper(s[1:1]) AS k,
+                   count(o) AS n,
+                   count(DISTINCT o) AS d
+            FROM triples WHERE p = 'merge'
+            GROUP BY upper(s[1:1])""",
+        "kg_sparql_path_count": f"""{_TRIPLES_CTE}
+            , e AS (
+              SELECT DISTINCT s, o FROM triples WHERE p = 'join'
+            ), h2 AS (
+              SELECT DISTINCT a.s AS x, b.o AS y
+              FROM e a JOIN e b ON a.o = b.s
+            ), h3 AS (
+              SELECT DISTINCT h2.x, e.o AS y
+              FROM h2 JOIN e ON h2.y = e.s
+            )
+            SELECT x, y FROM h2 UNION SELECT x, y FROM h3""",
         "kg_sparql_path_optional": f"""{
             _TRIPLES_CTE.replace("WITH", "WITH RECURSIVE", 1)}
             , ys AS (

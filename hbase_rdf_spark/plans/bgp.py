@@ -56,13 +56,14 @@ class Path:
     """A property-path expression tree (predicate position of a Bgp).
 
     op: 'atom' (single IRI), 'inv' (^p), 'seq' (p1/p2), 'alt' (p1|p2),
-    'mod' (child with '+', '*' or '?').
+    'mod' (child with '+', '*', '?' — or an ARQ counted quantifier
+    ``(lo, hi)`` with ``hi=None`` for the unbounded ``{n,}`` form).
     """
 
     op: str
     children: tuple = ()
     iri: str | None = None
-    mod: str | None = None
+    mod: str | tuple | None = None
 
 
 Elem = str | tuple[str, int] | int | float  # "?var" | term | (lex, kind) | number
@@ -513,23 +514,7 @@ def _pairs(store, path: Path, g, per_graph: bool = False) -> DataFrame:
     if path.op == "seq":
         acc = _pairs(store, path.children[0], g, per_graph)
         for child in path.children[1:]:
-            nxt = _pairs(store, child, g, per_graph)
-            cond = F.col("l.b") == F.col("r.a")
-            if per_graph:
-                cond = cond & (F.col("l.g") == F.col("r.g"))
-            acc = (
-                acc.alias("l")
-                .join(nxt.alias("r"), cond)
-                .select(
-                    F.col("l.a").alias("a"),
-                    F.col("l.a_kind").alias("a_kind"),
-                    F.col("l.a_num").alias("a_num"),
-                    F.col("r.b").alias("b"),
-                    F.col("r.b_kind").alias("b_kind"),
-                    F.col("r.b_num").alias("b_num"),
-                    *([F.col("l.g").alias("g")] if per_graph else []),
-                )
-            )
+            acc = _compose(acc, _pairs(store, child, g, per_graph), per_graph)
         return acc
     if path.op == "alt":
         out = _pairs(store, path.children[0], g, per_graph)
@@ -545,8 +530,63 @@ def _pairs(store, path: Path, g, per_graph: bool = False) -> DataFrame:
             return _closure(inner).unionByName(nodes()).distinct()
         if path.mod == "?":
             return inner.unionByName(nodes()).distinct()
+        if isinstance(path.mod, tuple):
+            # counted repetition p{n}, p{n,}, p{n,m} — an ARQ
+            # extension the reference inherits through Jena's path
+            # grammar (SURVEY J9). Set semantics per power (each
+            # k-hop pair set dedups before the next composition, the
+            # same discipline as the closure — without it the
+            # intermediate bag grows with the number of distinct
+            # walks, which is exponential on dense graphs).
+            lo, hi = path.mod
+            one = inner.distinct()
+            if hi is None:
+                # p{n,} ≡ p^n / p*  (p{0,} ≡ p*)
+                star = _closure(one).unionByName(nodes()).distinct()
+                if lo == 0:
+                    return star
+                acc = one
+                for _ in range(lo - 1):
+                    acc = _compose(acc, one, per_graph).distinct()
+                return _compose(acc, star, per_graph).distinct()
+            # p{n,m} ≡ ∪ k∈[n,m] p^k  (k=0 contributes the node set)
+            parts = []
+            if lo == 0:
+                parts.append(nodes())
+            acc = one
+            for k in range(1, hi + 1):
+                if k > 1:
+                    acc = _compose(acc, one, per_graph).distinct()
+                if k >= max(lo, 1):
+                    parts.append(acc)
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            return out.distinct()
         raise ValueError(f"unknown path modifier {path.mod!r}")
     raise ValueError(f"unknown path op {path.op!r}")
+
+
+def _compose(l: DataFrame, r: DataFrame, per_graph: bool = False) -> DataFrame:
+    """Relational composition of two path pair sets: (a→x) ⋈ (x→b).
+    In per-graph mode the context id is an extra join key — a path
+    never crosses graphs (SPARQL 1.1 §13.3)."""
+    cond = F.col("l.b") == F.col("r.a")
+    if per_graph:
+        cond = cond & (F.col("l.g") == F.col("r.g"))
+    return (
+        l.alias("l")
+        .join(r.alias("r"), cond)
+        .select(
+            F.col("l.a").alias("a"),
+            F.col("l.a_kind").alias("a_kind"),
+            F.col("l.a_num").alias("a_num"),
+            F.col("r.b").alias("b"),
+            F.col("r.b_kind").alias("b_kind"),
+            F.col("r.b_num").alias("b_num"),
+            *([F.col("l.g").alias("g")] if per_graph else []),
+        )
+    )
 
 
 def _endpoint_filter(df: DataFrame, col: str, value) -> DataFrame:

@@ -155,6 +155,9 @@ from hbase_rdf_spark.plans.filters import (
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 # token order matters: IRIs (no whitespace allowed inside — rules out
 # mis-capturing a '<'…'>' span across a FILTER), literals, vars, then
@@ -372,10 +375,13 @@ _BIND_FN_NAMES = (
     "substr", "replace", "strbefore", "strafter",
     "abs", "ceil", "floor", "round", "coalesce", "if",
     "md5", "sha1", "sha256", "sha384", "sha512",
-    "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang",
+    "encode_for_uri", "iri", "uri", "strdt", "strlang", "lang", "bnode",
     "year", "month", "day", "hours", "minutes", "seconds", "tz",
     "timezone", "now", "rand", "uuid", "struuid",
 )
+
+#: an IRI with a scheme is absolute — never BASE-resolved (RFC 3986 §3.1)
+_IRI_SCHEME_RX = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 #: zero-argument builtins (SPARQL 1.1 §17.4.1.4/.5, §17.4.4.1/.2,
 #: §17.4.5.1). NOW() is captured once per query parse (every call in
@@ -426,7 +432,16 @@ class _Parser:
         self.t = tokens
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # BASE in effect (grammar [5]; the reference gets RFC 3986
+        # resolution from ARQ's IRIResolver). None = no BASE declared:
+        # relative IRIs then pass through verbatim (the engine treats
+        # IRIs as opaque identifiers, so scheme-less test vocabularies
+        # like <merge> keep working)
+        self._base: str | None = None
         self._bn_counter = 0
+        # BNODE() value-function call counter (distinct from syntax
+        # blank nodes): each no-arg call site gets its own salt
+        self._bnfn_counter = 0
         # when non-None, _bind_atom accepts aggregate calls and
         # desugars each into a hidden aggregate of this query —
         # active only while parsing SELECT projection expressions
@@ -459,6 +474,38 @@ class _Parser:
         return False
 
     # -- terms ----------------------------------------------------------
+    def _prologue(self) -> None:
+        """Prologue (grammar [4]): BASE and PREFIX declarations in any
+        order, each taking effect for the declarations after it (a
+        later BASE resolves against an earlier one, and prefix IRIs
+        resolve against the BASE in effect — ARQ's behavior)."""
+        while True:
+            if self.kw("BASE"):
+                b = self.next()
+                if not (b.startswith("<") and b.endswith(">")):
+                    raise SparqlSyntaxError(f"bad BASE declaration {b!r}")
+                self._base = self._resolve_iri(b[1:-1])
+            elif self.kw("PREFIX"):
+                name = self.next()
+                if not name.endswith(":"):
+                    raise SparqlSyntaxError(
+                        f"bad prefix declaration {name!r}"
+                    )
+                iri = self.next()
+                self.prefixes[name[:-1]] = self._resolve_iri(iri[1:-1])
+            else:
+                return
+
+    def _resolve_iri(self, s: str) -> str:
+        """RFC 3986 resolution against the BASE in effect. Absolute
+        IRIs (with a scheme) pass through; so does everything when no
+        BASE is declared."""
+        if self._base is None or _IRI_SCHEME_RX.match(s):
+            return s
+        from urllib.parse import urljoin
+
+        return urljoin(self._base, s)
+
     def _expand_pname(self, tok: str):
         pfx, _, local = tok.partition(":")
         if pfx == "_":
@@ -480,7 +527,8 @@ class _Parser:
             self._bn_counter += 1
             return f"?__bn_anon{self._bn_counter}"
         if tok.startswith("<"):
-            return tok[1:-1]  # IRI → entity constant (kind 0)
+            # IRI → entity constant (kind 0), BASE-resolved
+            return self._resolve_iri(tok[1:-1])
         if tok.startswith('"'):
             m = re.match(r'^"((?:[^"\\]|\\.)*)"(.*)$', tok)
             lex, suffix = m.group(1), m.group(2)
@@ -555,6 +603,22 @@ class _Parser:
         mod = None
         if self.peek() in ("+", "*", "?"):
             mod = self.next()
+        elif self.peek() == "{":
+            # counted repetition p{n}, p{n,}, p{n,m} — ARQ's path
+            # grammar extension (the reference inherits it via Jena;
+            # dropped from the SPARQL 1.1 REC but kept by ARQ)
+            self.next()
+            lo = self._path_count()
+            hi: int | None = lo
+            if self.peek() == ",":
+                self.next()
+                hi = None if self.peek() == "}" else self._path_count()
+            self.expect("}")
+            if hi is not None and hi < lo:
+                raise SparqlSyntaxError(
+                    f"bad path quantifier {{{lo},{hi}}}: max < min"
+                )
+            mod = (lo, hi)
         if isinstance(prim, str) and prim.startswith("?"):
             if inv or mod:
                 raise SparqlSyntaxError(
@@ -566,6 +630,12 @@ class _Parser:
         if inv:
             prim = Path("inv", (self._as_path(prim),))
         return prim
+
+    def _path_count(self) -> int:
+        tok = self.next()
+        if not tok.isdigit():
+            raise SparqlSyntaxError(f"bad path quantifier count {tok!r}")
+        return int(tok)
 
     def _path_primary(self):
         if self.peek() == "!":
@@ -615,12 +685,7 @@ class _Parser:
 
     # -- query ----------------------------------------------------------
     def parse(self) -> Query:
-        while self.kw("PREFIX"):
-            name = self.next()
-            if not name.endswith(":"):
-                raise SparqlSyntaxError(f"bad prefix declaration {name!r}")
-            iri = self.next()
-            self.prefixes[name[:-1]] = iri[1:-1]
+        self._prologue()
 
         head = self.next().upper()
         if head == "SELECT":
@@ -629,12 +694,29 @@ class _Parser:
         elif head == "ASK":
             q = Query(variables=[], form="ask")
         elif head == "DESCRIBE":
+            # DESCRIBE ( VarOrIri )+ | '*'  (grammar [11]) — ARQ
+            # accepts any mix of vars and IRIs; '*' describes every
+            # projectable variable of the WHERE group
             q = Query(variables=[], form="describe")
-            tok = self.peek()
-            if tok is not None and tok.startswith("?"):
-                q.describe_target = self.next()
+            if self.peek() == "*":
+                self.next()
+                q.describe_target = "*"
             else:
-                q.describe_target = self.term()
+                targets: list = []
+                while True:
+                    tok = self.peek()
+                    if (
+                        tok is None
+                        or tok == "{"
+                        or tok.upper() in ("WHERE", "FROM")
+                    ):
+                        break
+                    targets.append(
+                        self.next() if tok.startswith("?") else self.term()
+                    )
+                if not targets:
+                    raise SparqlSyntaxError("DESCRIBE needs a target")
+                q.describe_target = targets
         elif head == "CONSTRUCT":
             q = Query(variables=[], form="construct")
             if (self.peek() or "").upper() == "WHERE":
@@ -668,7 +750,7 @@ class _Parser:
             is_named = self.kw("NAMED")
             g = self.next()
             if g.startswith("<"):
-                g = g[1:-1]
+                g = self._resolve_iri(g[1:-1])
             elif ":" in g:
                 g = self._expand_pname(g)
             (named if is_named else defaults).append(g)
@@ -1089,9 +1171,10 @@ class _Parser:
             break
 
     def _node(self, q: Query, graph):
-        """Subject/object position: a term, or a blank-node property
-        list ``[ p o ; … ]`` desugared to a fresh non-projectable
-        variable plus inline triples (SPARQL TriplesNode)."""
+        """Subject/object position: a term, a blank-node property
+        list ``[ p o ; … ]``, or an RDF collection ``( e1 e2 … )`` —
+        both TriplesNode forms desugar to fresh non-projectable
+        variables plus inline triples (SPARQL grammar [98]/[102])."""
         if self.peek() == "[" and self.t[self.i + 1 : self.i + 2] != ["]"]:
             self.next()
             self._bn_counter += 1
@@ -1099,6 +1182,27 @@ class _Parser:
             self._pred_obj_list(q, graph, b)
             self.expect("]")
             return b
+        if self.peek() == "(":
+            # RDF collection: rdf:first/rdf:rest chain ending in
+            # rdf:nil (grammar [102] Collection; Turtle §2.8). The
+            # empty collection is the rdf:nil IRI itself.
+            self.next()
+            if self.peek() == ")":
+                self.next()
+                return RDF_NIL
+            elems = []
+            while self.peek() is not None and self.peek() != ")":
+                elems.append(self._node(q, graph))
+            self.expect(")")
+            cells = []
+            for _ in elems:
+                self._bn_counter += 1
+                cells.append(f"?__bn_anon{self._bn_counter}")
+            for i, el in enumerate(elems):
+                self._emit_triple(q, graph, cells[i], RDF_FIRST, el)
+                rest = cells[i + 1] if i + 1 < len(elems) else RDF_NIL
+                self._emit_triple(q, graph, cells[i], RDF_REST, rest)
+            return cells[0]
         return self.term()
 
     def _branchify(self, sub: "Query") -> list[GroupBlock]:
@@ -1400,6 +1504,20 @@ class _Parser:
                 e = self._bind_expr()
                 self.expect(")")
                 return ("iri", e)
+            if low == "bnode":
+                # §17.4.2.9 BNODE([str]): the no-arg form mints a
+                # blank node distinct per call (parse-time salt) per
+                # solution; the 1-arg form unifies same-literal calls
+                # within a solution (salt excluded — see
+                # _bind_term_value)
+                salt = self._bnfn_counter
+                self._bnfn_counter += 1
+                if self.peek() == ")":
+                    self.next()
+                    return ("bnode", salt, None)
+                e = self._bind_expr()
+                self.expect(")")
+                return ("bnode", salt, e)
             if low in ("strdt", "strlang"):
                 # §17.4.2.9/.10 — constant datatype IRI / language tag
                 s = self._bind_expr()
@@ -1849,8 +1967,47 @@ class _Parser:
     def _modifiers(self, q: Query) -> None:
         if self.kw("GROUP"):
             self.expect("BY")
-            while self.peek() is not None and self.peek().startswith("?"):
-                q.group_by.append(self.next())
+            # GroupCondition (grammar [19]): Var | '(' Expression
+            # ('AS' Var)? ')' | BuiltInCall. Expression keys desugar
+            # to a per-solution Extend over the group's solutions and
+            # a grouping on its output — exactly §18.5.1's
+            # Group(exprlist, Ω) which evaluates each key expression
+            # per solution. A bare '(expr)' / builtin-call key groups
+            # under a hidden __gk* var the projection never emits.
+            while True:
+                tok = self.peek()
+                if tok is None:
+                    break
+                if tok.startswith("?"):
+                    q.group_by.append(self.next())
+                    continue
+                is_call = (
+                    tok.lower() in _BIND_FN_NAMES
+                    and self.i + 1 < len(self.t)
+                    and self.t[self.i + 1] == "("
+                )
+                if tok == "(":
+                    self.next()
+                    expr = self._bind_expr()
+                    if self.kw("AS"):
+                        v = self.next()
+                        if not v.startswith("?"):
+                            raise SparqlSyntaxError(
+                                "GROUP BY alias must be a variable"
+                            )
+                        name = v[1:]
+                    else:
+                        name = f"__gk{len(q.group_by)}"
+                    self.expect(")")
+                elif is_call:
+                    expr = self._bind_atom()
+                    name = f"__gk{len(q.group_by)}"
+                else:
+                    break
+                q.binds.append(BindAssign(name, expr, at=len(q.patterns)))
+                q.group_by.append("?" + name)
+            if not q.group_by:
+                raise SparqlSyntaxError("GROUP BY needs at least one key")
             if self.kw("HAVING"):
                 # HAVING HavingCondition+ (SPARQL 1.1 grammar [21]):
                 # each condition is a bracketed boolean expression over
@@ -2147,17 +2304,31 @@ def _describe(
     so the N-Triples serializer types terms exactly."""
     from hbase_rdf_spark.plans.patterns import encode_term
 
-    if isinstance(q.describe_target, str) and q.describe_target.startswith("?"):
+    targets = q.describe_target
+    if targets == "*":
         assert bindings is not None
-        name = q.describe_target[1:]
-        ids = bindings.select(
-            F.col(name).getField("id").alias("s")
-        ).distinct()
-    else:
-        term = q.describe_target
-        lex = term if isinstance(term, str) else term[0]
-        kind = 0 if isinstance(term, str) else term[1]
-        ids = store.spark.range(1).select(encode_term(lex, kind).alias("s"))
+        targets = [
+            f"?{c}" for c in bindings.columns if not c.startswith("__")
+        ]
+    elif not isinstance(targets, list):  # legacy single-target form
+        targets = [targets]
+    id_frames = []
+    for term in targets:
+        if isinstance(term, str) and term.startswith("?"):
+            assert bindings is not None
+            id_frames.append(
+                bindings.select(F.col(term[1:]).getField("id").alias("s"))
+            )
+        else:
+            lex = term if isinstance(term, str) else term[0]
+            kind = 0 if isinstance(term, str) else term[1]
+            id_frames.append(
+                store.spark.range(1).select(encode_term(lex, kind).alias("s"))
+            )
+    ids = id_frames[0]
+    for fr in id_frames[1:]:
+        ids = ids.unionByName(fr)
+    ids = ids.distinct()
     triples = store.index("spo").join(ids, "s", "left_semi")
     i2t = store.id2term()
     out = triples
@@ -2355,7 +2526,7 @@ _STR_FUNCS = (
 #: TIMEZONE() constructs an xsd:dayTimeDuration typed literal
 #: (§17.4.5.7), unlike plain-string TZ(); NOW() an xsd:dateTime,
 #: UUID() a urn:uuid IRI.
-_TERM_CTORS = ("iri", "strdt", "strlang", "timezone", "now", "uuid")
+_TERM_CTORS = ("iri", "strdt", "strlang", "timezone", "now", "uuid", "bnode")
 
 
 def _bind_num_col(expr: tuple):
@@ -2563,6 +2734,9 @@ def _bind_str_col(expr: tuple):
         c = F.replace(c, F.lit("+"), F.lit("%20"))
         c = F.replace(c, F.lit("%7E"), F.lit("~"))
         return F.replace(c, F.lit("*"), F.lit("%2A"))
+    if tag == "bnode":
+        # STR() of a blank node is a type error (§17.4.2.5) → unbound
+        return F.lit(None).cast("string")
     if tag in _TERM_CTORS:
         # str() of a constructed term: the IRI string / plain lexical
         return _bind_str_col(expr[1])
@@ -2576,6 +2750,17 @@ def _bind_str_col(expr: tuple):
         )
     # arith / strlen / nfunc in string position: render the number
     return _bind_num_col(expr).cast("string")
+
+
+def _has_bnode(expr) -> bool:
+    """True when a value-expression tree contains a BNODE() call."""
+    if isinstance(expr, tuple):
+        if expr[0] == "bnode":
+            return True
+        return any(_has_bnode(a) for a in expr[1:])
+    if isinstance(expr, list):
+        return any(_has_bnode(a) for a in expr)
+    return False
 
 
 def _bind_label_vars(expr: tuple) -> set[str]:
@@ -2615,6 +2800,8 @@ def _bind_label_vars(expr: tuple) -> set[str]:
         return out
     if tag in ("replace", "strbefore", "strafter"):
         return _str_ctx_vars(expr[1])
+    if tag == "bnode":
+        return _str_ctx_vars(expr[2]) if expr[2] is not None else set()
     if tag == "cast":
         # a var source may fall back to its lexical form (non-numeric
         # term cast to a number) — the label must be attached
@@ -2747,6 +2934,49 @@ def _bind_term_value(expr: tuple, columns: list[str]):
             ),
             lex,
         )
+    if tag == "bnode":
+        # §17.4.2.9 — a blank node guaranteed fresh vs the dataset
+        # (labels carry a reserved "_:bf"/"_:ba" prefix plus a hash no
+        # parsed label collides with at these lengths). The label
+        # derives from a hash of the WHOLE solution (the same idiom as
+        # CONSTRUCT template bnodes — identical duplicate solutions
+        # share a label, the accepted compromise): no-arg calls mix in
+        # their per-call-site salt so distinct BNODE() calls mint
+        # distinct nodes; BNODE(str) mixes the argument INSTEAD so
+        # same-literal calls within one solution unify, per spec.
+        sol = (
+            [F.col("__bnsol")]
+            if "__bnsol" in columns
+            # fallback for call sites outside _apply_binds (no batch
+            # snapshot): the visible solution columns as-is
+            else [F.col(c) for c in columns if not c.startswith("__")]
+        )
+        if expr[2] is None:
+            lex = F.concat(
+                F.lit("_:bf"),
+                F.lower(F.hex(F.xxhash64(F.lit(f"bn{expr[1]}"), *sol))),
+            )
+        else:
+            arg = _bind_str_col(expr[2])
+            lex = F.when(
+                arg.isNotNull(),
+                F.concat(
+                    F.lit("_:ba"),
+                    F.lower(F.hex(F.xxhash64(F.lit("bna"), arg, *sol))),
+                ),
+            )
+        # blank nodes share kind 0 with IRIs, distinguished by label
+        return (
+            F.when(
+                lex.isNotNull(),
+                _binding_struct(
+                    F.lit(0),
+                    F.xxhash64(F.lit(0).cast("int"), lex),
+                    F.lit(None),
+                ),
+            ),
+            lex,
+        )
     if tag == "now":
         # §17.4.5.1 — xsd:dateTime of the query execution instant
         # (lexical captured once at parse time, shared by every NOW()
@@ -2855,6 +3085,19 @@ def _apply_binds(
     # DAY(?t) and HOURS(?t)) share one id2term join instead of
     # re-joining the dictionary per BIND
     all_attached: list[str] = []
+    if any(_has_bnode(b.expr) for b in binds):
+        # one SOLUTION-identity hash for the whole batch, captured
+        # BEFORE any of its BINDs extend the row: two BNODE("k") calls
+        # in the batch must agree no matter how many binds sit between
+        # them (a later bind's output column must not perturb the hash)
+        result = result.withColumn(
+            "__bnsol",
+            F.xxhash64(
+                *[F.col(c) for c in result.columns
+                  if not c.startswith("__")]
+            ),
+        )
+        all_attached.append("__bnsol")
     for b in binds:
         expr = b.expr
         lvars = sorted(_bind_label_vars(expr))
@@ -3124,7 +3367,7 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
         )
     label_aggs: list[str] = []
     pa_scalars: list = []
-    if sub.aggregates:
+    if sub.aggregates or sub.group_by:
         if sub.agg_prebinds:
             # aggregate expression arguments: per-solution Extend
             # before grouping (§18.4) — same as the top-level site
@@ -3149,7 +3392,13 @@ def _execute_subquery(store, sub: Query) -> DataFrame:
             for gv in gvars
             if f"__{gv}_vlex" in res.columns
         ]
+        if not aggs:
+            # aggregate-free GROUP BY (same synth as the top-level
+            # site): dropped right after the groupBy
+            aggs = [F.count(F.lit(1)).alias("__gb_card")]
         res = res.groupBy(*gvars).agg(*aggs) if gvars else res.agg(*aggs)
+        if "__gb_card" in res.columns:
+            res = res.drop("__gb_card")
         if sub.having:
             res = res.filter(_having_col(sub.having))
         if sub.postagg_binds:
@@ -4020,7 +4269,10 @@ def execute(
         # (__*_vlex) are never projectable
         return [c for c in cols if not c.startswith("__")]
 
-    if q.aggregates:
+    if q.aggregates or q.group_by:
+        # group_by without aggregates is still a Group+Project per
+        # §18.2.4: one row per key (e.g. GROUP BY expression keys
+        # used purely to collapse solutions)
         if q.agg_prebinds:
             # aggregate expression arguments (SUM(?a * ?b)): one
             # per-solution Extend just before grouping, §18.4
@@ -4042,6 +4294,11 @@ def execute(
             for gv in gvars
             if f"__{gv}_vlex" in result.columns
         ]
+        if not aggs:
+            # aggregate-free GROUP BY: groupBy().agg() needs at least
+            # one expression — a throwaway cardinality the keep= list
+            # below never carries into the output
+            aggs = [F.count(F.lit(1)).alias("__gb_card")]
         grouped = (
             result.groupBy(*gvars).agg(*aggs) if gvars else result.agg(*aggs)
         )
@@ -4058,7 +4315,9 @@ def execute(
         # materialize group vars; aggregate columns pass through verbatim
         out = materialize(
             grouped, store,
-            [f"?{g}" for g in gvars] + [f"?{t}" for t in pa_terms],
+            # hidden __gk* expression keys group but never render
+            [f"?{g}" for g in gvars if not g.startswith("__")]
+            + [f"?{t}" for t in pa_terms],
             keep=[a.alias[1:] for a in q.aggregates] + pa_scalars
             + sorted(
                 f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")

@@ -154,12 +154,9 @@ class _UpdateParser(_Parser):
     def parse_update(self) -> list:
         ops: list = []
         while True:
-            while self.kw("PREFIX"):
-                name = self.next()
-                if not name.endswith(":"):
-                    raise SparqlSyntaxError(f"bad prefix declaration {name!r}")
-                iri = self.next()
-                self.prefixes[name[:-1]] = iri[1:-1]
+            # shared prologue: BASE + PREFIX in any order (update
+            # requests carry the same grammar-[4] prologue as queries)
+            self._prologue()
             tok = self.peek()
             if tok is None:
                 break

@@ -508,6 +508,38 @@ def main() -> None:
                             "PushedFilters", "WholeStageCodegen")),
     ))
 
+    p31 = eng.sql(
+        "SELECT ?k (COUNT(?y) AS ?n) WHERE { ?x <rel:works_at> ?y } "
+        "GROUP BY (UCASE(SUBSTR(?x, 1, 5)) AS ?k)"
+    )
+    sections.append((
+        "GROUP BY expression key — pre-grouping Extend, partial agg",
+        "A GROUP BY expression key (round 4) desugars to ONE per-row "
+        "Project computing the key (label attached with a single "
+        "id2term hash join when the expression reads lexical form), "
+        "then the standard partial HashAggregate → shuffle on the "
+        "computed key → final HashAggregate. The key expression "
+        "evaluates JVM-side in the same codegen stage as the scan — "
+        "no extra shuffle vs a plain-var GROUP BY.",
+        trim(plan_of(p31), ("HashAggregate", "Exchange", "Project",
+                            "Join", "Scan parquet", "WholeStageCodegen")),
+    ))
+
+    p32 = eng.sql(
+        "SELECT ?x ?y WHERE { ?x <rel:works_at>{1,2} ?y }"
+    )
+    sections.append((
+        "Counted path quantifier {n,m} — bounded compose, no fixpoint",
+        "p{1,2} (ARQ counted quantifier, round 4) evaluates as the "
+        "union of the 1-hop pair set and ONE self-composition — a "
+        "fixed number of hash joins known at plan time, never an "
+        "iterative fixpoint. Each power dedups (HashAggregate) before "
+        "the next compose so intermediate size is bounded by distinct "
+        "pairs, not walk count.",
+        trim(plan_of(p32), ("Join", "HashAggregate", "Union",
+                            "Exchange", "Scan parquet")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
