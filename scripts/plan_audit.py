@@ -517,12 +517,16 @@ def main() -> None:
         "A GROUP BY expression key (round 4) desugars to ONE per-row "
         "Project computing the key (label attached with a single "
         "id2term hash join when the expression reads lexical form), "
-        "then the standard partial HashAggregate → shuffle on the "
-        "computed key → final HashAggregate. The key expression "
-        "evaluates JVM-side in the same codegen stage as the scan — "
-        "no extra shuffle vs a plain-var GROUP BY.",
-        trim(plan_of(p31), ("HashAggregate", "Exchange", "Project",
-                            "Join", "Scan parquet", "WholeStageCodegen")),
+        "then partial aggregation → shuffle on the computed key → "
+        "final aggregation — no extra shuffle vs a plain-var GROUP "
+        "BY (the audited COUNT DISTINCT adds the standard two-phase "
+        "expand Exchange). Spark picks SortAggregate here because the "
+        "key's lexical sidecar rides the aggregation as a first() "
+        "over a string buffer — order-insensitive by construction, "
+        "since the key id IS the hash of that lexical.",
+        trim(plan_of(p31), ("HashAggregate", "SortAggregate",
+                            "Exchange", "Project", "Join",
+                            "Scan parquet", "WholeStageCodegen")),
     ))
 
     p32 = eng.sql(
