@@ -624,6 +624,24 @@ _DT_QUERY = """
 """
 
 
+def _q_sparql_dt_cmp(spark, sf):
+    # chronological dateTime FILTER comparisons (round 4, DtCmp):
+    # values compare as instants via a JVM timestamp cast of the
+    # stored lexical — ARQ XSDFuncOp.compareDateTime parity. Reuses
+    # the datetime gate's cached event store; DuckDB replays the
+    # range directly on events.ts.
+    from hbase_rdf_spark.plans.sparql import execute
+
+    if _DT_STORES.get(sf) is None:
+        _q_sparql_datetime(spark, sf)  # build + cache the store
+    return execute(_DT_STORES[sf], """
+        SELECT ?e WHERE {
+          ?e <at> ?t . ?e <etype> <click> .
+          FILTER(?t >= "2024-01-08T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>
+                 && ?t < "2024-01-20T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>)
+        }""")
+
+
 def _q_sparql_optional_group(spark, sf):
     # multi-pattern OPTIONAL evaluated as a UNIT: ?z/?w bind together or
     # not at all (SPARQL LeftJoin / ARQ OpConditional — J11)
@@ -1930,7 +1948,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_brand_revenue": _q_rel_brand_revenue,
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
-        "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         # -- block B: new round-3 gates -----------------------------------
@@ -1944,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_having_expr": _q_sparql_having_expr,
         "kg_sparql_group_expr": _q_sparql_group_expr,
         "kg_sparql_path_count": _q_sparql_path_count,
+        "kg_sparql_dt_cmp": _q_sparql_dt_cmp,
         "kg_sparql_path_optional": _q_sparql_path_optional,
         "kg_sparql_graph_var_path": _q_sparql_graph_var_path,
         "stream_dedup": _q_stream_dedup,
@@ -1980,9 +1998,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantifiers) — both planner code NEW this round — take
         # window seats; rel_top_orders_per_cust and rel_region_revenue
         # (each green r1+r2+r3, plain-DataFrame relational pipelines
-        # untouched in round 4) rotate out here.
+        # untouched in round 4) rotate out here; kg_sparql_dt_cmp
+        # (chronological dateTime FILTER comparisons, DtCmp — NEW
+        # planner code) seats in place of dedup_minhash_pairs (green
+        # r3, minhash path untouched in round 4).
         "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
         "rel_region_revenue": _q_rel_region_revenue,
+        "dedup_minhash_pairs": _q_minhash_pairs,
         "kg_path_alt": _q_path_alt,
         "kg_sparql_cast": _q_sparql_cast,
         "rel_pricing_summary": _q_rel_pricing_summary,
@@ -2728,6 +2750,12 @@ def oracle_sql() -> dict[str, str]:
               AND year(ts) = 2024 AND month(ts) <= 6
               AND day(ts) BETWEEN 8 AND 23
             GROUP BY d""",
+        "kg_sparql_dt_cmp": """
+            SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e
+            FROM events
+            WHERE event_id % 10 = 0 AND event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'""",
         "kg_sparql_having": f"""{_TRIPLES_CTE}
             SELECT s FROM triples WHERE p = 'merge'
             GROUP BY s HAVING COUNT(o) > 2""",

@@ -373,6 +373,60 @@ _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _DT_RX = r'^".*"\^\^<([^<>]*)>$'
 
 
+#: stored typed-literal suffix of the two chronological XSD types
+DT_TYPED_RX = (
+    r"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$"
+)
+
+
+def dt_instant(lbl: Column) -> Column:
+    """Chronological value of a date/dateTime LABEL column: the quoted
+    lexical parsed as a timestamp (a date-only lexical is midnight).
+    NULL = not a date/dateTime literal → type error → row dropped.
+    Untimezoned lexicals read in the session timezone — the
+    implementation-defined choice SPARQL/XSD §3.2.7.4 permits."""
+    lex = F.when(
+        lbl.rlike(DT_TYPED_RX), F.regexp_extract(lbl, _TAGGED_RX, 1)
+    )
+    return lex.try_cast("timestamp")
+
+
+@dataclass
+class DtCmp(FilterExpr):
+    """Chronological comparison of a date/dateTime var against a
+    date/dateTime literal constant — values compare as instants, not
+    lexical strings or term ids, so "…T00:00:00Z" = "…T02:00:00+02:00"
+    holds (ARQ XSDFuncOp.compareDateTime parity; the reference gets
+    this through stock ARQ filter evaluation, SURVEY J12)."""
+
+    var: str
+    op: str  # '<' '<=' '>' '>=' '=' '!='
+    lex: str  # full stored lexical '"…"^^<…dateTime|date>'
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def label_vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        import re as _re
+
+        v = dt_instant(_flbl(self.var[1:]))
+        m = _re.match(r'^"(.*)"', self.lex)
+        c = F.lit(m.group(1) if m else self.lex).try_cast("timestamp")
+        if self.op == "<":
+            return v < c
+        if self.op == "<=":
+            return v <= c
+        if self.op == ">":
+            return v > c
+        if self.op == ">=":
+            return v >= c
+        eq = v == c
+        return eq if self.op == "=" else ~eq
+
+
 @dataclass
 class DatatypeEq(FilterExpr):
     """``datatype(?v) = <iri>`` (or !=) — label space.

@@ -140,6 +140,7 @@ from hbase_rdf_spark.plans.filters import (
     And,
     Bound,
     DatatypeEq,
+    DtCmp,
     DtPartCmp,
     FilterExpr,
     LangEq,
@@ -1885,6 +1886,15 @@ class _Parser:
             return VarFilter(lhs, op, 0.0, other=rhs, offset=r_off - l_off)
         if isinstance(rhs, (int, float)):
             return Filter(lhs, op, float(rhs) + r_off - l_off)
+        if isinstance(rhs, tuple) and re.search(
+            r"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$",
+            rhs[0],
+        ):
+            # chronological comparison against a date/dateTime literal
+            # — value semantics (equal instants in different timezones
+            # compare equal), so it takes precedence over the id-space
+            # term-equality fast path below
+            return DtCmp(lhs, op, rhs[0])
         if op in ("=", "!=") and isinstance(rhs, (str, tuple)):
             # constant (in)equality: bind into the pattern set via an
             # equality filter on the encoded id — J6's constant binding

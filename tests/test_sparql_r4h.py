@@ -362,3 +362,62 @@ def test_describe_var_and_constant_mix(chain_store):
     got = {tuple(r) for r in execute(chain_store, q).collect()}
     assert got == {("http://ex/b", "http://ex/knows", "http://ex/c"),
                    ("http://ex/d", "http://ex/knows", "http://ex/e")}
+
+
+# -- chronological dateTime FILTER comparisons ------------------------------
+
+
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+XSD_D = "http://www.w3.org/2001/XMLSchema#date"
+
+DT_NQ = [
+    f'<http://ex/a> <http://ex/at> "2024-03-05T10:11:12Z"^^<{XSD_DT}> .',
+    f'<http://ex/b> <http://ex/at> "2023-12-31T23:59:59Z"^^<{XSD_DT}> .',
+    f'<http://ex/c> <http://ex/at> "2024-07-01T00:00:00Z"^^<{XSD_DT}> .',
+    # chronologically equal to a's instant, different lexical/timezone
+    f'<http://ex/d> <http://ex/at> "2024-03-05T12:11:12+02:00"^^<{XSD_DT}> .',
+    f'<http://ex/e> <http://ex/born> "1999-01-15"^^<{XSD_D}> .',
+    '<http://ex/f> <http://ex/at> "not a date" .',
+]
+
+
+@pytest.fixture(scope="module")
+def dt_store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dtcmpstore"))
+    lines = spark.createDataFrame([(l,) for l in DT_NQ], "value string")
+    resolved = quads(parse_lines(lines))
+    st = TripleStore(spark, root, num_partitions=2)
+    t2i, i2t = build_dictionaries(resolved)
+    st.write_dictionaries(t2i, i2t, "nq")
+    st.write_indexes(encode_quads(resolved), "nq")
+    return st
+
+
+def test_datetime_gt_constant(dt_store):
+    got = {r[0] for r in execute(dt_store, f"""
+        SELECT ?s WHERE {{ ?s <http://ex/at> ?t .
+          FILTER(?t > "2024-01-01T00:00:00Z"^^<{XSD_DT}>) }}""").collect()}
+    assert got == {"http://ex/a", "http://ex/c", "http://ex/d"}
+
+
+def test_datetime_value_equality_across_timezones(dt_store):
+    # a (…10:11:12Z) and d (…12:11:12+02:00) are the same instant
+    got = {r[0] for r in execute(dt_store, f"""
+        SELECT ?s WHERE {{ ?s <http://ex/at> ?t .
+          FILTER(?t = "2024-03-05T10:11:12Z"^^<{XSD_DT}>) }}""").collect()}
+    assert got == {"http://ex/a", "http://ex/d"}
+
+
+def test_datetime_le_drops_non_datetime(dt_store):
+    # f's plain-string object is a type error -> row dropped
+    got = {r[0] for r in execute(dt_store, f"""
+        SELECT ?s WHERE {{ ?s <http://ex/at> ?t .
+          FILTER(?t <= "2024-01-01T00:00:00Z"^^<{XSD_DT}>) }}""").collect()}
+    assert got == {"http://ex/b"}
+
+
+def test_date_comparison(dt_store):
+    got = {r[0] for r in execute(dt_store, f"""
+        SELECT ?s WHERE {{ ?s <http://ex/born> ?d .
+          FILTER(?d < "2000-01-01"^^<{XSD_D}>) }}""").collect()}
+    assert got == {"http://ex/e"}
