@@ -38,6 +38,16 @@ PATTERNS: list[tuple[str, str, int]] = [
 
 COMPILED = [(pred, re.compile(rx), kind) for pred, rx, kind in PATTERNS]
 
+#: one-pass candidate prefilter: every PATTERNS regex requires one of
+#: these literal phrases, so a sentence containing none can match no
+#: pattern — a strict SUPERSET filter (never drops a true match) that
+#: lets the extractor skip the 9 anchored extracts on non-relation
+#: sentences. Keep in sync with PATTERNS.
+KEYWORD_RX = (
+    "works at|lives in|knows|uses|is the CEO of|is located in"
+    "|was founded in|years old|has the nickname"
+)
+
 PRED_IRI = {pred: f"rel:{pred}" for pred, _, _ in PATTERNS}
 
 OBJ_ENTITY, OBJ_STRING, OBJ_NUMERIC = 0, 1, 2
