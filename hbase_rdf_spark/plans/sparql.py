@@ -1411,6 +1411,15 @@ class _Parser:
         return node
 
     def _bind_atom(self) -> tuple:
+        # unary sign (SPARQL grammar [118] UnaryExpression): negative
+        # numeric literals tokenize whole, so only `-?v` / `-(…)` and
+        # redundant `+` reach here
+        if self.peek() == "-":
+            self.next()
+            return ("arith", "-", ("num", 0.0), self._bind_atom())
+        if self.peek() == "+":
+            self.next()
+            return self._bind_atom()
         up = (self.peek() or "").upper()
         if (
             self._agg_ctx is not None
@@ -1736,17 +1745,32 @@ class _Parser:
             raise SparqlSyntaxError(f"expected a variable, got {v}")
         return v
 
-    def _in_list(self, var: str):
+    def _in_list(
+        self, var: str, off: float = 0.0, scl: float = 1.0,
+        as_str: bool = False,
+    ):
         """``?x IN (c1, c2, …)`` → Or of equality filters (the
-        reference's OptimizeIn-style expansion)."""
+        reference's OptimizeIn-style expansion). An arithmetic LHS
+        solves for the var (``?x + 1 IN (13)`` ⇔ ``?x = 12``); a
+        ``str(?x)`` LHS compares lexical forms."""
         self.expect("(")
         parts = []
         while True:
             t = self.term()
             if isinstance(t, str) and t.startswith("?"):
                 raise SparqlSyntaxError("IN list must contain constants")
-            if isinstance(t, (int, float)):
-                parts.append(Filter(var, "=", float(t)))
+            if as_str:
+                if isinstance(t, (int, float)):
+                    raise SparqlSyntaxError(
+                        "str() IN list must contain strings"
+                    )
+                lex = t[0] if isinstance(t, tuple) else t
+                parts.append(StrCmp(var, "=", lex))
+            elif isinstance(t, (int, float)):
+                # s·v + off = t ⇔ v = s·(t − off)  (s ∈ {1, −1})
+                parts.append(Filter(var, "=", scl * (float(t) - off)))
+            elif off or scl != 1.0:
+                pass  # arithmetic vs non-numeric term: type error → false
             else:
                 parts.append(_TermFilter(var, "=", t))
             if self.peek() == ",":
@@ -1754,6 +1778,8 @@ class _Parser:
                 continue
             break
         self.expect(")")
+        if not parts:  # every member was a type error
+            return Filter(var, "<", float("-inf"))
         return parts[0] if len(parts) == 1 else Or(parts)
 
     def _string_arg(self) -> str:
@@ -1768,9 +1794,11 @@ class _Parser:
         raise SparqlSyntaxError(f"expected a string argument, got {tok}")
 
     def _operand(self):
-        """var | number | constant term | str(?v), with optional ± constant.
+        """var | number | constant term | str(?v), with optional unary
+        minus and ± constant.
 
-        Returns (base, offset, is_str): is_str marks a str(?v) wrapper.
+        Returns (base, offset, is_str, scale): is_str marks a str(?v)
+        wrapper; scale is -1.0 under a unary minus (``-?p``), else 1.0.
         """
         if self.peek() is not None and self.peek().lower() == "str":
             save = self.i
@@ -1781,22 +1809,43 @@ class _Parser:
                 self.expect(")")
                 if not v.startswith("?"):
                     raise SparqlSyntaxError("str() takes a variable")
-                return v, 0.0, True
+                return v, 0.0, True, 1.0
             self.i = save
+        scale = 1.0
+        while self.peek() in ("-", "+"):  # unary sign(s) before the base
+            if self.next() == "-":
+                scale = -scale
         paren = self.peek() == "("
         if paren:
             self.next()
         base = self.term()
-        offset = 0.0
+        in_off = 0.0  # ± constants under the unary sign (inside parens);
+        # on an unparenthesized base, `-?p + 3` is `(-?p) + 3`, so the
+        # chained offset sits OUTSIDE the sign
+        out_off = 0.0
         while self.peek() in ("+", "-"):
             sign = 1.0 if self.next() == "+" else -1.0
             off = self.term()
             if not isinstance(off, (int, float)):
                 raise SparqlSyntaxError("arithmetic offset must be numeric")
-            offset += sign * float(off)
+            if paren:
+                in_off += sign * float(off)
+            else:
+                out_off += sign * float(off)
         if paren:
             self.expect(")")
-        return base, offset, False
+            while self.peek() in ("+", "-"):  # trailing `-(…) ± c`
+                sign = 1.0 if self.next() == "+" else -1.0
+                off = self.term()
+                if not isinstance(off, (int, float)):
+                    raise SparqlSyntaxError(
+                        "arithmetic offset must be numeric"
+                    )
+                out_off += sign * float(off)
+        offset = scale * in_off + out_off
+        if isinstance(base, (int, float)) and not isinstance(base, bool):
+            return scale * float(base) + offset, 0.0, False, 1.0
+        return base, offset, False, scale
 
     _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
 
@@ -1836,12 +1885,11 @@ class _Parser:
             if not isinstance(rhs, str) or rhs.startswith("?"):
                 raise SparqlSyntaxError("datatype() comparison needs an IRI")
             return DatatypeEq(v, op, rhs)
-        lhs, l_off, l_str = self._operand()
+        lhs, l_off, l_str, l_scl = self._operand()
         nxt = self.peek()
         nup = nxt.upper() if nxt is not None else ""
         if (
             nup in ("IN", "NOT")
-            and not l_str
             and isinstance(lhs, str)
             and lhs.startswith("?")
         ):
@@ -1855,17 +1903,18 @@ class _Parser:
                     self.i = save
             if neg or nup == "IN":
                 self.next()  # consume IN
-                e = self._in_list(lhs)
+                e = self._in_list(lhs, l_off, l_scl, l_str)
                 return Not(e) if neg else e
         op = self.next()
         if op not in self._FLIP:
             raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
-        rhs, r_off, r_str = self._operand()
+        rhs, r_off, r_str, r_scl = self._operand()
         if r_str and not l_str:
             # put the str() side on the left
             lhs, rhs = rhs, lhs
             l_off, r_off = r_off, l_off
             l_str, r_str = r_str, l_str
+            l_scl, r_scl = r_scl, l_scl
             op = self._FLIP[op]
         if l_str:
             if r_str or not isinstance(rhs, tuple):
@@ -1879,13 +1928,36 @@ class _Parser:
             # constant-on-the-left form (BSBM Q5): flip the comparison
             lhs, rhs = rhs, lhs
             l_off, r_off = r_off, l_off
+            l_scl, r_scl = r_scl, l_scl
             op = self._FLIP[op]
         if not (isinstance(lhs, str) and lhs.startswith("?")):
             raise SparqlSyntaxError("FILTER needs a variable operand")
         if isinstance(rhs, str) and rhs.startswith("?"):
-            return VarFilter(lhs, op, 0.0, other=rhs, offset=r_off - l_off)
+            if l_scl != r_scl:
+                # mixed signs make a sum of variables (?a op -?b + c) —
+                # not a two-sided comparison any rewrite can linearize
+                raise SparqlSyntaxError(
+                    "FILTER comparison of oppositely-signed variables "
+                    "is not supported"
+                )
+            # common scale s: s·a + l_off op s·b + r_off ⇔
+            # a op' b + s·(r_off − l_off), op' flipped when s = −1.
+            # (With s = −1 the operands are numeric by construction, so
+            # the =/!= term-equality fast path degrades to numeric
+            # equality — exactly the spec's unary-minus typing.)
+            eff = op if l_scl == 1.0 else self._FLIP[op]
+            return VarFilter(
+                lhs, eff, 0.0, other=rhs, offset=l_scl * (r_off - l_off)
+            )
         if isinstance(rhs, (int, float)):
-            return Filter(lhs, op, float(rhs) + r_off - l_off)
+            # s·v + l_off op c ⇔ v op' s·(c − l_off)
+            eff = op if l_scl == 1.0 else self._FLIP[op]
+            return Filter(lhs, eff, l_scl * (float(rhs) + r_off - l_off))
+        if l_scl != 1.0 or l_off:
+            # an arithmetic LHS against a non-numeric constant is a
+            # type error on every row → no solutions (spec: error =
+            # false in FILTER); nothing sorts below −inf
+            return Filter(lhs, "<", float("-inf"))
         if isinstance(rhs, tuple) and re.search(
             r"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$",
             rhs[0],
