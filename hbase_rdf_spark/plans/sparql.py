@@ -971,7 +971,7 @@ class _Parser:
                 )
                 if (sub.values or sub.services or sub.minus or sub.exists
                         or sub.subqueries or complex_branch
-                        or bind_consumed):
+                        or bind_consumed or _has_marker_filters(sub)):
                     # full-algebra group: VALUES / MINUS / FILTER
                     # EXISTS / a subquery mixed with other content, a
                     # UNION chain whose branch needs the full
@@ -1248,7 +1248,7 @@ class _Parser:
     def _as_branch(self, sub: "Query") -> GroupBlock:
         if (sub.union_blocks or sub.values or sub.services
                 or sub.minus or sub.exists
-                or sub.subqueries):
+                or sub.subqueries or _has_marker_filters(sub)):
             # full-algebra branch: a nested UNION mixed with other
             # content ({ {A} UNION {B} . C } — joins distribute over
             # unions, evaluated as a unit), or VALUES/MINUS/EXISTS/
@@ -1618,36 +1618,72 @@ class _Parser:
             return
         if self.peek() == "(":
             self.next()
-            e = self._or_expr()
+            e = self._or_expr((q, graph))
             self.expect(")")
         else:
             # bare builtin-call form: FILTER langMatches(...), FILTER !bound(...)
-            e = self._unary_expr()
+            e = self._unary_expr((q, graph))
         # split a top-level conjunction so each conjunct pushes down
         # independently (the reference's filter-placement transform,
         # HBaseTransformFilterPlacement.java)
         for c in (e.children if isinstance(e, And) else [e]):
             q.filters.append(c)
 
-    def _or_expr(self):
-        parts = [self._and_expr()]
+    # ctx = (enclosing Query, graph scope) — threaded so EXISTS{…} can
+    # parse as an expression leaf; None in contexts with no group scope
+    # (e.g. the IF() condition inside BIND), where EXISTS raises
+    def _or_expr(self, ctx=None):
+        parts = [self._and_expr(ctx)]
         while self.peek() == "||":
             self.next()
-            parts.append(self._and_expr())
+            parts.append(self._and_expr(ctx))
         return parts[0] if len(parts) == 1 else Or(parts)
 
-    def _and_expr(self):
-        parts = [self._unary_expr()]
+    def _and_expr(self, ctx=None):
+        parts = [self._unary_expr(ctx)]
         while self.peek() == "&&":
             self.next()
-            parts.append(self._unary_expr())
+            parts.append(self._unary_expr(ctx))
         return parts[0] if len(parts) == 1 else And(parts)
 
-    def _unary_expr(self):
+    def _unary_expr(self, ctx=None):
         tok = self.peek()
         if tok == "!":
             self.next()
-            return Not(self._unary_expr())
+            return Not(self._unary_expr(ctx))
+        up = tok.upper() if tok is not None else ""
+        if ctx is not None and up in ("EXISTS", "NOT"):
+            # §17.4.1.4: EXISTS{…} / NOT EXISTS{…} as an expression
+            # leaf inside a boolean combination — becomes a marker
+            # column computed by _attach_exists_marker
+            save = self.i
+            seen_exists = up == "EXISTS"
+            neg = False
+            if up == "NOT":
+                self.next()
+                if (self.peek() or "").upper() == "EXISTS":
+                    seen_exists, neg = True, True
+                else:
+                    self.i = save
+            if seen_exists:
+                self.next()  # EXISTS
+                if self.peek() != "{":
+                    self.i = save  # e.g. a var named ?EXISTS… — not ours
+                else:
+                    q, graph = ctx
+                    self.expect("{")
+                    sub = Query(variables=[])
+                    self._subgroup(sub, graph)
+                    self.expect("}")
+                    br = self._as_branch(sub)
+                    if getattr(br, "binds", None):
+                        br = GroupBlock(
+                            group=sub,
+                            out_names=tuple(sorted(_query_scope_vars(sub))),
+                        )
+                    self._exm_n = getattr(self, "_exm_n", 0) + 1
+                    leaf = ExistsExpr(marker=f"__exm{self._exm_n}", block=br)
+                    return Not(leaf) if neg else leaf
         low = tok.lower() if tok is not None else ""
         if low == "bound":
             self.next()
@@ -1725,7 +1761,7 @@ class _Parser:
             save = self.i
             try:
                 self.next()
-                e = self._or_expr()
+                e = self._or_expr(ctx)
                 self.expect(")")
                 return e
             except SparqlSyntaxError:
@@ -2221,6 +2257,56 @@ class _TermFilter(Filter):
         )
         eq = col.getField("id") == encode_term(term, kind)
         return eq if self.op == "=" else ~eq
+
+
+@dataclass
+class ExistsExpr(FilterExpr):
+    """SPARQL 1.1 §17.4.1.4 ``EXISTS { … }`` as an *expression* — a
+    boolean leaf inside arbitrary FILTER combinations
+    (``FILTER(EXISTS { … } && ?p > 5)``).
+
+    The bare top-level ``FILTER [NOT] EXISTS`` keeps its semi/anti-join
+    fast path; this node instead materializes a boolean *marker*
+    column (one compatibility semi-join over the DISTINCT outer key
+    set, joined back null-safely — never a row-multiplying join) that
+    the enclosing expression reads like any other predicate. EBV of
+    EXISTS is always true/false, never an error, so the marker
+    coalesces NULL (no compatible solution) to false.
+
+    The reference evaluates E_Exists anywhere in an ARQ expression
+    tree (SURVEY J12; nl/vu/jena gets it from stock ARQ)."""
+
+    marker: str  # hidden column name, attached by _attach_exists_marker
+    block: object = None  # GroupBlock: patterns+filters, or full group
+
+    def vars(self) -> set[str]:
+        # correlation happens through the marker join, not the
+        # expression evaluator — no outer columns read by cond()
+        return set()
+
+    def label_vars(self) -> set[str]:
+        return set()
+
+    def cond(self):
+        return F.coalesce(F.col(self.marker), F.lit(False))
+
+
+def _exists_leaves(f) -> list:
+    """Every ExistsExpr leaf of a FILTER expression tree."""
+    if isinstance(f, ExistsExpr):
+        return [f]
+    if isinstance(f, Not):
+        return _exists_leaves(f.child)
+    if isinstance(f, (And, Or)):
+        out: list = []
+        for c in f.children:
+            out += _exists_leaves(c)
+        return out
+    return []
+
+
+def _has_marker_filters(sub: "Query") -> bool:
+    return any(_exists_leaves(f) for f in sub.filters)
 
 
 def parse(query: str) -> Query:
@@ -4013,6 +4099,16 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         for br in chain:
             _attach_bind_fns(store, br.optional)
 
+    # filters whose expression tree contains an EXISTS{…} leaf need
+    # marker columns that exist only after every other stage — pull
+    # them out before anything (incl. execute_bgp pushdown) sees them
+    marker_filts = [f for f in q.filters if _exists_leaves(f)]
+    if marker_filts:
+        mset = {id(f) for f in marker_filts}
+        q = _dc_replace(
+            q, filters=[f for f in q.filters if id(f) not in mset]
+        )
+
     # filters over vars produced AFTER the pattern joins (BIND targets,
     # subquery projections) are deferred until those vars exist
     deferred: list = []
@@ -4070,6 +4166,7 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
         result = None
     elif not q.patterns and not q.optional and (
         q.values or q.services or q.binds or q.minus or q.exists
+        or marker_filts
     ):
         # pattern-free group (e.g. `SELECT ?x WHERE { VALUES ?x {…} }`
         # or a group whose only content is MINUS / FILTER EXISTS —
@@ -4312,7 +4409,90 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
             if positive != (not step.isEmpty()):
                 result = result.limit(0)
 
+    # EXISTS{…} leaves inside boolean FILTER trees: attach each leaf's
+    # marker column, then evaluate the whole expression like any other
+    # deferred filter (filters commute over the group algebra, so
+    # last-position evaluation is exact)
+    for f in marker_filts:
+        leaves = _exists_leaves(f)
+        for ex in leaves:
+            result = _attach_exists_marker(store, result, ex, may_unbound)
+        result = _apply_deferred_filter(result, store, f)
+        result = result.drop(*[ex.marker for ex in leaves])
+
     return result
+
+
+def _attach_exists_marker(
+    store, result: DataFrame, ex: ExistsExpr, may_unbound: bool
+) -> DataFrame:
+    """Extend ``result`` with ``ex.marker``: true where a solution of
+    the EXISTS block is compatible with the row, else NULL.
+
+    Shape: semi-join the DISTINCT outer key set (shared vars plus any
+    outer vars the block's correlated filters read — typically tiny
+    relative to the solution multiset) against the block, then join
+    the surviving keys back null-safely. The back-join is key-unique
+    by construction, so the marker never multiplies rows — the same
+    guarantee the top-level FILTER EXISTS semi-join gives."""
+    blk = ex.block
+    if getattr(blk, "group", None) is not None:
+        step, correlated = _group_bindings(store, blk.group, True), []
+    else:
+        local, correlated = _split_block_filters(blk)
+        _attach_bind_fns(store, blk.optional)
+        step = execute_bgp(
+            store, blk.patterns, filters=local,
+            optional=blk.optional, dedup=True,
+        )
+    shared = [c for c in step.columns if c in result.columns]
+    outer_corr = sorted(
+        set().union(set(), *(f.vars() for f in correlated))
+        & set(result.columns)
+    )
+    for f in correlated:
+        missing = f.vars() - set(step.columns) - set(result.columns)
+        if missing:
+            raise SparqlSyntaxError(
+                "EXISTS filter references variables bound nowhere: "
+                f"{sorted(missing)}"
+            )
+    need = sorted(set(shared) | set(outer_corr))
+    if not need:  # uncorrelated: global emptiness test
+        return result.withColumn(ex.marker, F.lit(not step.isEmpty()))
+    keys = result.select(*need).dropDuplicates(need)
+    # label columns for correlated label-space filters: outer vars
+    # attach to the key side (EXISTS substitutes the outer binding,
+    # §8.1.1), block-only vars to the block side
+    key_lbls: list[str] = []
+    lvs = sorted(set().union(set(), *(f.label_vars() for f in correlated)))
+    for v in lvs:
+        if v in keys.columns:
+            keys, att = _attach_any_labels(keys, store, [v])
+            key_lbls += att
+        else:
+            step, _ = _attach_any_labels(step, store, [v])
+    for v in shared:
+        step = step.withColumnRenamed(v, f"__ex_{v}")
+    cond = F.lit(True)
+    for v in shared:
+        eqv = F.col(v) == F.col(f"__ex_{v}")
+        if may_unbound or getattr(blk, "optional", None):
+            eqv = F.col(v).isNull() | F.col(f"__ex_{v}").isNull() | eqv
+        cond = cond & eqv
+    for f in correlated:
+        cond = cond & f.cond()
+    matched = keys.join(step, cond, "left_semi").drop(*key_lbls)
+    matched = matched.withColumn(ex.marker, F.lit(True))
+    for v in need:
+        matched = matched.withColumnRenamed(v, f"__exk_{v}")
+    back = _reduce(
+        lambda a, b: a & b,
+        (F.col(v).eqNullSafe(F.col(f"__exk_{v}")) for v in need),
+    )
+    return result.join(matched, back, "left").drop(
+        *[f"__exk_{v}" for v in need]
+    )
 
 
 def execute(
