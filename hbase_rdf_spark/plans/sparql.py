@@ -530,12 +530,27 @@ class _Parser:
         if tok.startswith("<"):
             # IRI → entity constant (kind 0), BASE-resolved
             return self._resolve_iri(tok[1:-1])
+        if tok.lower() in ("true", "false"):
+            # grammar [133] BooleanLiteral — inlined numeric, exactly
+            # how sources/ntriples.py stores xsd:boolean (1.0 / 0.0)
+            return 1.0 if tok.lower() == "true" else 0.0
         if tok.startswith('"'):
             m = re.match(r'^"((?:[^"\\]|\\.)*)"(.*)$', tok)
             lex, suffix = m.group(1), m.group(2)
             lex = lex.replace('\\"', '"').replace("\\\\", "\\")
             if _NUM_DT.search(tok):
-                return float(lex)
+                try:
+                    return float(lex)
+                except ValueError:
+                    # ill-typed numeric literal — stored as a kind-1
+                    # string with its wrapper (matches the scan side)
+                    return (f'"{lex}"{suffix}', 1)
+            if suffix == "^^<http://www.w3.org/2001/XMLSchema#boolean>":
+                if lex in ("true", "1"):
+                    return 1.0
+                if lex in ("false", "0"):
+                    return 0.0
+                return (f'"{lex}"{suffix}', 1)  # ill-typed boolean
             if suffix.startswith("@"):
                 # language-tagged literal: stored in N-Triples lexical
                 # form '"lex"@lang' (see sources/ntriples.py quads())
@@ -1766,7 +1781,26 @@ class _Parser:
                 return e
             except SparqlSyntaxError:
                 self.i = save
-        return self._comparison()
+        save = self.i
+        try:
+            return self._comparison()
+        except SparqlSyntaxError:
+            # operands beyond the pushdown-normalizable grammar
+            # (var-var arithmetic, IF/COALESCE values, bare EBV
+            # expressions): re-parse through the BIND value grammar
+            self.i = save
+            return self._general_cmp()
+
+    def _general_cmp(self):
+        """General-expression comparison / EBV fallback (ExprCmp /
+        EbvExpr) — correct but not scan-pushable; the specialized
+        ``_comparison`` grammar stays the fast path."""
+        lhs = self._bind_expr()
+        nxt = self.peek()
+        if nxt in self._FLIP:
+            self.next()
+            return ExprCmp(lhs, nxt, self._bind_expr())
+        return EbvExpr(lhs)
 
     def _str_or_var(self) -> str:
         """A ?var, or str(?var) — both denote the same label column."""
@@ -2307,6 +2341,108 @@ def _exists_leaves(f) -> list:
 
 def _has_marker_filters(sub: "Query") -> bool:
     return any(_exists_leaves(f) for f in sub.filters)
+
+
+def _cmp_channel(e: tuple) -> str:
+    """Static value channel of a BIND-grammar tree: 'str', 'num', or
+    'var' (ambiguous — resolved against the other side)."""
+    tag = e[0]
+    if tag in _STR_FUNCS or tag == "const":
+        return "str"
+    if tag == "var":
+        return "var"
+    return "num"
+
+
+@dataclass
+class ExprCmp(FilterExpr):
+    """General comparison of two BIND-grammar value expressions —
+    ``FILTER(?price * ?qty > 100)``, ``FILTER(STRLEN(?a) < STRLEN(?b))``,
+    ``FILTER(CONCAT(?a, "x") = "yx")``. The fallback when the
+    specialized (pushdown-normalizable) comparison grammar can't
+    express the operands; the reference evaluates these through stock
+    ARQ expression trees (SURVEY J12). NULL (unbound/type error)
+    propagates through the compiled columns — error → row dropped."""
+
+    lhs: tuple
+    op: str
+    rhs: tuple
+
+    def _channels(self) -> tuple[str, str]:
+        lt, rt = _cmp_channel(self.lhs), _cmp_channel(self.rhs)
+        if lt == "var":
+            lt = "str" if rt == "str" else "num"
+        if rt == "var":
+            rt = "str" if lt == "str" else "num"
+        return lt, rt
+
+    def vars(self) -> set[str]:
+        return _bind_expr_vars(self.lhs) | _bind_expr_vars(self.rhs)
+
+    def label_vars(self) -> set[str]:
+        out = _bind_label_vars(self.lhs) | _bind_label_vars(self.rhs)
+        lt, rt = self._channels()
+        # a bare var compared in the string channel reads its label
+        if lt == "str" and self.lhs[0] == "var":
+            out.add(self.lhs[1][1:])
+        if rt == "str" and self.rhs[0] == "var":
+            out.add(self.rhs[1][1:])
+        return out
+
+    def _side(self, e: tuple, ch: str):
+        from hbase_rdf_spark.plans.filters import str_value
+
+        if ch == "str":
+            return str_value(e[1][1:]) if e[0] == "var" else _bind_str_col(e)
+        return _bind_num_col(e)
+
+    def cond(self):
+        lt, rt = self._channels()
+        if lt != rt:
+            raise SparqlSyntaxError(
+                f"type-incompatible FILTER comparison "
+                f"({lt} {self.op} {rt})"
+            )
+        lc, rc = self._side(self.lhs, lt), self._side(self.rhs, rt)
+        return _CMP[self.op](lc, rc)
+
+
+@dataclass
+class EbvExpr(FilterExpr):
+    """§17.2.2 effective boolean value of a bare value expression used
+    as a FILTER — ``FILTER(?flag)``, ``FILTER(IF(?p > 5, 1, 0))``.
+    Numerics (incl. the inlined xsd:booleans) are true iff non-zero;
+    strings iff non-empty; IRIs/unbound are a type error → NULL →
+    row dropped."""
+
+    expr: tuple
+
+    def vars(self) -> set[str]:
+        return _bind_expr_vars(self.expr)
+
+    def label_vars(self) -> set[str]:
+        out = set(_bind_label_vars(self.expr))
+        if self.expr[0] == "var":
+            out.add(self.expr[1][1:])  # kind-1 strings read their lexical
+        return out
+
+    def cond(self):
+        from hbase_rdf_spark.plans.filters import str_value
+
+        e = self.expr
+        if e[0] == "var":
+            name = e[1][1:]
+            v = F.col(name)
+            return (
+                F.when(v.getField("kind") == 2, v.getField("num") != 0)
+                .when(
+                    v.getField("kind") == 1,
+                    F.length(str_value(name)) > 0,
+                )
+            )
+        if _cmp_channel(e) == "str":
+            return F.length(_bind_str_col(e)) > 0
+        return _bind_num_col(e) != 0
 
 
 def parse(query: str) -> Query:

@@ -79,13 +79,18 @@ def parse_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
             r"\\\\", r"\\",
         ),
     )
-    bool_num = F.when(o_lex_lit == "true", F.lit(1.0)).when(
-        o_lex_lit == "false", F.lit(0.0)
+    # full xsd:boolean lexical space {true, false, 1, 0}; try_cast so an
+    # ill-typed numeric literal ("12x"^^xsd:integer) degrades to a
+    # kind-1 string literal (wrapper preserved) instead of failing the
+    # whole scan under ANSI casts — the term is still a legal RDF
+    # literal, just not a number
+    bool_num = F.when(o_lex_lit.isin("true", "1"), F.lit(1.0)).when(
+        o_lex_lit.isin("false", "0"), F.lit(0.0)
     )
     o_num = F.when(
         is_numeric,
         F.when(o_dt == XSD + "boolean", bool_num).otherwise(
-            o_lex_lit.cast("double")
+            o_lex_lit.try_cast("double")
         ),
     )
 
@@ -146,6 +151,13 @@ def quads(parsed: DataFrame) -> DataFrame:
                 F.lit('"'), F.col("o_lex"), F.lit('"^^<'),
                 F.col("o_datatype"), F.lit(">"),
             ),
+        )
+        .when(
+            # inlined numerics (incl. booleans as 1.0/0.0) carry the
+            # VALUE, not the lexical — "true"^^xsd:boolean must not
+            # reach encode_quads' numeric cast as the string 'true'
+            F.col("o_kind") == 2,
+            F.col("o_num").cast("string"),
         )
         .otherwise(F.col("o_lex"))
     )
