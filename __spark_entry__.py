@@ -603,6 +603,38 @@ def _q_sparql_datetime(spark, sf):
             F.col("event_type").alias("obj"),
             F.lit(0).alias("obj_kind"),
         )
+    ).unionByName(
+        # numeric + boolean predicates for the expression-filter gates:
+        # <val>/<uid> inline as kind-2 numerics; <big> is an inlined
+        # xsd:boolean (1.0/0.0 — the engine's boolean value space)
+        ev.select(
+            F.lit("evkg").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            subj.alias("subj"),
+            F.lit("val").alias("pred"),
+            F.col("value").cast("string").alias("obj"),
+            F.lit(2).alias("obj_kind"),
+        )
+    ).unionByName(
+        ev.select(
+            F.lit("evkg").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            subj.alias("subj"),
+            F.lit("uid").alias("pred"),
+            F.col("user_id").cast("double").cast("string").alias("obj"),
+            F.lit(2).alias("obj_kind"),
+        )
+    ).unionByName(
+        ev.select(
+            F.lit("evkg").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            subj.alias("subj"),
+            F.lit("big").alias("pred"),
+            F.when(F.col("value") > 5.0, F.lit("1.0"))
+            .otherwise(F.lit("0.0"))
+            .alias("obj"),
+            F.lit(2).alias("obj_kind"),
+        )
     )
     st = TripleStore(
         spark, tempfile.mkdtemp(prefix="dtgate_"), num_partitions=4
@@ -639,6 +671,50 @@ def _q_sparql_dt_cmp(spark, sf):
           ?e <at> ?t . ?e <etype> <click> .
           FILTER(?t >= "2024-01-08T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>
                  && ?t < "2024-01-20T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>)
+        }""")
+
+
+def _q_sparql_expr_filter(spark, sf):
+    # round-4 general value expressions in FILTER (ExprCmp): var-var
+    # arithmetic the specialized pushdown grammar can't linearize —
+    # ?v * ?u and ?v + ?u over two patterns' bindings. The reference
+    # evaluates these through stock ARQ expression trees (SURVEY J12).
+    # DuckDB replays the arithmetic on the raw events columns.
+    from hbase_rdf_spark.plans.sparql import execute
+
+    if _DT_STORES.get(sf) is None:
+        _q_sparql_datetime(spark, sf)  # build + cache the store
+    return execute(_DT_STORES[sf], """
+        SELECT ?e WHERE {
+          ?e <val> ?v . ?e <uid> ?u .
+          FILTER(?v * ?u > 400 && ?v + ?u <= 120)
+        }""")
+
+
+def _q_sparql_ebv_bool(spark, sf):
+    # round-4 booleans end-to-end: an inlined xsd:boolean predicate
+    # tested by bare effective-boolean-value (FILTER(?b), §17.2.2) in
+    # conjunction with a numeric comparison; projects the numeric var
+    # through the standard rendering
+    from hbase_rdf_spark.plans.sparql import execute
+
+    if _DT_STORES.get(sf) is None:
+        _q_sparql_datetime(spark, sf)
+    return execute(_DT_STORES[sf], """
+        SELECT ?e ?u WHERE {
+          ?e <big> ?b . ?e <uid> ?u .
+          FILTER(?b && ?u <= 25)
+        }""")
+
+
+def _q_sparql_exists_expr(spark, sf):
+    # round-4 EXISTS as an expression (§17.4.1.4): an EXISTS leaf
+    # conjoined with a label-space predicate inside one FILTER — the
+    # marker-column path, not the top-level semi-join fast path
+    return _sparql(spark, sf, """
+        SELECT DISTINCT ?y WHERE {
+          <spark> <join> ?y .
+          FILTER(EXISTS { ?y <merge> ?z } && STRLEN(?y) >= 4)
         }""")
 
 
@@ -1946,10 +2022,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
         "rel_brand_revenue": _q_rel_brand_revenue,
-        "kg_pagerank": _q_pagerank,
-        "ann_lsh_topk": _q_ann_lsh,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_simhash,
+        # third mid-round-4 rotation: the three NEW expression-surface
+        # gates (exists-expr markers, ExprCmp var-var arithmetic, EBV
+        # booleans — all planner code written this round) take window
+        # seats; kg_pagerank / ann_lsh_topk / dedup_simhash (green r3,
+        # ops/graph|similarity|dedup untouched in round 4) rotate to
+        # block D
+        "kg_sparql_exists_expr": _q_sparql_exists_expr,
+        "kg_sparql_expr_filter": _q_sparql_expr_filter,
+        "kg_sparql_ebv_bool": _q_sparql_ebv_bool,
         # -- block B: new round-3 gates -----------------------------------
         "kg_sparql_from_named": _q_sparql_from_named,
         "mm_image_features": _q_mm_image_features,
@@ -2002,6 +2084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (chronological dateTime FILTER comparisons, DtCmp — NEW
         # planner code) seats in place of dedup_minhash_pairs (green
         # r3, minhash path untouched in round 4).
+        "kg_pagerank": _q_pagerank,
+        "ann_lsh_topk": _q_ann_lsh,
+        "dedup_simhash": _q_simhash,
         "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
         "rel_region_revenue": _q_rel_region_revenue,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -2756,6 +2841,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id % 10 = 0 AND event_type = 'click'
               AND ts >= TIMESTAMP '2024-01-08 00:00:00'
               AND ts <  TIMESTAMP '2024-01-20 00:00:00'""",
+        # var-var arithmetic replays on the raw columns: both engines
+        # compute the same IEEE double ops (user_id promotes to double
+        # on both sides), so the boundary comparisons agree exactly
+        "kg_sparql_expr_filter": """
+            SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e
+            FROM events
+            WHERE event_id % 10 = 0
+              AND value * user_id > 400 AND value + user_id <= 120""",
+        "kg_sparql_ebv_bool": """
+            SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e,
+                   CAST(CAST(user_id AS DOUBLE) AS VARCHAR) AS u
+            FROM events
+            WHERE event_id % 10 = 0 AND value > 5.0 AND user_id <= 25""",
+        "kg_sparql_exists_expr": f"""{_TRIPLES_CTE}
+            SELECT DISTINCT o AS y FROM triples
+            WHERE s = 'spark' AND p = 'join' AND length(o) >= 4
+              AND o IN (SELECT s FROM triples WHERE p = 'merge')""",
         "kg_sparql_having": f"""{_TRIPLES_CTE}
             SELECT s FROM triples WHERE p = 'merge'
             GROUP BY s HAVING COUNT(o) > 2""",
