@@ -1897,6 +1897,23 @@ def _q_dedup_clusters(spark, sf):
     return dedup_keep_list(docs, pairs)
 
 
+def _q_dedup_substring(spark, sf):
+    # exact duplicated-substring spans (Lee et al. 2021 ExactSubstr
+    # shape): word-start-anchored 40-char md5 windows — anchoring on
+    # content keeps detection alignment-independent — corpus-wide
+    # fingerprint counts, per-doc gaps-and-islands merge. DuckDB
+    # replays the identical sweep (md5 + list_filter + window merge).
+    from hbase_rdf_spark.ops.dedup import duplicated_substring_spans
+
+    docs = wordkg.read(spark, sf, "documents")
+    out = duplicated_substring_spans(docs, window=40)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
 def _q_sample_stratified(spark, sf):
     # deterministic per-stratum top-k by keyed md5 (portable hash
     # family): the exact sample a rerun at any cluster size reproduces.
@@ -2021,8 +2038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_seq": _q_path_seq,
         "kg_path_inv": _q_path_inv,
         "kg_path_plus": _q_path_plus,
-        "rel_brand_revenue": _q_rel_brand_revenue,
         "dedup_clusters": _q_dedup_clusters,
+        # fourth mid-round-4 rotation: the new exact-substring dedup
+        # operator (ops/dedup.py duplicated_substring_spans, written
+        # this round) takes the seat of rel_brand_revenue (green
+        # r1+r2+r3, relational pipeline untouched since r1)
+        "dedup_substring_spans": _q_dedup_substring,
         # third mid-round-4 rotation: the three NEW expression-surface
         # gates (exists-expr markers, ExprCmp var-var arithmetic, EBV
         # booleans — all planner code written this round) take window
@@ -2087,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_pagerank,
         "ann_lsh_topk": _q_ann_lsh,
         "dedup_simhash": _q_simhash,
+        "rel_brand_revenue": _q_rel_brand_revenue,
         "rel_top_orders_per_cust": _q_rel_top_orders_per_cust,
         "rel_region_revenue": _q_rel_region_revenue,
         "dedup_minhash_pairs": _q_minhash_pairs,
@@ -3255,6 +3277,47 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _FINGERPRINT_SQL,
         "dedup_minhash_pairs": _MINHASH_ORACLE_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE_SQL,
+        # identical word-start-anchored sweep: list_filter picks the
+        # anchors, md5 fingerprints the 40-char windows, the window
+        # functions replay the gaps-and-islands merge; casts to BIGINT
+        # ward off the HUGEINT→float64 round-trip
+        "dedup_substring_spans": """
+            WITH base AS (
+              SELECT doc_id, text AS t FROM documents
+              WHERE length(text) >= 40
+            ), pos AS (
+              SELECT doc_id, t,
+                     unnest(list_filter(
+                       range(1, length(t) - 40 + 2),
+                       p -> p = 1 OR substr(t, CAST(p - 1 AS INTEGER), 1) = ' '
+                     )) AS p
+              FROM base
+            ), grams AS (
+              SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     md5(substr(t, CAST(p AS INTEGER), 40)) AS fp
+              FROM pos
+            ), dup AS (
+              SELECT fp FROM grams GROUP BY fp HAVING count(*) >= 2
+            ), marked AS (
+              SELECT g.doc_id, g.p FROM grams g JOIN dup USING (fp)
+            ), prev AS (
+              SELECT doc_id, p,
+                     max(p + 39) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM marked
+            ), isl AS (
+              SELECT doc_id, p,
+                     CAST(sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                                   THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY p)
+                          AS BIGINT) AS island
+              FROM prev
+            )
+            SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 39 AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island""",
         "sample_stratified": """
             SELECT doc_id, lang, source, sample_rank FROM (
               SELECT doc_id, lang, source,

@@ -545,3 +545,97 @@ def dedup_keep_list(
         F.col("cluster_size"),
         (F.col(id_col) == F.col("_best.d")).alias("keep"),
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection — the ExactSubstr shape of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", §4.1), which a suffix array computes exactly on
+    one machine and this operator approximates distributively with a
+    content-anchored window fingerprint sweep.
+
+    A ``window``-char fingerprint is taken at every WORD-START
+    position (position 1, or any position preceded by a space).
+    Anchoring on content rather than a fixed stride makes detection
+    alignment-independent: the same duplicated text fingerprints at
+    the same anchors no matter where it sits in each document (a fixed
+    stride only matches duplicates whose offsets happen to agree mod
+    stride — 1/stride recall per pair). A window whose fingerprint
+    occurs ≥ ``min_count`` times ANYWHERE in the corpus (other
+    documents or elsewhere in the same one — self-repetition is
+    training-data duplication too) marks its span duplicated; per
+    document, overlapping marked windows merge into maximal spans
+    (gaps-and-islands). Any duplicated run containing a word start
+    plus ``window`` following chars is detected.
+
+    Returns (id_col, span_start, span_end) — 1-indexed inclusive char
+    bounds of each merged duplicated span.
+
+    100-TB shape: one explode (≈ len/avg_word_len rows per doc, each
+    carrying a 32-byte fingerprint, never the text — the anchor
+    filter runs inside the map stage, so unanchored positions never
+    shuffle), one combinable count groupBy on the fingerprint, one
+    equi-join back (AQE broadcasts the duplicated-fingerprint side
+    when small), one per-document window for the merge — no all-pairs
+    stage, no driver collect, no Python UDF. Fingerprints use md5 so
+    a SQL oracle replays them bit-for-bit (functions/portable.py
+    rationale).
+    """
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).filter(F.length("__t") >= window)
+    # word-start anchors via a codegen higher-order filter — list of
+    # candidate starts, pruned before anything shuffles
+    anchors = F.expr(
+        f"filter(sequence(1, length(__t) - {window} + 1), "
+        f"p -> p = 1 OR substring(__t, p - 1, 1) = ' ')"
+    )
+    pos = base.select(id_col, "__t", F.explode(anchors).alias("p"))
+    grams = pos.select(
+        id_col,
+        "p",
+        F.md5(F.expr(f"substring(__t, p, {window})")).alias("__fp"),
+    )
+    dup_fps = (
+        grams.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__fp")
+    )
+    marked = grams.join(dup_fps, "__fp").select(id_col, "p")
+    # gaps-and-islands: a window starts a new span when it begins after
+    # every earlier window's end (p > max(prev p) + window - 1)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn(
+        "__prev_end", F.max(F.col("p") + window - 1).over(w_prev)
+    ).withColumn(
+        "__new",
+        F.when(
+            F.col("__prev_end").isNull()
+            | (F.col("p") > F.col("__prev_end")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__island", F.sum("__new").over(w_run))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + window - 1).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
