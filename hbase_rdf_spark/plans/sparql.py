@@ -171,7 +171,7 @@ _TOKEN_RX = re.compile(
   | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+|\^\^<[^<>\s]*>)?)
   | (?P<squote>'(?:[^'\\]|\\.)*')
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
+  | (?P<num>-?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
   | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
   | (?P<op><=|>=|!=|=|<|>|&&|\|\||!|[+-])
   | (?P<punct>[{}()*.,;/|^?\[\]])
@@ -910,6 +910,19 @@ class _Parser:
         return sq
 
     def _group(self, q: Query, graph) -> None:
+        # group-context stack: lets EXISTS{…} parse as an expression
+        # leaf from value positions (BIND, IF conditions) anywhere
+        # inside this group's body — _bind_atom reads the top
+        stack = getattr(self, "_gctx", None)
+        if stack is None:
+            stack = self._gctx = []
+        stack.append((q, graph))
+        try:
+            self._group_body(q, graph)
+        finally:
+            stack.pop()
+
+    def _group_body(self, q: Query, graph) -> None:
         while True:
             tok = self.peek()
             if tok is None or tok == "}":
@@ -1436,6 +1449,14 @@ class _Parser:
             self.next()
             return self._bind_atom()
         up = (self.peek() or "").upper()
+        gctx = getattr(self, "_gctx", None)
+        if up in ("EXISTS", "NOT") and gctx:
+            # §17.4.1.4: EXISTS{…} as a VALUE — xsd:boolean, inlined
+            # onto the numeric 1.0/0.0 space like every other boolean
+            got = self._parse_exists_leaf(gctx[-1])
+            if got is not None:
+                leaf, neg = got
+                return ("existsm", Not(leaf) if neg else leaf)
         if (
             self._agg_ctx is not None
             and up in _AGG_FUNCS
@@ -1558,7 +1579,8 @@ class _Parser:
                 self.expect(")")
                 return (low, s, t)
             if low == "if":
-                cond = self._or_expr()
+                gctx = getattr(self, "_gctx", None)
+                cond = self._or_expr(gctx[-1] if gctx else None)
                 self.expect(",")
                 then = self._bind_expr()
                 self.expect(",")
@@ -1671,34 +1693,10 @@ class _Parser:
             # §17.4.1.4: EXISTS{…} / NOT EXISTS{…} as an expression
             # leaf inside a boolean combination — becomes a marker
             # column computed by _attach_exists_marker
-            save = self.i
-            seen_exists = up == "EXISTS"
-            neg = False
-            if up == "NOT":
-                self.next()
-                if (self.peek() or "").upper() == "EXISTS":
-                    seen_exists, neg = True, True
-                else:
-                    self.i = save
-            if seen_exists:
-                self.next()  # EXISTS
-                if self.peek() != "{":
-                    self.i = save  # e.g. a var named ?EXISTS… — not ours
-                else:
-                    q, graph = ctx
-                    self.expect("{")
-                    sub = Query(variables=[])
-                    self._subgroup(sub, graph)
-                    self.expect("}")
-                    br = self._as_branch(sub)
-                    if getattr(br, "binds", None):
-                        br = GroupBlock(
-                            group=sub,
-                            out_names=tuple(sorted(_query_scope_vars(sub))),
-                        )
-                    self._exm_n = getattr(self, "_exm_n", 0) + 1
-                    leaf = ExistsExpr(marker=f"__exm{self._exm_n}", block=br)
-                    return Not(leaf) if neg else leaf
+            got = self._parse_exists_leaf(ctx)
+            if got is not None:
+                leaf, neg = got
+                return Not(leaf) if neg else leaf
         low = tok.lower() if tok is not None else ""
         if low == "bound":
             self.next()
@@ -1778,7 +1776,19 @@ class _Parser:
                 self.next()
                 e = self._or_expr(ctx)
                 self.expect(")")
-                return e
+                # the general-expression fallback can "succeed" on a
+                # parenthesized arithmetic OPERAND (`(?p + 1) < 3` —
+                # EbvExpr(?p + 1)); only accept the boolean reading
+                # when what follows cannot continue a comparison
+                nxt = self.peek()
+                if (
+                    nxt in self._FLIP
+                    or nxt in ("*", "/", "+", "-")
+                    or (nxt or "").upper() in ("IN", "NOT")
+                ):
+                    self.i = save
+                else:
+                    return e
             except SparqlSyntaxError:
                 self.i = save
         save = self.i
@@ -1790,6 +1800,39 @@ class _Parser:
             # expressions): re-parse through the BIND value grammar
             self.i = save
             return self._general_cmp()
+
+    def _parse_exists_leaf(self, ctx):
+        """[NOT] EXISTS { … } at the cursor → (ExistsExpr, negated),
+        or None (cursor restored) when what's here isn't that form."""
+        save = self.i
+        up = (self.peek() or "").upper()
+        neg = False
+        if up == "NOT":
+            self.next()
+            if (self.peek() or "").upper() == "EXISTS":
+                neg = True
+            else:
+                self.i = save
+                return None
+        elif up != "EXISTS":
+            return None
+        self.next()  # EXISTS
+        if self.peek() != "{":
+            self.i = save  # e.g. a var named ?EXISTS… — not ours
+            return None
+        q, graph = ctx
+        self.expect("{")
+        sub = Query(variables=[])
+        self._subgroup(sub, graph)
+        self.expect("}")
+        br = self._as_branch(sub)
+        if getattr(br, "binds", None):
+            br = GroupBlock(
+                group=sub,
+                out_names=tuple(sorted(_query_scope_vars(sub))),
+            )
+        self._exm_n = getattr(self, "_exm_n", 0) + 1
+        return ExistsExpr(marker=f"__exm{self._exm_n}", block=br), neg
 
     def _general_cmp(self):
         """General-expression comparison / EBV fallback (ExprCmp /
@@ -2326,7 +2369,8 @@ class ExistsExpr(FilterExpr):
 
 
 def _exists_leaves(f) -> list:
-    """Every ExistsExpr leaf of a FILTER expression tree."""
+    """Every ExistsExpr leaf of a FILTER expression tree (incl. ones
+    buried in the value trees of the general-expression fallbacks)."""
     if isinstance(f, ExistsExpr):
         return [f]
     if isinstance(f, Not):
@@ -2336,11 +2380,37 @@ def _exists_leaves(f) -> list:
         for c in f.children:
             out += _exists_leaves(c)
         return out
+    if isinstance(f, EbvExpr):
+        return _bind_exists_leaves(f.expr)
+    if isinstance(f, ExprCmp):
+        return _bind_exists_leaves(f.lhs) + _bind_exists_leaves(f.rhs)
     return []
 
 
+def _bind_exists_leaves(expr) -> list:
+    """Every ExistsExpr reachable from a BIND value tree — through
+    ``('existsm', node)`` value leaves or the FilterExpr condition of
+    an IF."""
+    if isinstance(expr, FilterExpr):
+        return _exists_leaves(expr)
+    if not isinstance(expr, tuple):
+        return []
+    if expr[0] == "existsm":
+        return _exists_leaves(expr[1])
+    out: list = []
+    for item in expr[1:]:
+        if isinstance(item, (tuple, FilterExpr)):
+            out += _bind_exists_leaves(item)
+        elif isinstance(item, list):
+            for a in item:
+                out += _bind_exists_leaves(a)
+    return out
+
+
 def _has_marker_filters(sub: "Query") -> bool:
-    return any(_exists_leaves(f) for f in sub.filters)
+    return any(_exists_leaves(f) for f in sub.filters) or any(
+        _bind_exists_leaves(b.expr) for b in sub.binds
+    )
 
 
 def _cmp_channel(e: tuple) -> str:
@@ -2860,6 +2930,10 @@ def _bind_num_col(expr: tuple):
         return F.floor(c + F.lit(0.5)).cast("double")
     if tag == "coalesce":
         return F.coalesce(*[_bind_num_col(a) for a in expr[1]])
+    if tag == "existsm":
+        # EXISTS-as-value: true/false, never an error → 1.0/0.0 (the
+        # inlined xsd:boolean space); marker attached pre-bind
+        return F.when(expr[1].cond(), F.lit(1.0)).otherwise(F.lit(0.0))
     if tag == "if":
         c = expr[1].cond()
         return (
@@ -3071,7 +3145,7 @@ def _bind_label_vars(expr: tuple) -> set[str]:
     """Vars (no '?') whose LABEL the expression reads — through a
     string-context subtree or an IF condition's label-space filter."""
     tag = expr[0]
-    if tag in ("num", "const") or tag in _NOARG_FNS:
+    if tag in ("num", "const", "existsm") or tag in _NOARG_FNS:
         return set()
     if tag == "var":
         return set()  # only counts when reached through a string node
@@ -4396,8 +4470,36 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     # error→unbound BIND value matches every post solution (§8.3);
     # deferred filters apply once BIND / subquery / post-pattern vars
     # exist
+    # EXISTS leaves inside BIND values / IF conditions need their
+    # marker columns BEFORE the binds evaluate
+    bind_exm = [l for b in q.binds for l in _bind_exists_leaves(b.expr)]
+    if bind_exm:
+        # markers attach BEFORE the bind stage, so a block correlated
+        # through a var that this group's own BINDs produce would see
+        # it unbound — reject rather than mis-evaluate
+        targets = {b.var for b in q.binds}
+        for ex in bind_exm:
+            blk = ex.block
+            scope = (
+                set(blk.out_names or ())
+                if getattr(blk, "group", None) is not None
+                else set(pattern_vars(blk.patterns))
+            )
+            if scope & targets:
+                raise SparqlSyntaxError(
+                    "EXISTS inside BIND may not reference variables "
+                    f"bound in the same group: {sorted(scope & targets)}"
+                )
+    for ex in bind_exm:
+        result = _attach_exists_marker(
+            store, result, ex,
+            bool(q.optional or q.union_blocks or q.values
+                 or q.services or q.subqueries),
+        )
     if q.binds:
         result = _apply_binds(result, store, q.binds)
+    if bind_exm:
+        result = result.drop(*[ex.marker for ex in bind_exm])
     if post_pats:
         pdf = execute_bgp(store, post_pats, filters=post_filts, dedup=dedup)
         shared = [c for c in pdf.columns if c in result.columns]
