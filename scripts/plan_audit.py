@@ -544,6 +544,63 @@ def main() -> None:
                             "Exchange", "Scan parquet")),
     ))
 
+    p33 = eng.sql(
+        "SELECT ?x ?y WHERE { ?x <rel:works_at> ?y . "
+        "FILTER(EXISTS { ?x <rel:lives_in> ?z } && STRLEN(?x) >= 3) }"
+    )
+    sections.append((
+        "Expression-EXISTS — marker semi-join over the distinct key set",
+        "EXISTS{…} inside a boolean FILTER combination (round 4) "
+        "materializes a marker: LeftSemi of the DISTINCT outer keys "
+        "against the block, joined back with null-safe equality — a "
+        "key-unique build side, so the marker join can never multiply "
+        "rows. Both joins are hash joins on 8-byte ids; the STRLEN "
+        "conjunct evaluates in the same codegen stage that reads the "
+        "marker. The bare FILTER EXISTS form keeps its direct "
+        "semi-join (audited above) — this path only pays the extra "
+        "join-back when EXISTS is combined with other predicates.",
+        trim(plan_of(p33), ("Join", "HashAggregate", "Exchange",
+                            "Project", "Scan parquet", "Filter",
+                            "WholeStageCodegen")),
+    ))
+
+    p34 = eng.sql(
+        "SELECT ?x WHERE { ?x <rel:age> ?a . ?x <rel:founded_in> ?f . "
+        "FILTER(?a * ?f > 100000) }"
+    )
+    sections.append((
+        "General value-expression FILTER — codegen column predicate",
+        "Var-var arithmetic the pushdown grammar can't linearize "
+        "(round 4, ExprCmp) compiles to one Column over the joined "
+        "binding structs' num fields: a plain Filter inside "
+        "WholeStageCodegen after the hash join, no UDF, no extra "
+        "stage. Single-var comparisons still normalize onto the "
+        "pushdown classes and reach the scans as PushedFilters.",
+        trim(plan_of(p34), ("Join", "Filter", "Project",
+                            "Scan parquet", "PushedFilters",
+                            "WholeStageCodegen")),
+    ))
+
+    p35 = entrymod.queries()["dedup_substring_spans"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Exact-substring dedup — anchored fingerprints, islands merge",
+        "duplicated_substring_spans (round 4): the word-start anchor "
+        "filter and md5 fingerprinting run inside the scan's codegen "
+        "stage (explode of a filtered sequence — unanchored positions "
+        "never leave the map task and the text column never "
+        "shuffles); the fingerprint count is a partial_count → "
+        "Exchange(fp) → count HashAggregate; the join back is an "
+        "equi-join AQE can broadcast when few fingerprints are "
+        "duplicated; the per-document gaps-and-islands merge is ONE "
+        "window over Exchange(doc_id). Nothing all-pairs, nothing "
+        "driver-side.",
+        trim(plan_of(p35), ("Generate", "HashAggregate", "Exchange",
+                            "Join", "Window", "Project",
+                            "Scan parquet", "WholeStageCodegen")),
+    ))
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write(
