@@ -1906,7 +1906,7 @@ def _q_dedup_substring(spark, sf):
     from hbase_rdf_spark.ops.dedup import duplicated_substring_spans
 
     docs = wordkg.read(spark, sf, "documents")
-    out = duplicated_substring_spans(docs, window=40)
+    out = duplicated_substring_spans(docs, window=40, portable=True)
     return out.select(
         "doc_id",
         F.col("span_start").cast("long").alias("span_start"),

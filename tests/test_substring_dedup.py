@@ -102,3 +102,21 @@ def test_reference_agreement_on_degenerate_corpus(spark):
     docs = [(1, "ab" * 40), (2, "ba" * 40), (3, "ab" * 40)]
     got = run(spark, docs, window=16)
     assert got == ref_spans(docs, 16, 2)
+
+
+def test_portable_and_fast_hash_agree(spark):
+    # xxhash64 (default, 8-byte JVM-fast) and md5 (oracle-portable)
+    # fingerprints must mark identical spans — 40-char windows make
+    # accidental 64-bit collisions irrelevant at test scale
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fast = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_substring_spans(df, window=20).collect()
+    )
+    port = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_substring_spans(
+            df, window=20, portable=True
+        ).collect()
+    )
+    assert fast == port
