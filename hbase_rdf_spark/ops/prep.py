@@ -5,15 +5,17 @@ Stage order — each one an operator from this package, each individually
 oracle-gated (`__spark_entry__` `text_* dedup_* sample_*` entries):
 
 1. exact dedup                     (`dedup.dedup_exact`)
-2. near-dup removal (MinHash-LSH)  (`dedup.minhash_duplicate_pairs`
+2. duplicated-substring budget     (`dedup.duplicated_substring_spans`
+   (opt-in via max_dup_span_frac)   — Lee et al. ExactSubstr, doc-granular)
+3. near-dup removal (MinHash-LSH)  (`dedup.minhash_duplicate_pairs`
                                     → `dedup.dedup_keep_list`)
-3. quality + repetition filters    (`text.quality_features`,
+4. quality + repetition filters    (`text.quality_features`,
                                     `text.repetition_features`)
-4. language filter                 (`text.detect_language`)
-5. benchmark decontamination       (`contamination.benchmark_contamination`)
-6. PII redaction                   (`text.redact_pii`)
-7. data-mixture sampling           (`sampling.mixture_sample`)
-8. training-shard assignment       (`sampling.assign_shards`)
+5. language filter                 (`text.detect_language`)
+6. benchmark decontamination       (`contamination.benchmark_contamination`)
+7. PII redaction                   (`text.redact_pii`)
+8. data-mixture sampling           (`sampling.mixture_sample`)
+9. training-shard assignment       (`sampling.assign_shards`)
 
 Scale notes: every stage is individually scale-safe (bucketed candidate
 generation, broadcast benchmark grams, codegen projections, map-only
@@ -31,6 +33,7 @@ from hbase_rdf_spark.ops.contamination import benchmark_contamination
 from hbase_rdf_spark.ops.dedup import (
     dedup_exact,
     dedup_keep_list,
+    duplicated_substring_spans,
     minhash_duplicate_pairs,
 )
 from hbase_rdf_spark.ops.sampling import assign_shards, mixture_sample
@@ -48,6 +51,8 @@ def prep_training_data(
     id_col: str = "doc_id",
     text_col: str = "text",
     minhash_threshold: float = 0.8,
+    max_dup_span_frac: float | None = None,
+    dup_span_window: int = 50,
     min_quality: float = 0.3,
     max_top_2gram_frac: float = 0.5,
     langs: set[str] | None = None,
@@ -77,6 +82,28 @@ def prep_training_data(
     out = note("input", docs)
 
     out = note("exact_dedup", dedup_exact(out, text_col, id_col))
+
+    if max_dup_span_frac is not None:
+        # Lee et al. 2021 ExactSubstr policy, document-granular: drop
+        # documents whose duplicated-substring coverage exceeds the
+        # budget (boilerplate-heavy pages). Spans from the anchored
+        # fingerprint sweep; coverage = merged span chars / doc chars.
+        spans = duplicated_substring_spans(
+            out, text_col=text_col, id_col=id_col,
+            window=dup_span_window,
+        )
+        cover = spans.groupBy(id_col).agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("__dupchars")
+        )
+        out = note(
+            "substring_dedup",
+            out.join(cover, on=id_col, how="left").filter(
+                F.coalesce(F.col("__dupchars"), F.lit(0))
+                <= max_dup_span_frac * F.length(F.col(text_col))
+            ).drop("__dupchars"),
+        )
 
     pairs = minhash_duplicate_pairs(
         out, text_col=text_col, id_col=id_col, threshold=minhash_threshold

@@ -1049,3 +1049,47 @@ def test_video_avi_roundtrip_and_real_frame_sampling(spark):
     luma0 = decode_luma(stream.frames[0])
     expect = (np.resize(luma0.mean(axis=0), 8) / 255.0).astype(np.float32)
     assert np.allclose(np.array(feats[7]["feature"], dtype=np.float32), expect)
+
+
+def test_prep_substring_budget_stage(spark):
+    from hbase_rdf_spark.ops.prep import prep_training_data
+
+    boiler = (
+        "all rights reserved worldwide under applicable law and treaty "
+        "two thousand twenty four all rights reserved worldwide again"
+    )
+    rows = [
+        # mostly boilerplate (shared with doc 2) + tiny unique tail
+        (1, boiler + " unique tail one", "web"),
+        (2, boiler + " other ending two", "web"),
+        # unique long document — no duplicated spans
+        (3, "the small grey mouse hides under the warm wooden floor of "
+            "the house near the garden wall every single day in spring",
+            "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out, stats = prep_training_data(
+        docs,
+        max_dup_span_frac=0.5,
+        dup_span_window=30,
+        minhash_threshold=0.95,  # keep near-dedup out of the way
+        min_quality=0.0,
+        max_top_2gram_frac=1.0,
+        collect_stats=True,
+    )
+    kept = {r.doc_id for r in out.collect()}
+    # docs 1/2 share ≥ half their chars as duplicated spans → dropped;
+    # doc 3 has no duplicated windows → kept
+    assert kept == {3}
+    assert stats["substring_dedup"] == 1
+    # without the budget the stage is skipped entirely
+    out2, stats2 = prep_training_data(
+        docs,
+        minhash_threshold=0.95,
+        min_quality=0.0,
+        max_top_2gram_frac=1.0,
+        collect_stats=True,
+    )
+    assert "substring_dedup" not in stats2
