@@ -180,9 +180,14 @@ _TOKEN_RX = re.compile(
     re.VERBOSE,
 )
 
+#: the full inlined-numeric value space — every type the scan side
+#: treats as numeric (sources/ntriples.py NUMERIC_DATATYPES), longest
+#: alternatives first so prefixes ('int' in 'integer') can't shadow
 _NUM_DT = re.compile(
     r"\^\^<http://www\.w3\.org/2001/XMLSchema#"
-    r"(double|float|decimal|integer|long|int|short|byte)>$"
+    r"(nonPositiveInteger|nonNegativeInteger|negativeInteger"
+    r"|positiveInteger|unsignedLong|unsignedShort|unsignedByte"
+    r"|unsignedInt|integer|decimal|double|float|short|long|byte|int)>$"
 )
 
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}

@@ -131,3 +131,15 @@ def test_ill_typed_numeric_literal_stays_string():
     assert q.patterns[0].o == (
         '"12x"^^<http://www.w3.org/2001/XMLSchema#integer>', 1
     )
+
+
+def test_all_inlined_numeric_datatypes_parse_numeric():
+    # every datatype the SCAN side inlines as a kind-2 numeric
+    # (sources/ntriples.py NUMERIC_DATATYPES) must parse numeric on
+    # the QUERY side too, or constants can never match their stored
+    # form — the same store/parser divergence the boolean fix closed
+    from hbase_rdf_spark.sources.ntriples import NUMERIC_DATATYPES
+
+    for dt in NUMERIC_DATATYPES:
+        q = parse(f'SELECT ?s WHERE {{ ?s <http://ex/p> "7"^^<{dt}> }}')
+        assert q.patterns[0].o == 7.0, dt
