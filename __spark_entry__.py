@@ -2031,7 +2031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_subquery_topk": _q_sparql_subquery_topk,
         "kg_sparql_bind_str": _q_sparql_bind_str,
-        "kg_sparql_strfuncs": _q_sparql_strfuncs,
+        # round-5 rotation (verdict-r4 task 1): kg_sparql_cast — the XSD
+        # constructor-cast gate, the only 1 of 117 gates never
+        # driver-scored — takes the seat of kg_sparql_strfuncs (green
+        # r2+r3+r4, string-function planner code untouched since r2).
+        "kg_sparql_cast": _q_sparql_cast,
         "kg_sparql_bind_funcs": _q_sparql_bind_funcs,
         "kg_sparql_coalesce_if": _q_sparql_coalesce_if,
         "kg_path_neg": _q_path_neg,
@@ -2092,10 +2096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green r2 AND r3, alternation-path code untouched — rotated
         # out to seat kg_sparql_service, the round-4 SERVICE federation
         # gate; ops/text.py and ops/sampling.py untouched this round);
-        # kg_sparql_exists_label / kg_sparql_describe are NEW in round
-        # 4 (oracle-checked locally only — first in line for round-5
-        # window seats), everything re-checkable via
-        # scripts/check_entry.py, which scores ALL entries.
+        # kg_sparql_exists_label / kg_sparql_describe were seated by a
+        # later mid-round-4 rotation and are driver-green in r4.
+        # Everything here is re-checkable via scripts/check_entry.py,
+        # which scores ALL entries.
         # third mid-round-4 rotation: kg_sparql_group_expr (GROUP BY
         # expression keys) and kg_sparql_path_count (ARQ counted path
         # quantifiers) — both planner code NEW this round — take
@@ -2113,7 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_region_revenue": _q_rel_region_revenue,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "kg_path_alt": _q_path_alt,
-        "kg_sparql_cast": _q_sparql_cast,
+        "kg_sparql_strfuncs": _q_sparql_strfuncs,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_rollup_revenue": _q_rel_rollup_revenue,
         "rel_shipping_priority": _q_rel_shipping_priority,
