@@ -111,6 +111,24 @@ class Not(FilterExpr):
 
 
 @dataclass
+class ErrorCond(FilterExpr):
+    """A statically-known SPARQL type error (§17.2): compiles to a NULL
+    boolean, so a bare FILTER drops the row while ``!``/``&&``/``||``
+    keep three-valued error propagation — ``NOT(error)`` stays error
+    (row dropped), which a static ``false`` leg would wrongly turn
+    into ``true``. ARQ raises ExprEvalException here; NULL is Spark's
+    equivalent channel."""
+
+    var: str  # '?v' — scope anchor so the filter schedules with its var
+
+    def vars(self):
+        return {self.var[1:]}
+
+    def cond(self):
+        return F.lit(None).cast("boolean")
+
+
+@dataclass
 class Bound(FilterExpr):
     """``bound(?v)`` — negation-as-failure building block (BSBM Q3)."""
 

@@ -142,6 +142,7 @@ from hbase_rdf_spark.plans.filters import (
     DatatypeEq,
     DtCmp,
     DtPartCmp,
+    ErrorCond,
     FilterExpr,
     LangEq,
     LangMatch,
@@ -154,6 +155,12 @@ from hbase_rdf_spark.plans.filters import (
     StrPred,
     TypeTest,
 )
+
+# a whole signed numeric-literal token ('-1', '-.5', '-2e3'): the
+# tokenizer folds the sign in, so additive-expression loops must accept
+# it as a '-'-continuation (SPARQL grammar [116] AdditiveExpression
+# special-cases NumericLiteralNegative for exactly this)
+_NEGNUM_RX = re.compile(r"^-(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$")
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
@@ -1431,10 +1438,18 @@ class _Parser:
     # atom := '(' additive ')' | ?var | number | constant term
     def _bind_expr(self) -> tuple:
         node = self._bind_mult()
-        while self.peek() in ("+", "-"):
-            op = self.next()
-            node = ("arith", op, node, self._bind_mult())
-        return node
+        while True:
+            nxt = self.peek()
+            if nxt in ("+", "-"):
+                op = self.next()
+                node = ("arith", op, node, self._bind_mult())
+            elif nxt is not None and _NEGNUM_RX.match(nxt):
+                # grammar [116]: a signed numeric literal continues the
+                # additive expression (`?a -1` ≡ `?a - 1`)
+                self.next()
+                node = ("arith", "-", node, ("num", float(nxt[1:])))
+            else:
+                return node
 
     def _bind_mult(self) -> tuple:
         node = self._bind_atom()
@@ -1790,7 +1805,12 @@ class _Parser:
                     nxt in self._FLIP
                     or nxt in ("*", "/", "+", "-")
                     or (nxt or "").upper() in ("IN", "NOT")
+                    or (nxt is not None and _NEGNUM_RX.match(nxt))
                 ):
+                    # a signed numeric literal continues an additive
+                    # expression per grammar [116] — `(?a) -1 > 0`
+                    # tokenizes '-1' whole, so it must backtrack to
+                    # the arithmetic reading like a bare '-' would
                     self.i = save
                 else:
                     return e
@@ -1888,7 +1908,12 @@ class _Parser:
                 # s·v + off = t ⇔ v = s·(t − off)  (s ∈ {1, −1})
                 parts.append(Filter(var, "=", scl * (float(t) - off)))
             elif off or scl != 1.0:
-                pass  # arithmetic vs non-numeric term: type error → false
+                # arithmetic vs non-numeric term: a type error LEG —
+                # keep it in the disjunction as an error (NULL)
+                # condition so negation propagates it (§17.2: NOT IN
+                # over an erroring member is error → row dropped, not
+                # true)
+                parts.append(ErrorCond(var))
             else:
                 parts.append(_TermFilter(var, "=", t))
             if self.peek() == ",":
@@ -1896,8 +1921,6 @@ class _Parser:
                 continue
             break
         self.expect(")")
-        if not parts:  # every member was a type error
-            return Filter(var, "<", float("-inf"))
         return parts[0] if len(parts) == 1 else Or(parts)
 
     def _string_arg(self) -> str:
@@ -1941,29 +1964,36 @@ class _Parser:
         # on an unparenthesized base, `-?p + 3` is `(-?p) + 3`, so the
         # chained offset sits OUTSIDE the sign
         out_off = 0.0
-        while self.peek() in ("+", "-"):
-            sign = 1.0 if self.next() == "+" else -1.0
-            off = self.term()
-            if not isinstance(off, (int, float)):
-                raise SparqlSyntaxError("arithmetic offset must be numeric")
+        while (o := self._chain_off()) is not None:
             if paren:
-                in_off += sign * float(off)
+                in_off += o
             else:
-                out_off += sign * float(off)
+                out_off += o
         if paren:
             self.expect(")")
-            while self.peek() in ("+", "-"):  # trailing `-(…) ± c`
-                sign = 1.0 if self.next() == "+" else -1.0
-                off = self.term()
-                if not isinstance(off, (int, float)):
-                    raise SparqlSyntaxError(
-                        "arithmetic offset must be numeric"
-                    )
-                out_off += sign * float(off)
+            while (o := self._chain_off()) is not None:  # trailing `-(…) ± c`
+                out_off += o
         offset = scale * in_off + out_off
         if isinstance(base, (int, float)) and not isinstance(base, bool):
             return scale * float(base) + offset, 0.0, False, 1.0
         return base, offset, False, scale
+
+    def _chain_off(self):
+        """One additive continuation at the cursor: ``+``/``-`` followed
+        by a numeric term, or a whole signed numeric-literal token
+        (``-1`` — grammar [116]). Returns the signed offset, or None
+        when the cursor isn't at one (cursor untouched)."""
+        nxt = self.peek()
+        if nxt in ("+", "-"):
+            sign = 1.0 if self.next() == "+" else -1.0
+            off = self.term()
+            if not isinstance(off, (int, float)):
+                raise SparqlSyntaxError("arithmetic offset must be numeric")
+            return sign * float(off)
+        if nxt is not None and _NEGNUM_RX.match(nxt):
+            self.next()
+            return float(nxt)
+        return None
 
     _FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
 
@@ -2073,9 +2103,11 @@ class _Parser:
             return Filter(lhs, eff, l_scl * (float(rhs) + r_off - l_off))
         if l_scl != 1.0 or l_off:
             # an arithmetic LHS against a non-numeric constant is a
-            # type error on every row → no solutions (spec: error =
-            # false in FILTER); nothing sorts below −inf
-            return Filter(lhs, "<", float("-inf"))
+            # type error on every row — an error (NULL) condition, so
+            # a bare FILTER drops every row while !/&&/|| propagate
+            # the error per §17.2 (a static false would make
+            # FILTER(!(?p+1 = <iri>)) wrongly keep rows)
+            return ErrorCond(lhs)
         if isinstance(rhs, tuple) and re.search(
             r"\^\^<http://www\.w3\.org/2001/XMLSchema#(?:dateTime|date)>$",
             rhs[0],
@@ -2474,20 +2506,31 @@ class ExprCmp(FilterExpr):
     def cond(self):
         lt, rt = self._channels()
         if lt != rt:
-            raise SparqlSyntaxError(
-                f"type-incompatible FILTER comparison "
-                f"({lt} {self.op} {rt})"
-            )
+            # statically type-incompatible operands (e.g.
+            # STRLEN(?a) = CONCAT(?b, "x")): a type error on every
+            # row → NULL condition (error → row dropped in FILTER,
+            # error-propagating under !/&&/||), matching ARQ's
+            # ExprEvalException — not a raise at execution time
+            return F.lit(None).cast("boolean")
         lc, rc = self._side(self.lhs, lt), self._side(self.rhs, rt)
         return _CMP[self.op](lc, rc)
+
+
+# kind-1 lexical of a typed literal with a non-xsd:string datatype —
+# outside the §17.2.2 EBV domain (plain / lang-tagged / xsd:string
+# literals have string EBV; booleans and numerics inline to kind 2)
+_EBV_NONSTR_RX = (
+    r'^".*"\^\^<(?!http://www\.w3\.org/2001/XMLSchema#string>)[^<>]*>$'
+)
 
 
 @dataclass
 class EbvExpr(FilterExpr):
     """§17.2.2 effective boolean value of a bare value expression used
     as a FILTER — ``FILTER(?flag)``, ``FILTER(IF(?p > 5, 1, 0))``.
-    Numerics (incl. the inlined xsd:booleans) are true iff non-zero;
-    strings iff non-empty; IRIs/unbound are a type error → NULL →
+    Numerics (incl. the inlined xsd:booleans) are true iff non-zero
+    (NaN is false); plain/xsd:string literals iff non-empty;
+    IRIs/unbound/non-string typed literals are a type error → NULL →
     row dropped."""
 
     expr: tuple
@@ -2508,8 +2551,19 @@ class EbvExpr(FilterExpr):
         if e[0] == "var":
             name = e[1][1:]
             v = F.col(name)
+            num = v.getField("num")
+            lbl = F.col(f"__{name}_flbl")
             return (
-                F.when(v.getField("kind") == 2, v.getField("num") != 0)
+                # §17.2.2 rule: EBV(NaN) is false, but Spark's
+                # NaN != 0 is true — guard explicitly
+                F.when(v.getField("kind") == 2, (num != 0) & ~F.isnan(num))
+                .when(
+                    # a typed literal whose datatype is neither
+                    # xsd:string nor boolean/numeric (those inline to
+                    # kind 2) has no EBV: type error → NULL → dropped
+                    (v.getField("kind") == 1) & lbl.rlike(_EBV_NONSTR_RX),
+                    F.lit(None).cast("boolean"),
+                )
                 .when(
                     v.getField("kind") == 1,
                     F.length(str_value(name)) > 0,
@@ -2517,7 +2571,8 @@ class EbvExpr(FilterExpr):
             )
         if _cmp_channel(e) == "str":
             return F.length(_bind_str_col(e)) > 0
-        return _bind_num_col(e) != 0
+        num = _bind_num_col(e)
+        return (num != 0) & ~F.isnan(num)
 
 
 def parse(query: str) -> Query:
@@ -4718,9 +4773,19 @@ def _attach_exists_marker(
     for v in shared:
         step = step.withColumnRenamed(v, f"__ex_{v}")
     cond = F.lit(True)
+    # null-tolerant key equality whenever EITHER side can produce
+    # unbound shared vars: the outer group (may_unbound), an OPTIONAL
+    # inside the block, or a full-algebra block group (UNION/OPTIONAL/
+    # VALUES UNDEF inside EXISTS { { A } UNION { B } } can null-extend
+    # block-side vars, which §8.3 compatibility matches to anything)
+    tol = (
+        may_unbound
+        or getattr(blk, "optional", None)
+        or getattr(blk, "group", None) is not None
+    )
     for v in shared:
         eqv = F.col(v) == F.col(f"__ex_{v}")
-        if may_unbound or getattr(blk, "optional", None):
+        if tol:
             eqv = F.col(v).isNull() | F.col(f"__ex_{v}").isNull() | eqv
         cond = cond & eqv
     for f in correlated:

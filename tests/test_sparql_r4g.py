@@ -188,9 +188,12 @@ def test_year_of_now_filters(store):
     assert len(got) == 4
 
 
-def test_rejections(store):
-    with pytest.raises(SparqlSyntaxError):
-        execute(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
+def test_channel_incompatible_comparison_is_error(store):
+    # round 5 (ADVICE r4): a numeric-vs-string comparison is a runtime
+    # TYPE error (→ false, zero rows), not a syntax error — ARQ
+    # evaluates YEAR(?t) = "x" to ExprEvalException per row
+    got = rows(store, 'SELECT ?s WHERE { ?s ?p ?t . FILTER(YEAR(?t) = "x") }')
+    assert got == set()
 
 
 XSD_PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
