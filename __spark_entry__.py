@@ -691,6 +691,26 @@ def _q_sparql_expr_filter(spark, sf):
         }""")
 
 
+def _q_sparql_optional_corr(spark, sf):
+    # round-5 correlated OPTIONAL filter (VERDICT r4 #2): a FILTER
+    # inside OPTIONAL that reads an outer-bound var is the §8.2
+    # LeftJoin(Ω1, Ω2, expr) CONDITION, evaluated on the merged
+    # solution (plans/bgp.py _conditional_left_join) — an extension
+    # failing ?u < ?v * 4 is dropped but the outer row survives
+    # null-extended. The reference inherits this from stock ARQ's
+    # OpLeftJoin conditionals (HBaseTransformFilterPlacement.java:
+    # 359-369). DuckDB replays it as LEFT JOIN … ON … AND u < v*4.
+    from hbase_rdf_spark.plans.sparql import execute
+
+    if _DT_STORES.get(sf) is None:
+        _q_sparql_datetime(spark, sf)  # build + cache the store
+    return execute(_DT_STORES[sf], """
+        SELECT ?e ?u WHERE {
+          ?e <val> ?v .
+          OPTIONAL { ?e <uid> ?u . FILTER(?u < ?v * 4) }
+        }""")
+
+
 def _q_sparql_ebv_bool(spark, sf):
     # round-4 booleans end-to-end: an inlined xsd:boolean predicate
     # tested by bare effective-boolean-value (FILTER(?b), §17.2.2) in
@@ -2040,7 +2060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_coalesce_if": _q_sparql_coalesce_if,
         "kg_path_neg": _q_path_neg,
         "kg_path_seq": _q_path_seq,
-        "kg_path_inv": _q_path_inv,
+        # round-5 rotation: kg_sparql_optional_corr (correlated
+        # OPTIONAL filters — NEW §8.2 LeftJoin-condition code this
+        # round) takes the seat of kg_path_inv (green r2+r3+r4,
+        # inverse-path code untouched since r2)
+        "kg_sparql_optional_corr": _q_sparql_optional_corr,
         "kg_path_plus": _q_path_plus,
         "dedup_clusters": _q_dedup_clusters,
         # fourth mid-round-4 rotation: the new exact-substring dedup
@@ -2117,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_region_revenue": _q_rel_region_revenue,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "kg_path_alt": _q_path_alt,
+        "kg_path_inv": _q_path_inv,
         "kg_sparql_strfuncs": _q_sparql_strfuncs,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_rollup_revenue": _q_rel_rollup_revenue,
@@ -2870,6 +2895,13 @@ def oracle_sql() -> dict[str, str]:
         # var-var arithmetic replays on the raw columns: both engines
         # compute the same IEEE double ops (user_id promotes to double
         # on both sides), so the boundary comparisons agree exactly
+        "kg_sparql_optional_corr": """
+            SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e,
+                   CASE WHEN user_id < value * 4
+                        THEN CAST(CAST(user_id AS DOUBLE) AS VARCHAR)
+                   END AS u
+            FROM events
+            WHERE event_id % 10 = 0""",
         "kg_sparql_expr_filter": """
             SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e
             FROM events

@@ -835,6 +835,50 @@ def _compat_pairs(
     return out
 
 
+def _conditional_left_join(
+    store, result: DataFrame, step: DataFrame, shared: list,
+    filters: list, nullable: bool,
+) -> DataFrame:
+    """SPARQL §8.2 ``LeftJoin(Ω1, Ω2, expr)`` with a correlated
+    ``expr`` — the OPTIONAL-internal FILTER reads outer-bound vars, so
+    it must evaluate on the MERGED solution as part of the join
+    condition (filtering before the join can't see the outer binding;
+    filtering after would drop the null-extension the spec keeps).
+
+    Shape: one compatibility INNER join + the expr as a post-join
+    filter gives the surviving extensions; Ω1 rows with no surviving
+    extension surface once, null-extended, via a whole-row null-safe
+    anti join against the survivors' Ω1 image. Original Ω1 values are
+    carried through the merge in ``__lj_*`` shadow columns because a
+    compatibility merge can coalesce a NULL key from the bound side —
+    the anti probe must match the PRE-merge row. Both joins are plain
+    equi/hash joins over the same keys, so AQE handles them like any
+    BGP join at scale; the reference inherits the equivalent
+    OpLeftJoin conditional evaluation from stock ARQ
+    (HBaseTransformFilterPlacement.java:359-369)."""
+    tagged = result
+    for c in result.columns:
+        tagged = tagged.withColumn(f"__lj_{c}", F.col(c))
+    if not shared:
+        merged = tagged.join(step, F.lit(True), "inner")
+    elif nullable:
+        merged = _merge_join(tagged, step, shared, "inner")
+    else:
+        merged = tagged.join(step, on=shared, how="inner")
+    merged = _apply_filters(store, merged, filters)
+    probe = merged.select(
+        *[F.col(f"__lj_{c}") for c in result.columns]
+    ).dropDuplicates()
+    anti = _reduce(
+        lambda a, b: a & b,
+        (F.col(c).eqNullSafe(F.col(f"__lj_{c}")) for c in result.columns),
+    )
+    unmatched = result.join(probe, anti, "left_anti")
+    return merged.drop(
+        *[f"__lj_{c}" for c in result.columns]
+    ).unionByName(unmatched, allowMissingColumns=True)
+
+
 def _apply_filter(store, df: DataFrame, f) -> DataFrame:
     return _apply_filters(store, df, [f])
 
@@ -1000,13 +1044,18 @@ def execute_bgp(
     opt_nullable: set[str] = set()
     for blk in blocks:
         bvars = _block_vars(blk)
-        for f in blk.filters:
-            if not f.vars() <= bvars:
-                raise ValueError(
-                    "FILTER inside OPTIONAL references variables bound "
-                    f"outside the block ({sorted(f.vars() - bvars)}) — "
-                    "correlated OPTIONAL filters are not supported"
-                )
+        # §8.2 LeftJoin(Ω1, Ω2, expr): a FILTER inside OPTIONAL that
+        # reads outer-bound vars is part of the left-join CONDITION,
+        # evaluated on the merged solution — not a pre- or post-join
+        # filter (the reference gets this from stock ARQ's OpLeftJoin
+        # expression; HBaseTransformFilterPlacement.java:359-369 keeps
+        # such conditionals with the join). Block-local filters stay
+        # inside the block evaluation.
+        correlated = [f for f in blk.filters if not f.vars() <= bvars]
+        if correlated:
+            blk = replace(
+                blk, filters=[f for f in blk.filters if f.vars() <= bvars]
+            )
         step = (
             blk.step_fn()
             if getattr(blk, "step_fn", None) is not None
@@ -1035,7 +1084,21 @@ def execute_bgp(
                 sets_.append(bv)
             if len(sets_) > 1:
                 step_null |= set().union(*sets_) - set.intersection(*sets_)
-        if shared:
+        if correlated:
+            missing = sorted(
+                set().union(*(f.vars() for f in correlated))
+                - set(result.columns) - set(step.columns)
+            )
+            if missing:
+                raise ValueError(
+                    "FILTER inside OPTIONAL references variables bound "
+                    f"nowhere: {missing}"
+                )
+            result = _conditional_left_join(
+                store, result, step, shared, correlated,
+                nullable=bool(set(shared) & (step_null | opt_nullable)),
+            )
+        elif shared:
             if set(shared) & (step_null | opt_nullable):
                 result = _merge_join(result, step, shared, "left")
             else:

