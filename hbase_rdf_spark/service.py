@@ -31,6 +31,7 @@ collect — the endpoint serves interactive queries, not bulk export
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -174,8 +175,24 @@ def term_from_json(t: dict | None):
     return (v, _KIND_STRING)
 
 
+# SERVICE-client guardrails (round 5, VERDICT r4 #7). Env-overridable
+# so a deployment can tune them without code changes; the SERVICE
+# evaluator passes these defaults through.
+SERVICE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_SERVICE_TIMEOUT", 30.0))
+SERVICE_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_SERVICE_MAX_ROWS", 100_000))
+SERVICE_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SERVICE_MAX_BYTES", 256 * 1024 * 1024)
+)
+SERVICE_RETRIES = int(os.environ.get("SPARK_GRAFT_SERVICE_RETRIES", 2))
+
+
 def fetch_bindings(
-    endpoint: str, query: str, timeout: float = 30.0,
+    endpoint: str,
+    query: str,
+    timeout: float | None = None,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+    retries: int | None = None,
 ) -> tuple[list[str], list[list]]:
     """SERVICE-clause client: POST ``query`` to a SPARQL 1.1 Protocol
     endpoint and return ``(vars, rows)`` where each row holds one
@@ -186,35 +203,100 @@ def fetch_bindings(
     canonical form, no URL-length limit). Raises ``RuntimeError`` on
     transport or protocol failure — the SERVICE evaluator maps that to
     an error (plain SERVICE) or the unit solution (SERVICE SILENT,
-    SPARQL 1.1 Federated Query §4)."""
+    SPARQL 1.1 Federated Query §4).
+
+    Guardrails (a remote endpoint is the one part of a query plan this
+    engine doesn't control):
+
+    - ``timeout`` bounds EACH attempt (connect + read), so a hanging
+      endpoint fails the query instead of stalling it indefinitely;
+    - transient transport failures and HTTP 5xx retry up to
+      ``retries`` times with doubling backoff (0.2 s base); HTTP 4xx
+      and malformed payloads fail fast — they won't heal on retry;
+    - the response body streams in chunks against ``max_bytes`` and
+      the parsed bindings check against ``max_rows``: the SERVICE
+      solution sequence materializes driver-side before the VALUES
+      join, so an unexpectedly fat remote result must fail with a
+      clear message rather than OOM the driver."""
+    import time as _time
     import urllib.error
     import urllib.request
 
-    req = urllib.request.Request(
-        endpoint,
-        data=query.encode(),
-        headers={
-            "Content-Type": "application/sparql-query",
-            "Accept": "application/sparql-results+json",
-        },
-        method="POST",
-    )
-    try:
+    timeout = SERVICE_TIMEOUT if timeout is None else timeout
+    max_rows = SERVICE_MAX_ROWS if max_rows is None else max_rows
+    max_bytes = SERVICE_MAX_BYTES if max_bytes is None else max_bytes
+    retries = SERVICE_RETRIES if retries is None else retries
+
+    def _attempt() -> bytes:
+        req = urllib.request.Request(
+            endpoint,
+            data=query.encode(),
+            headers={
+                "Content-Type": "application/sparql-query",
+                "Accept": "application/sparql-results+json",
+            },
+            method="POST",
+        )
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            payload = json.loads(resp.read().decode())
-    except (OSError, urllib.error.URLError, json.JSONDecodeError) as ex:
+            chunks, size = [], 0
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    return b"".join(chunks)
+                size += len(chunk)
+                if size > max_bytes:
+                    raise _ServiceTooLarge(
+                        f"response exceeds {max_bytes} bytes"
+                    )
+                chunks.append(chunk)
+
+    body = None
+    last_ex: Exception | None = None
+    for i in range(retries + 1):
+        try:
+            body = _attempt()
+            break
+        except urllib.error.HTTPError as ex:
+            last_ex = ex
+            if ex.code < 500:  # client error: retrying can't help
+                break
+        except _ServiceTooLarge as ex:
+            raise RuntimeError(f"SERVICE <{endpoint}> failed: {ex}") from ex
+        except (OSError, urllib.error.URLError) as ex:
+            last_ex = ex
+        if i < retries:
+            _time.sleep(0.2 * (2 ** i))
+    if body is None:
+        raise RuntimeError(
+            f"SERVICE <{endpoint}> failed after {retries + 1} "
+            f"attempt(s): {last_ex}"
+        ) from last_ex
+    try:
+        payload = json.loads(body.decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as ex:
         raise RuntimeError(f"SERVICE <{endpoint}> failed: {ex}") from ex
     if "error" in payload or "results" not in payload:
         raise RuntimeError(
             f"SERVICE <{endpoint}> failed: "
             f"{payload.get('error', 'no results section')}"
         )
+    bindings = payload["results"]["bindings"]
+    if len(bindings) > max_rows:
+        raise RuntimeError(
+            f"SERVICE <{endpoint}> returned {len(bindings)} rows, over "
+            f"the {max_rows}-row cap (raise SPARK_GRAFT_SERVICE_MAX_ROWS "
+            "or narrow the SERVICE group)"
+        )
     head_vars = list(payload.get("head", {}).get("vars", []))
     rows = [
         [term_from_json(b.get(v)) for v in head_vars]
-        for b in payload["results"]["bindings"]
+        for b in bindings
     ]
     return head_vars, rows
+
+
+class _ServiceTooLarge(RuntimeError):
+    pass
 
 
 # ---------------------------------------------------------------------------
