@@ -25,14 +25,30 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_CONTEXT = "http://DEFAULT_CONTEXT"
 
-_IRI = r"<([^<>\"{}|^`\\\x00-\x20]*)>"
-_BNODE = r"(_:[A-Za-z][A-Za-z0-9]*)"
-_LITERAL = r'("(?:[^"\\]|\\.)*")'
-_LANG = r"(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*))?"
-_DT = r"(?:\^\^<([^<>\"{}|^`\\\x00-\x20]*)>)?"
+# W3C N-Triples grammar (round-5 conformance sweep): UCHAR
+# (\uXXXX / \UXXXXXXXX) is the only escape form inside IRIREF; string
+# literals allow ECHAR ([tbnrf"'\]) and UCHAR only — an unknown escape
+# (\z) makes the LINE malformed, exactly Sesame's NTriplesParser
+# behavior behind the reference's count-and-skip
+# (QuadBreakDown.java:103-109). Blank-node labels follow the NT 1.1
+# shape (leading digit/underscore legal, dots allowed inside but not
+# at the end), restricted to its ASCII subset — the PN_CHARS unicode
+# ranges are out of scope for the synthetic corpora this engine loads.
+_UCHAR = r"\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8}"
+_IRI = rf'<((?:[^<>"{{}}|^`\\\x00-\x20]|{_UCHAR})*)>'
+_BNODE = r"(_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)"
+_LITERAL = (
+    '("(?:[^"\\\\\\x0A\\x0D]|\\\\[tbnrf"\'\\\\]|'
+    "\\\\u[0-9A-Fa-f]{4}|\\\\U[0-9A-Fa-f]{8})*\")"
+)
+# a literal carries a language tag XOR a datatype, never both
+_LANG_OR_DT = (
+    r"(?:@([a-zA-Z]+(?:-[a-zA-Z0-9]+)*)"
+    rf'|\^\^<((?:[^<>"{{}}|^`\\\x00-\x20]|{_UCHAR})*)>)?'
+)
 
 _S = f"(?:{_IRI}|{_BNODE})"
-_O = f"(?:{_IRI}|{_BNODE}|{_LITERAL}{_LANG}{_DT})"
+_O = f"(?:{_IRI}|{_BNODE}|{_LITERAL}{_LANG_OR_DT})"
 _C = f"(?:\\s+(?:{_IRI}|{_BNODE}))?"
 
 # full-line pattern; groups: 1 s_iri, 2 s_bnode, 3 p_iri, 4 o_iri,
@@ -56,28 +72,82 @@ PARSED_COLUMNS = [
     "_corrupt",
 ]
 
+_ECHARS = [
+    ("t", "\t"), ("b", "\b"), ("n", "\n"), ("r", "\r"), ("f", "\f"),
+    ('"', '"'), ("'", "'"),
+]
+
+
+def _cp_to_char(cp):
+    """Codepoint (long column) → the character, pure JVM: UTF-16BE
+    bytes via unhex/decode; astral codepoints go through the surrogate
+    computation (Spark's chr() is ASCII-only, so this is the only
+    codegen-able route)."""
+    hex4 = F.lpad(F.hex(cp), 4, "0")
+    off = cp - F.lit(0x10000)
+    hi = F.lpad(F.hex(F.lit(0xD800) + F.shiftright(off, 10)), 4, "0")
+    lo = F.lpad(F.hex(F.lit(0xDC00) + F.pmod(off, F.lit(1024))), 4, "0")
+    return F.when(
+        cp > 0xFFFF, F.decode(F.unhex(F.concat(hi, lo)), "UTF-16BE")
+    ).otherwise(F.decode(F.unhex(hex4), "UTF-16BE"))
+
+
+def _unescape_segment(seg):
+    """Unescape one ``\\\\``-free segment: every remaining backslash
+    starts a TRUE escape (the caller split on double backslashes), so
+    per-kind replacement is order-independent. UCHARs are handled
+    first via a zero-width split that keeps each escape at a piece
+    head; ECHARs are plain (non-regex) replaces after."""
+    pieces = F.split(seg, r"(?=\\[uU])", -1)
+
+    def _piece(p):
+        is4 = p.rlike(r"^\\u[0-9A-Fa-f]{4}")
+        is8 = p.rlike(r"^\\U[0-9A-Fa-f]{8}")
+        cp4 = F.conv(F.substring(p, 3, 4), 16, 10).cast("long")
+        cp8 = F.conv(F.substring(p, 3, 8), 16, 10).cast("long")
+        return (
+            F.when(is8, F.concat(_cp_to_char(cp8), F.substring(p, 11, 1 << 30)))
+            .when(is4, F.concat(_cp_to_char(cp4), F.substring(p, 7, 1 << 30)))
+            .otherwise(p)
+        )
+
+    out = F.array_join(F.transform(pieces, _piece), "")
+    for esc, ch in _ECHARS:
+        out = F.replace(out, F.lit("\\" + esc), F.lit(ch))
+    return out
+
+
+def unescape_nt(col):
+    """N-Triples string unescaping (ECHAR + UCHAR), entirely JVM-side.
+
+    A single left-to-right scan can't be expressed as chained regex
+    replaces (``\\\\t`` is backslash+t, not TAB), so: split on literal
+    ``\\\\`` first — the segments then contain only true escapes and
+    unescape order-free — and rejoin with a single backslash. Sesame's
+    NTriplesUtil.unescapeString does the same scan imperatively; here
+    it stays inside whole-stage codegen."""
+    segs = F.split(col, r"\\\\", -1)
+    return F.array_join(F.transform(segs, _unescape_segment), "\\")
+
 
 def parse_lines(lines: DataFrame, text_col: str = "value") -> DataFrame:
     """text lines → parsed quad terms + corrupt flag. Pure JVM regex."""
     g = lambda i: F.regexp_extract(F.col(text_col), LINE_RX, i)  # noqa: E731
     matched = F.col(text_col).rlike(LINE_RX)
-    blank = F.trim(F.col(text_col)) == ""
-    comment = F.trim(F.col(text_col)).startswith("#")
+    # \s-aware (F.trim strips only spaces — a tab-only line is blank too)
+    blank = F.col(text_col).rlike(r"^\s*$")
+    comment = F.col(text_col).rlike(r"^\s*#")
 
     s = F.when(g(1) != "", g(1)).otherwise(g(2))
     o_dt = g(8)
     is_numeric = o_dt.isin(NUMERIC_DATATYPES) | (o_dt == XSD + "boolean")
 
     # bind the raw quoted literal once, then strip quotes + unescape
+    # (full ECHAR + UCHAR — Sesame NTriplesUtil.unescapeString parity)
     df = lines.withColumn("_olit", g(6))
     o_lex_lit = F.when(
         F.length("_olit") >= 2,
-        F.regexp_replace(
-            F.regexp_replace(
-                F.expr("substring(_olit, 2, length(_olit) - 2)"), r'\\"', '"'
-            ),
-            r"\\\\", r"\\",
-        ),
+        unescape_nt(F.expr("substring(_olit, 2, length(_olit) - 2)")),
     )
     # full xsd:boolean lexical space {true, false, 1, 0}; try_cast so an
     # ill-typed numeric literal ("12x"^^xsd:integer) degrades to a
