@@ -191,6 +191,16 @@ def main() -> None:
             f"Host capacity probe: {n_small} parallel CPU burns reach "
             f"{cap_small}x speedup, {n_big} reach {cap_big}x → the hardware "
             f"itself caps {n_small}→{n_big} efficiency at ~{hw_ceiling}.\n"
+            + (
+                f"\nDictionary collision audit: PASSED in both legs "
+                f"({r_big['collision_audit']['distinct_terms']} distinct "
+                f"terms, zero xxhash64 id collisions — asserted inside "
+                f"every timed build by assert_no_id_collisions).\n"
+                if r_big.get("collision_audit", {}).get("passed")
+                and r_small.get("collision_audit", {}).get("passed")
+                else "\nDictionary collision audit: MISSING from leg "
+                "output — investigate before trusting this run.\n"
+            )
         )
 
 
