@@ -302,13 +302,21 @@ class ServiceBlock:
     VALUES inline data), not a distributed scan — federation is for
     small dimension-style remote lookups, never for bulk transfer."""
 
-    endpoint: str  # absolute IRI, no <>
+    endpoint: str  # absolute IRI, no <> ("" when endpoint_var is set)
     tokens: tuple  # verbatim token span of the inner group
     silent: bool = False
     prefixes: dict = field(default_factory=dict)
     # vars mentioned in the span — scope/nullability superset used at
     # plan time (the authoritative set is the response's head.vars)
     vars_hint: tuple = ()
+    # ``SERVICE ?ep { … }``: the endpoint variable (no '?'). Supported
+    # when ?ep is enumerable from a VALUES clause in the query — each
+    # candidate IRI is queried and the union of responses (each row
+    # extended with its ?ep binding) joins the group; the VALUES
+    # compatibility join then enforces ?ep consistency. Truly dynamic
+    # endpoint discovery (?ep bound only by graph data) stays an
+    # explicit error, like the reference deployment.
+    endpoint_var: str | None = None
 
 
 @dataclass
@@ -1347,23 +1355,25 @@ class _Parser:
         return m.group(1).replace('\\"', '"').replace("\\\\", "\\")
 
     def _service_block(self) -> ServiceBlock:
-        """``SERVICE [SILENT] <iri> { … }`` — the endpoint must be a
-        constant IRI (SERVICE ?var needs runtime endpoint discovery,
-        which neither the reference deployment nor this engine does);
-        the braced group is captured VERBATIM as its token span and
-        never planned locally."""
+        """``SERVICE [SILENT] <iri> { … }`` or ``SERVICE ?ep { … }``
+        with a VALUES-enumerable endpoint variable; the braced group is
+        captured VERBATIM as its token span and never planned
+        locally."""
         silent = False
         if (self.peek() or "").upper() == "SILENT":
             self.next()
             silent = True
         ep = self.next()
-        if ep.startswith("<") and ep.endswith(">"):
+        endpoint_var = None
+        if ep.startswith("?"):
+            endpoint, endpoint_var = "", ep[1:]
+        elif ep.startswith("<") and ep.endswith(">"):
             endpoint = ep[1:-1]
-        elif ":" in ep and not ep.startswith("?"):
+        elif ":" in ep:
             endpoint = self._expand_pname(ep)
         else:
             raise SparqlSyntaxError(
-                "SERVICE endpoint must be a constant IRI"
+                "SERVICE endpoint must be a constant IRI or a variable"
             )
         self.expect("{")
         depth, toks = 1, []
@@ -1375,14 +1385,16 @@ class _Parser:
                 depth -= 1
             if depth:
                 toks.append(t)
+        hint = {t[1:] for t in toks if t.startswith("?") and len(t) > 1}
+        if endpoint_var:
+            hint.add(endpoint_var)
         return ServiceBlock(
             endpoint=endpoint,
             tokens=tuple(toks),
             silent=silent,
             prefixes=dict(self.prefixes),
-            vars_hint=tuple(sorted(
-                {t[1:] for t in toks if t.startswith("?") and len(t) > 1}
-            )),
+            vars_hint=tuple(sorted(hint)),
+            endpoint_var=endpoint_var,
         )
 
     def _values_block(self) -> ValuesBlock:
@@ -2927,7 +2939,12 @@ def _values_df(store, vb: ValuesBlock) -> DataFrame:
     return df.select(*cols)
 
 
-def _service_values_block(sb: ServiceBlock) -> ValuesBlock | None:
+_SERVICE_VAR_MAX_ENDPOINTS = 8
+
+
+def _service_values_block(
+    sb: ServiceBlock, values_blocks=(),
+) -> ValuesBlock | None:
     """Execute a SERVICE block against its endpoint and shape the
     response as a ValuesBlock (SPARQL 1.1 Federated Query §2.2: the
     SERVICE solution sequence joins the group like any other).
@@ -2939,19 +2956,74 @@ def _service_values_block(sb: ServiceBlock) -> ValuesBlock | None:
     FILTER / paths this engine never has to plan. Failure: plain
     SERVICE re-raises (query aborts); SERVICE SILENT returns ``None``,
     which the caller treats as the unit solution (join identity), per
-    §4."""
+    §4.
+
+    ``SERVICE ?ep``: the candidate endpoints are enumerated from the
+    query's VALUES clauses (the standard federation idiom — truly
+    dynamic discovery from graph data stays an error). Each candidate
+    is queried; the union of responses, each row extended with its
+    ?ep binding, joins the group, and the VALUES compatibility join
+    enforces ?ep consistency. Per-endpoint SILENT failures contribute
+    that endpoint's unit solution (?ep bound, everything else UNDEF)."""
     from hbase_rdf_spark.service import fetch_bindings
 
     text = "".join(
         f"PREFIX {p}: <{iri}>\n" for p, iri in sb.prefixes.items()
     ) + "SELECT * WHERE { " + " ".join(sb.tokens) + " }"
-    try:
-        head_vars, rows = fetch_bindings(sb.endpoint, text)
-    except RuntimeError:
-        if sb.silent:
-            return None
-        raise
-    return ValuesBlock(vars=head_vars, rows=rows)
+    if not sb.endpoint_var:
+        try:
+            head_vars, rows = fetch_bindings(sb.endpoint, text)
+        except RuntimeError:
+            if sb.silent:
+                return None
+            raise
+        return ValuesBlock(vars=head_vars, rows=rows)
+
+    cands: list[str] = []
+    for vb in values_blocks:
+        if sb.endpoint_var in vb.vars:
+            i = vb.vars.index(sb.endpoint_var)
+            for row in vb.rows:
+                cell = row[i]
+                iri = (
+                    cell if isinstance(cell, str)
+                    else cell[0] if isinstance(cell, tuple) else None
+                )
+                if iri and not iri.startswith("_:") and iri not in cands:
+                    cands.append(iri)
+    if not cands:
+        raise SparqlSyntaxError(
+            f"SERVICE ?{sb.endpoint_var} requires the endpoint variable "
+            "to be enumerable from a VALUES clause in the query"
+        )
+    if len(cands) > _SERVICE_VAR_MAX_ENDPOINTS:
+        raise SparqlSyntaxError(
+            f"SERVICE ?{sb.endpoint_var} enumerates {len(cands)} "
+            f"endpoints (cap {_SERVICE_VAR_MAX_ENDPOINTS})"
+        )
+    per: list[tuple[str, list[str], list[list]]] = []
+    for ep in cands:
+        try:
+            hv, rows = fetch_bindings(ep, text)
+        except RuntimeError:
+            if sb.silent:
+                per.append((ep, [], [[]]))  # unit solution for this ep
+                continue
+            raise
+        per.append((ep, hv, rows))
+    out_vars = [sb.endpoint_var] + sorted(
+        set().union(set(), *(set(hv) for _, hv, _ in per))
+        - {sb.endpoint_var}
+    )
+    out_rows: list[list] = []
+    for ep, hv, rows in per:
+        ep_cell = (ep, 0)  # KIND_ENTITY tuple, term_from_json shape
+        for r in rows:
+            m = dict(zip(hv, r))
+            out_rows.append(
+                [ep_cell] + [m.get(v, UNDEF) for v in out_vars[1:]]
+            )
+    return ValuesBlock(vars=out_vars, rows=out_rows)
 
 
 _STR_FUNCS = (
@@ -4496,7 +4568,8 @@ def _group_bindings(store, q: Query, dedup: bool) -> DataFrame:
     # a values table (capped by the endpoint, fetched once on the
     # driver); SILENT failures collapse to the unit solution (None).
     service_tables = [
-        vb for vb in map(_service_values_block, q.services)
+        vb
+        for vb in (_service_values_block(sb, q.values) for sb in q.services)
         if vb is not None
     ]
     for vb in itertools.chain(q.values, service_tables):

@@ -137,6 +137,24 @@ def main() -> None:
                            "PushedFilters", "Scan parquet")),
     ))
 
+    p6b = eng.sql(
+        "SELECT ?p ?y WHERE { ?p <rel:age> ?a . "
+        "OPTIONAL { ?p <rel:works_at> ?o . ?o <rel:founded_in> ?y . "
+        "FILTER(?y < ?a + 1960) } }"
+    )
+    sections.append((
+        "Correlated OPTIONAL filter — LeftJoin condition (round 5)",
+        "The OPTIONAL-internal FILTER reads the OUTER ?a, so it is the "
+        "SPARQL §8.2 LeftJoin condition: one hash inner join evaluates "
+        "the merged solutions and applies the condition, and a "
+        "null-safe hash anti join surfaces outer rows with no "
+        "surviving extension exactly once, null-extended. Two equi "
+        "joins over the same keys — no nested-loop conditional join, "
+        "no cartesian.",
+        trim(plan_of(p6b), ("Join", "BroadcastHashJoin", "SortMergeJoin",
+                            "LeftAnti", "PushedFilters", "Scan parquet")),
+    ))
+
     p7 = eng.sql(
         "SELECT DISTINCT ?x WHERE { ?x <rel:works_at> ?y . "
         "FILTER NOT EXISTS { ?x <rel:lives_in> ?c } }"

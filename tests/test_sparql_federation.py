@@ -156,12 +156,54 @@ def test_service_failure_raises(local_store):
         ).collect()
 
 
-def test_service_variable_endpoint_rejected(local_store):
-    with pytest.raises(SparqlSyntaxError):
+def test_service_variable_endpoint_needs_values(local_store):
+    # round 5: SERVICE ?ep is supported when ?ep is enumerable from a
+    # VALUES clause; with no enumeration it stays an explicit error
+    with pytest.raises(SparqlSyntaxError, match="VALUES"):
         execute(
             local_store,
             'SELECT ?s WHERE { SERVICE ?ep { ?s <http://ex/name> ?n } }',
         )
+
+
+def test_service_variable_endpoint_from_values(local_store, endpoint):
+    # the standard federation idiom: VALUES enumerates the endpoints,
+    # each candidate is queried, responses union with ?ep bound
+    rows = execute(
+        local_store,
+        f'SELECT ?s ?n ?ep WHERE {{ VALUES ?ep {{ <{endpoint}> }} '
+        f'?s <http://ex/knows> ?o . '
+        f'SERVICE ?ep {{ ?s <http://ex/name> ?n }} }} ORDER BY ?s',
+    ).collect()
+    assert [(r["s"], r["n"], r["ep"]) for r in rows] == [
+        (B, "Bo", endpoint),
+    ]
+
+
+def test_service_variable_endpoint_silent_partial_failure(
+    local_store, endpoint
+):
+    # two candidates, one dead: SILENT keeps the live endpoint's rows
+    # and contributes the dead one's unit solution (?n UNDEF)
+    dead = "http://127.0.0.1:9/sparql"
+    rows = execute(
+        local_store,
+        f'SELECT ?ep ?n WHERE {{ VALUES ?ep {{ <{endpoint}> <{dead}> }} '
+        f'SERVICE SILENT ?ep {{ ?p <http://ex/name> ?n }} }}',
+    ).collect()
+    got = sorted((r["ep"], r["n"]) for r in rows)
+    assert (dead, None) in got
+    assert {(endpoint, "Bo"), (endpoint, "Cyrene"), (endpoint, "Dana")} <= set(got)
+
+
+def test_service_variable_endpoint_failure_raises(local_store, endpoint):
+    dead = "http://127.0.0.1:9/sparql"
+    with pytest.raises(RuntimeError, match="SERVICE"):
+        execute(
+            local_store,
+            f'SELECT ?n WHERE {{ VALUES ?ep {{ <{dead}> }} '
+            f'SERVICE ?ep {{ ?p <http://ex/name> ?n }} }}',
+        ).collect()
 
 
 def test_service_with_prefixes_and_inner_filter(local_store, endpoint):
