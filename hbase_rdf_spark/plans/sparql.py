@@ -351,6 +351,10 @@ class Query:
     filters: list = field(default_factory=list)
     lang_filters: list[LangFilter] = field(default_factory=list)
     values: list[ValuesBlock] = field(default_factory=list)
+    # trailing VALUES whose vars are aggregate aliases / BIND outputs /
+    # non-group-key vars: joined POST-projection on rendered solutions
+    # (§18.2.4 joins the ValuesClause after grouping)
+    post_values: list[ValuesBlock] = field(default_factory=list)
     services: list[ServiceBlock] = field(default_factory=list)
     binds: list[BindAssign] = field(default_factory=list)
     # nested { SELECT … } blocks: evaluated bottom-up in id space and
@@ -2353,28 +2357,20 @@ class _Parser:
             post = {a.alias[1:] for a in q.aggregates} | {
                 b.var for b in q.binds
             }
-            clash = sorted(set(vb.vars) & post)
-            if clash:
-                raise SparqlSyntaxError(
-                    "trailing VALUES over aggregate/BIND outputs is "
-                    f"not supported: {clash}"
-                )
-            if q.aggregates:
+            needs_post = bool(set(vb.vars) & post)
+            if (q.aggregates or q.group_by) and not needs_post:
                 # SPARQL 18.2.4 joins the ValuesClause AFTER grouping:
-                # a non-group-key pattern var is unbound in the
-                # post-aggregation solutions (joins freely, counts
-                # unchanged) — folding it into the group would instead
-                # restrict the counted rows. Only group keys survive
-                # aggregation with their bindings, so only they may
-                # fold; reject the rest rather than silently mis-place.
+                # only group keys survive aggregation with their
+                # bindings, so only they may fold into the group; a
+                # non-group-key var is unbound post-aggregation and
+                # must join the projected solutions instead (where the
+                # VALUES row binds it freely, counts unchanged).
                 gkeys = {v[1:] for v in q.group_by}
-                bad = sorted(set(vb.vars) - gkeys)
-                if bad:
-                    raise SparqlSyntaxError(
-                        "trailing VALUES in an aggregate query may "
-                        f"only reference GROUP BY keys: {bad}"
-                    )
-            q.values.append(vb)
+                needs_post = bool(set(vb.vars) - gkeys)
+            # round 5: VALUES over aggregate aliases / BIND outputs /
+            # non-group-key vars joins POST-projection on the rendered
+            # solutions (previously an explicit rejection)
+            (q.post_values if needs_post else q.values).append(vb)
 
 
 @dataclass
@@ -4882,6 +4878,66 @@ def _attach_exists_marker(
     )
 
 
+def _apply_post_values(out: DataFrame, vb: ValuesBlock) -> DataFrame:
+    """Join a trailing VALUES table onto the PROJECTED solution frame
+    (§18.2.4: the ValuesClause joins after grouping) — the path for
+    vars the in-group compatibility join can't reach: aggregate
+    aliases, BIND outputs, non-group-key vars.
+
+    The frame here is rendered (lexical strings / scalar aggregate
+    columns), so each VALUES cell carries a value-space channel: a
+    numeric cell compares under double cast (COUNT bigint, AVG double
+    and rendered numeric lexicals all coerce), everything else under
+    string equality on the rendered form. UNDEF and solution-side
+    NULLs match anything (§8.3 compatibility). New vars extend every
+    compatible solution with the cell's rendered lexical."""
+    spark = out.sparkSession
+    rows = []
+    for r in vb.rows:
+        flat: list = []
+        for cell in r:
+            if cell is UNDEF:
+                flat += [None, None]
+            elif isinstance(cell, bool):
+                flat += [float(cell), None]
+            elif isinstance(cell, (int, float)):
+                flat += [float(cell), None]
+            elif isinstance(cell, tuple):
+                flat += [None, str(cell[0])]
+            else:
+                flat += [None, str(cell)]
+        rows.append(flat)
+    schema = ", ".join(
+        f"__pv_{v}_num double, __pv_{v}_str string" for v in vb.vars
+    )
+    vdf = spark.createDataFrame(rows, schema)
+    shared = [v for v in vb.vars if v in out.columns]
+    new = [v for v in vb.vars if v not in out.columns]
+    cond = F.lit(True)
+    for v in shared:
+        num, s = F.col(f"__pv_{v}_num"), F.col(f"__pv_{v}_str")
+        c = F.col(v)
+        cmp_ = (
+            F.when(num.isNotNull(), c.cast("double").eqNullSafe(num)
+                   & c.cast("double").isNotNull())
+            .when(s.isNotNull(), c.cast("string") == s)
+            .otherwise(F.lit(True))  # UNDEF cell matches anything
+        )
+        cond = cond & (c.isNull() | cmp_)
+    out = out.join(F.broadcast(vdf), cond, "inner")
+    for v in new:
+        out = out.withColumn(
+            v,
+            F.coalesce(
+                F.col(f"__pv_{v}_num").cast("string"),
+                F.col(f"__pv_{v}_str"),
+            ),
+        )
+    return out.drop(
+        *[f"__pv_{v}_{s}" for v in vb.vars for s in ("num", "str")]
+    )
+
+
 def execute(
     store, query: str | Query, with_kinds: bool = False
 ) -> DataFrame:
@@ -4978,8 +5034,11 @@ def execute(
                 q.variables or [f"?{c}" for c in _projectable(out.columns)]
             )
         ]
+        pv_vars = {v for vb in q.post_values for v in vb.vars}
         out = out.select(
-            *projected,
+            # a post-VALUES-only var isn't a column yet — the
+            # post-projection join below introduces it
+            *[v for v in projected if v not in pv_vars or v in out.columns],
             *[c for c in out.columns if c.startswith("__ord_")],
             *[
                 c for c in out.columns
@@ -4987,8 +5046,13 @@ def execute(
             ],
         )
     else:
+        pv_vars = {v for vb in q.post_values for v in vb.vars}
         variables = q.variables or [
             f"?{c}" for c in _projectable(result.columns)
+        ]
+        variables = [
+            v for v in variables
+            if v[1:] not in pv_vars or v[1:] in result.columns
         ]
         # hidden ORDER BY expression binds materialize alongside the
         # projection (their __ord_e* columns are dropped post-sort)
@@ -5014,6 +5078,16 @@ def execute(
                 f"__ord_{n}_{s}" for n in ordered_vars for s in ("k", "n")
             ),
             with_kinds=with_kinds,
+        )
+    for vb in q.post_values:
+        out = _apply_post_values(out, vb)
+    if q.post_values and q.variables:
+        # projection order restored; VALUES vars the SELECT doesn't
+        # project are dropped (only internal sidecars pass through)
+        want = [v[1:] for v in q.variables]
+        out = out.select(
+            *[c for c in want if c in out.columns],
+            *[c for c in out.columns if c not in want and c.startswith("__")],
         )
     if q.distinct:
         # __k_ sidecars are excluded from the DISTINCT key: two ids of

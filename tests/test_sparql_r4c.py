@@ -252,15 +252,21 @@ def test_trailing_values_after_limit_with_aggregate_key(store):
     assert got == [("http://ex/a", 2.0), ("http://ex/c", 1.0)]
 
 
-def test_trailing_values_non_group_key_rejected(store):
-    """F3: in an aggregate query the trailing ValuesClause joins AFTER
-    grouping (SPARQL 18.2.4) — folding a non-group-key var into the
-    group would silently change the counts, so it is rejected."""
-    from hbase_rdf_spark.plans.sparql import SparqlSyntaxError
-    with pytest.raises(SparqlSyntaxError, match="GROUP BY"):
-        execute(
-            store,
-            """SELECT ?s (COUNT(?o) AS ?n)
-               WHERE { ?s <http://ex/follows> ?o } GROUP BY ?s
-               VALUES ?o { <http://ex/b> }""",
-        )
+def test_trailing_values_non_group_key_joins_post(store):
+    """F3, round-5 upgrade: in an aggregate query the trailing
+    ValuesClause joins AFTER grouping (SPARQL 18.2.4). A non-group-key
+    var is unbound in the post-aggregation solutions, so the VALUES
+    row joins freely — groups and counts unchanged (previously an
+    explicit rejection)."""
+    got = execute(
+        store,
+        """SELECT ?s (COUNT(?o) AS ?n)
+           WHERE { ?s <http://ex/follows> ?o } GROUP BY ?s
+           VALUES ?o { <http://ex/b> }""",
+    ).collect()
+    no_values = execute(
+        store,
+        """SELECT ?s (COUNT(?o) AS ?n)
+           WHERE { ?s <http://ex/follows> ?o } GROUP BY ?s""",
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, no_values))

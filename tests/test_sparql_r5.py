@@ -169,6 +169,59 @@ def test_paren_var_minus_literal_inside(store):
     assert got == [("http://ex/i2",), ("http://ex/i3",)]
 
 
+# -- trailing VALUES over post-projection outputs (§18.2.4) ------------------
+
+
+def test_trailing_values_over_aggregate_alias(store):
+    got = rows(store, """
+        SELECT ?s (SUM(?p) AS ?tot) WHERE { ?s <http://ex/price> ?p }
+        GROUP BY ?s VALUES ?tot { 12 }""")
+    assert got == [("http://ex/i1", 12.0)]
+
+
+def test_trailing_values_over_bind_output(store):
+    got = rows(store, """
+        SELECT ?s ?r WHERE { ?s <http://ex/price> ?p .
+          BIND(?p + 1 AS ?r) } VALUES ?r { 13 }""")
+    assert got == [("http://ex/i1", "13.0")]
+
+
+def test_trailing_values_new_var_and_undef(store):
+    # (12, "low") matches only i1; (UNDEF, "any") matches every group —
+    # bag semantics keep i1 twice with different tags
+    got = rows(store, """
+        SELECT ?s ?tot ?tag WHERE { ?s <http://ex/price> ?p .
+        } GROUP BY ?s VALUES (?tot ?tag) { (UNDEF "any") }""")
+    # aggregate-free GROUP BY + new-var VALUES: every key extended
+    assert got == [
+        ("http://ex/i1", None, "any"),
+        ("http://ex/i2", None, "any"),
+        ("http://ex/i3", None, "any"),
+    ]
+
+
+def test_trailing_values_agg_alias_multirow(store):
+    got = rows(store, """
+        SELECT ?s (SUM(?p) AS ?tot) (COUNT(*) AS ?n)
+        WHERE { ?s <http://ex/price> ?p } GROUP BY ?s
+        VALUES ?tot { 12 17 99 }""")
+    assert got == [
+        ("http://ex/i1", 12.0, 1),
+        ("http://ex/i2", 17.0, 1),
+    ]
+
+
+def test_trailing_values_non_group_key_var(store):
+    # §18.2.4: ?p is unbound in the post-aggregation solutions, so the
+    # VALUES row joins freely — groups and counts unchanged
+    got = rows(store, """
+        SELECT ?s (COUNT(?p) AS ?n) WHERE { ?s <http://ex/price> ?p }
+        GROUP BY ?s VALUES ?p { 999 }""")
+    assert got == [
+        ("http://ex/i1", 1), ("http://ex/i2", 1), ("http://ex/i3", 1),
+    ]
+
+
 def test_bind_minus_literal_token(store):
     got = rows(store, """
         SELECT ?s ?r WHERE { ?s <http://ex/price> ?p .
