@@ -32,17 +32,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 from hbase_rdf_spark.ops.text import tokens
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct space-joined word ``n``-grams of ``text``.
+def _ngrams_of(w: Column, n: int) -> Column:
+    """Distinct space-joined word ``n``-grams of a TOKEN-ARRAY column.
 
-    Documents shorter than ``n`` tokens yield an empty array (they
-    cannot be contaminated at this gram size).  Pure codegen — a
-    ``transform`` over an index ``sequence`` with ``slice`` +
-    ``array_join``, then ``array_distinct``.
-    """
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    w = tokens(text)
+    ``w`` must be a bound attribute (not an inline tokenize
+    expression): the lambda references it per element and HOF
+    evaluation has no common-subexpression elimination — an inline
+    ``tokens(text)`` here re-tokenizes the document once per gram
+    (the wordkg/dedup trap, round-5 sf1.0 probe)."""
     cnt = F.size(w) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
@@ -51,6 +48,18 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.when(cnt >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct space-joined word ``n``-grams of ``text``.
+
+    Documents shorter than ``n`` tokens yield an empty array (they
+    cannot be contaminated at this gram size). Convenience form for
+    one-off expressions; hot paths bind the token array to a column
+    first and use ``_ngrams_of`` (see its note)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return _ngrams_of(tokens(text), n)
 
 
 def benchmark_contamination(
@@ -79,11 +88,14 @@ def benchmark_contamination(
     aggregation.
     """
     grams = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__cg_w")
+    ).select(
         F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        F.explode(_ngrams_of(F.col("__cg_w"), n)).alias("gram"),
     )
     bench_grams = (
-        bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        bench.select(tokens(F.col(text_col)).alias("__cg_w"))
+        .select(F.explode(_ngrams_of(F.col("__cg_w"), n)).alias("gram"))
         .distinct()
         .withColumn("bench_hit", F.lit(1))
     )

@@ -141,7 +141,10 @@ def chunk_documents(
     from hbase_rdf_spark.ops.text import tokens
 
     stride = chunk_tokens - overlap
-    w = tokens(F.col(text_col))
+    # bind the token array to an attribute FIRST: referencing the
+    # tokenize expression inside the higher-order lambda re-evaluates
+    # it per chunk (no CSE inside HOFs — the wordkg/dedup trap)
+    w = F.col("__ck_w")
     n = F.size(w)
     n_chunks = F.greatest(
         F.lit(1),
@@ -167,6 +170,8 @@ def chunk_documents(
         "n_chunk_tokens:int,chunk_text:string>>"
     ))
     return docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__ck_w")
+    ).select(
         F.col(id_col), F.explode(chunks).alias("c")
     ).select(
         id_col, "c.chunk_idx", "c.tok_start", "c.n_chunk_tokens",

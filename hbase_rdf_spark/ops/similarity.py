@@ -364,14 +364,19 @@ def kmeans_fit(
     # neighborhoods (plain Lloyd cells track magnitude, not direction)
     raw = F.col(vec_col).cast("array<double>")
     # greatest(…, tiny) guards all-zero vectors: x/0 is NULL in Spark
-    # and NULL elements would crash the numpy GEMM downstream
+    # and NULL elements would crash the numpy GEMM downstream.
+    # The norm binds to an attribute BEFORE the normalize transform:
+    # an inline aggregate referenced inside the lambda re-evaluates
+    # per element (no CSE inside HOFs) — O(dim²) per row
     nrm = F.greatest(
         F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)),
         F.lit(1e-30),
     )
     base = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.transform(raw, lambda x: x / nrm).alias("_v"),
+        F.col(id_col).alias("_id"), raw.alias("_raw"), nrm.alias("_nrm")
+    ).select(
+        "_id",
+        F.transform(F.col("_raw"), lambda x: x / F.col("_nrm")).alias("_v"),
     )
     import zlib
 

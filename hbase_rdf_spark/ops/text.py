@@ -118,18 +118,29 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         rep_top_2gram_frac   occurrences of the most frequent 2gram / 2grams
 
     Scale shape: everything is per-row higher-order functions
-    (transform / filter / array_distinct) inside whole-stage codegen —
-    NO shuffle, unlike the explode+groupBy formulation which would
-    shuffle the whole corpus twice. Cost is O(distinct × len) per row,
-    bounded by document length (cap documents upstream if unbounded).
+    (transform / filter / array_distinct) — NO shuffle, unlike the
+    explode+groupBy formulation which would shuffle the whole corpus
+    twice. Cost is O(distinct × len) per row, bounded by document
+    length (cap documents upstream if unbounded).
+
+    The token and 2-gram arrays are BOUND AS COLUMNS in two upstream
+    projections before any HOF reads them: a lambda that references a
+    non-trivial expression re-evaluates it on EVERY element invocation
+    (HOF evaluation has no common-subexpression elimination), which
+    turned the O(n) tokenizer split into O(n² · distinct) work per row
+    — a 1000× cliff first observed on the sf1.0 depth probe (round 5).
+    A bound column reference is an O(1) lookup, and Catalyst's
+    CollapseProject keeps multi-referenced non-cheap aliases in their
+    own projection, so the staging survives optimization.
     """
-    t = F.col(text_col)
-    w = tokens(t)
+    w = F.col("__rep_w")
+    grams = F.col("__rep_g")
     n = F.size(w)
+    ng = F.size(grams)
 
     def _top_freq(arr: Column) -> Column:
         # max element frequency: for each distinct element, count its
-        # occurrences; all inside codegen, no shuffle
+        # occurrences; per-row, no shuffle
         return F.array_max(
             F.transform(
                 F.array_distinct(arr),
@@ -137,22 +148,23 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         )
 
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(w, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(grams)
-
     def _frac(num: Column, den: Column) -> Column:
         return F.round(
             F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
         )
 
-    return df.select(
-        "*",
+    staged = df.withColumn("__rep_w", tokens(F.col(text_col))).withColumn(
+        "__rep_g",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.array_join(F.slice(w, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return staged.select(
+        *df.columns,
         n.alias("rep_tokens"),
         _frac(n - F.size(F.array_distinct(w)), n).alias("rep_dup_token_frac"),
         _frac(F.when(n > 0, _top_freq(w)).otherwise(F.lit(0)), n).alias(
