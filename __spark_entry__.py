@@ -291,6 +291,35 @@ def _q_ann_quantized(spark, sf):
     )
 
 
+def _q_nt_roundtrip(spark, sf):
+    # round-5 S1 conformance gate: render each document as an
+    # N-Triples line (every 5th doc's spaces become literal \t ESCAPE
+    # SEQUENCES, every 7th doc's line drops the terminating dot →
+    # malformed), run the REAL parser (sources/ntriples.py — the W3C
+    # grammar + full ECHAR unescaping landed this round), and emit
+    # (doc_id, o_lex) for the VALID rows. Malformed docs must be
+    # absent (count-and-skip, QuadBreakDown.java:103-109) and escaped
+    # lexicals must round-trip to real tabs — DuckDB replays both with
+    # modular arithmetic + replace(text, ' ', chr(9)).
+    from hbase_rdf_spark.sources.ntriples import parse_lines
+
+    docs = wordkg.read(spark, sf, "documents")
+    esc = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.replace(F.col("text"), F.lit(" "), F.lit("\\t")),
+    ).otherwise(F.col("text"))
+    line = F.concat(
+        F.lit("<doc:"), F.col("doc_id").cast("string"),
+        F.lit("> <p:src> \""), esc, F.lit("\""),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.lit(" .")),
+    )
+    parsed = parse_lines(docs.select(line.alias("value")))
+    return parsed.filter(~F.col("_corrupt") & ~F.col("_skip")).select(
+        F.substring(F.col("s"), 5, 1 << 20).cast("long").alias("doc_id"),
+        F.col("o_lex"),
+    )
+
+
 def _q_sessionize(spark, sf):
     ev = wordkg.read(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2099,7 +2128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "kg_sparql_optional_algebra": _q_sparql_optional_algebra,
         "kg_sparql_subquery_union": _q_sparql_subquery_union,
-        "events_sessionize": _q_sessionize,
+        # round-5 rotation: nt_roundtrip_conformance (the S1 parser's
+        # grammar + unescaping CHANGED this round — W3C conformance
+        # work) takes the seat of events_sessionize (green r4,
+        # ops/temporal.py untouched in round 5)
+        "nt_roundtrip_conformance": _q_nt_roundtrip,
         "events_interval_errors": _q_events_interval,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "kg_sparql_hash_iri": _q_sparql_hash_iri,
@@ -2142,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "kg_path_alt": _q_path_alt,
         "kg_path_inv": _q_path_inv,
+        "events_sessionize": _q_sessionize,
         "kg_sparql_strfuncs": _q_sparql_strfuncs,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_rollup_revenue": _q_rel_rollup_revenue,
@@ -3418,6 +3452,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, true AS users_ok, true AS p50_ok,
                    true AS p95_ok
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "nt_roundtrip_conformance": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN replace(text, ' ', chr(9)) ELSE text
+                   END AS o_lex
+            FROM documents
+            WHERE doc_id % 7 != 0""",
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts,
